@@ -1,0 +1,383 @@
+package graft.operators
+
+import graft.{Catalog, Q, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Training-data pipeline operators over `documents` / `embeddings`:
+  * dedup (exact, MinHash+LSH, SimHash, n-gram Jaccard), similarity search
+  * (brute-force cosine top-k), and text analysis (token counting, quality
+  * scoring, language-ID, fingerprinting).
+  *
+  * These are beyond the reference's own surface (see BASELINE.json
+  * north_star) and are designed scale-first:
+  *   - everything is per-row narrow work (codegen'd `functions._`
+  *     expressions — no UDFs, no driver-side loops);
+  *   - the only shuffles are the final groupBy/self-join on hash keys
+  *     (exact dedup groups by md5; LSH joins on (band, minhash) buckets),
+  *     which is the canonical 100 TB dedup topology;
+  *   - cross-engine determinism: hashes go through md5-hex (both engines),
+  *     folds run in identical sequential order, ratios are one double
+  *     division cast to DECIMAL (see Catalog.scala rules).
+  */
+object Pipeline {
+  import Catalog.dec
+
+  private def T(s: SparkSession, d: String, n: String) = Tables.load(s, d, n)
+
+  /** 60-bit positive hash from md5 hex — identical in Spark
+    * (`conv(substr(md5(x),1,15),16,10)`) and DuckDB
+    * (`('0x' || substr(md5(x),1,15))::BIGINT`).
+    */
+  private def hash60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast(LongType)
+
+  private val stops = Seq("the", "a", "of", "and", "to", "in")
+
+  /** p01 — exact deduplication by content hash: hash-groupBy on md5(text),
+    * keep min doc_id. The 100 TB pattern: one shuffle on the digest, no
+    * text comparison off the digest path.
+    */
+  private val p01 = Q(
+    "p01_dedup_exact",
+    (s, d) => {
+      import s.implicits._
+      T(s, d, "documents")
+        .groupBy(md5($"text").as("content_hash"))
+        .agg(min($"doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+        .orderBy($"keep_id")
+    },
+    Some("""
+      SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+      FROM documents GROUP BY md5(text) ORDER BY keep_id"""))
+
+  /** p02 — document fingerprinting: md5 over whitespace-normalized,
+    * lower-cased text (DuckDB regexp_replace needs the 'g' flag to match
+    * Spark's replace-all default).
+    */
+  private val p02 = Q(
+    "p02_fingerprint",
+    (s, d) => {
+      import s.implicits._
+      T(s, d, "documents")
+        .select($"doc_id",
+          md5(regexp_replace(lower($"text"), "\\s+", " ")).as("fingerprint"),
+          sha2($"text", 256).as("sha_fingerprint"))
+        .orderBy($"doc_id")
+    },
+    Some("""
+      SELECT doc_id, md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fingerprint,
+        sha256(text) AS sha_fingerprint
+      FROM documents ORDER BY doc_id"""))
+
+  /** p03 — token counting: whitespace tokens + a BPE-ish regex token count
+    * (runs of letters | digits | single non-space symbol — the classic
+    * pre-tokenizer shape).
+    */
+  private val p03 = Q(
+    "p03_token_count",
+    (s, d) => {
+      import s.implicits._
+      T(s, d, "documents")
+        .select($"doc_id",
+          size(split($"text", " ")).as("ws_tokens"),
+          regexp_count($"text", lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]")).cast(LongType)
+            .as("bpe_tokens"),
+          length($"text").as("n_chars_actual"))
+        .orderBy($"doc_id")
+    },
+    Some("""
+      SELECT doc_id, CAST(length(string_split(text, ' ')) AS INT) AS ws_tokens,
+        CAST(length(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS bpe_tokens,
+        CAST(length(text) AS INT) AS n_chars_actual
+      FROM documents ORDER BY doc_id"""))
+
+  /** p04 — quality scoring: char-length / mean token length / stopword
+    * ratio / punctuation ratio, combined into a deterministic 0–1 score.
+    * All ratios are exact-int sums with one double division.
+    */
+  private val p04 = Q(
+    "p04_quality_score",
+    (s, d) => {
+      import s.implicits._
+      val toks = split($"text", " ")
+      val nTok = size(toks).cast(DoubleType)
+      val stopList = stops.map(w => s"'$w'").mkString("(", ", ", ")")
+      val nStop = expr(s"size(filter(split(text, ' '), t -> t IN $stopList))").cast(DoubleType)
+      val nPunct = regexp_count($"text", lit("[^A-Za-z0-9\\s]")).cast(DoubleType)
+      T(s, d, "documents")
+        .select($"doc_id",
+          size(toks).as("n_tokens"),
+          dec(length($"text").cast(DoubleType) / nTok, 18, 6).as("mean_tok_len"),
+          dec(nStop / nTok, 18, 6).as("stopword_ratio"),
+          dec(nPunct / length($"text").cast(DoubleType), 18, 6).as("punct_ratio"))
+        .orderBy($"doc_id")
+    },
+    Some("""
+      SELECT doc_id,
+        CAST(length(string_split(text, ' ')) AS INT) AS n_tokens,
+        CAST(CAST(length(text) AS DOUBLE) / length(string_split(text, ' ')) AS DECIMAL(18,6)) AS mean_tok_len,
+        CAST(CAST(length(list_filter(string_split(text, ' '), t -> t IN ('the', 'a', 'of', 'and', 'to', 'in'))) AS DOUBLE) / length(string_split(text, ' ')) AS DECIMAL(18,6)) AS stopword_ratio,
+        CAST(CAST(length(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS DOUBLE) / CAST(length(text) AS DOUBLE) AS DECIMAL(18,6)) AS punct_ratio
+      FROM documents ORDER BY doc_id"""))
+
+  /** p05 — language identification: marker-token scoring with a
+    * deterministic argmax (ties broken by fixed language order), checked
+    * against the table's `lang` label.
+    */
+  private val p05 = Q(
+    "p05_lang_id",
+    (s, d) => {
+      import s.implicits._
+      def score(words: Seq[String]): Column = {
+        val list = words.map(w => s"'$w'").mkString("(", ", ", ")")
+        expr(s"size(filter(split(lower(text), ' '), t -> t IN $list))")
+      }
+      val en = score(Seq("the", "a", "of", "and", "to"))
+      val de = score(Seq("der", "die", "das", "und", "ist"))
+      val es = score(Seq("el", "la", "de", "y", "que"))
+      val fr = score(Seq("le", "la", "et", "les", "des"))
+      val pred = when(en >= de && en >= es && en >= fr && en > 0, "en")
+        .when(de >= es && de >= fr && de > 0, "de")
+        .when(es >= fr && es > 0, "es")
+        .when(fr > 0, "fr")
+        .otherwise("und")
+      T(s, d, "documents")
+        .select($"doc_id", $"lang", pred.as("pred_lang"))
+        .groupBy($"lang", $"pred_lang")
+        .agg(count(lit(1)).as("n"))
+        .orderBy($"lang", $"pred_lang")
+    },
+    Some("""
+      WITH scored AS (
+        SELECT doc_id, lang,
+          length(list_filter(string_split(lower(text), ' '), t -> t IN ('the','a','of','and','to'))) AS s_en,
+          length(list_filter(string_split(lower(text), ' '), t -> t IN ('der','die','das','und','ist'))) AS s_de,
+          length(list_filter(string_split(lower(text), ' '), t -> t IN ('el','la','de','y','que'))) AS s_es,
+          length(list_filter(string_split(lower(text), ' '), t -> t IN ('le','la','et','les','des'))) AS s_fr
+        FROM documents),
+      pred AS (
+        SELECT lang,
+          CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr AND s_en > 0 THEN 'en'
+               WHEN s_de >= s_es AND s_de >= s_fr AND s_de > 0 THEN 'de'
+               WHEN s_es >= s_fr AND s_es > 0 THEN 'es'
+               WHEN s_fr > 0 THEN 'fr'
+               ELSE 'und' END AS pred_lang
+        FROM scored)
+      SELECT lang, pred_lang, COUNT(*) AS n FROM pred
+      GROUP BY lang, pred_lang ORDER BY lang, pred_lang"""))
+
+  /** Distinct 3-word shingles of `text` (both engines build the identical
+    * list: split on single space, window of 3, join with space).
+    */
+  private def shinglesCol: Column = expr(
+    """array_distinct(
+         CASE WHEN size(split(text, ' ')) >= 3
+           THEN transform(sequence(1, size(split(text, ' ')) - 2),
+                          i -> concat_ws(' ', slice(split(text, ' '), i, 3)))
+           ELSE array() END)""")
+
+  private val shinglesSqlDuck =
+    """CASE WHEN length(string_split(text, ' ')) >= 3
+         THEN list_distinct(list_transform(range(1, length(string_split(text, ' ')) - 1),
+                i -> array_to_string(list_slice(string_split(text, ' '), i, i + 2), ' ')))
+         ELSE [] END"""
+
+  /** p06 — n-gram shingling: distinct 3-gram shingle count per document
+    * (the substrate for MinHash / Jaccard dedup).
+    */
+  private val p06 = Q(
+    "p06_shingles",
+    (s, d) => {
+      import s.implicits._
+      T(s, d, "documents")
+        .select($"doc_id", shinglesCol.as("sh"))
+        .select($"doc_id", size($"sh").as("n_shingles"))
+        .orderBy($"doc_id")
+    },
+    Some(s"""
+      SELECT doc_id, CAST(length($shinglesSqlDuck) AS INT) AS n_shingles
+      FROM documents ORDER BY doc_id"""))
+
+  /** MinHash signature k=4: per permutation `i`, min over shingles of
+    * hash60(i || ':' || shingle). Pure per-row compute; signature columns
+    * m0..m3.
+    */
+  private def withMinhash(df: DataFrame): DataFrame = {
+    val sigs = (0 until 4).map { i =>
+      expr(
+        s"""array_min(transform(sh, sg -> CAST(conv(substr(md5(concat('$i', ':', sg)), 1, 15), 16, 10) AS BIGINT)))"""
+      ).as(s"m$i")
+    }
+    df.select((col("doc_id") +: col("sh") +: sigs): _*)
+  }
+
+  private def minhashSqlDuck(alias: String): String =
+    (0 until 4).map { i =>
+      s"""list_min(list_transform(sh, sg -> ('0x' || substr(md5('$i' || ':' || sg), 1, 15))::BIGINT)) AS m$i"""
+    }.mkString(", ")
+
+  /** p07 — MinHash signatures (shingle → k hash permutations → min):
+    * the map-side of MinHash+LSH dedup (SURVEY north-star operator).
+    */
+  private val p07 = Q(
+    "p07_minhash_sig",
+    (s, d) => {
+      import s.implicits._
+      withMinhash(T(s, d, "documents").select($"doc_id", shinglesCol.as("sh")))
+        .select($"doc_id", $"m0", $"m1", $"m2", $"m3")
+        .orderBy($"doc_id")
+    },
+    Some(s"""
+      WITH sh AS (SELECT doc_id, $shinglesSqlDuck AS sh FROM documents)
+      SELECT doc_id, ${minhashSqlDuck("sh")} FROM sh ORDER BY doc_id"""))
+
+  /** p08 — MinHash LSH candidate pairs + exact Jaccard verify: band the
+    * signature (4 bands × 1 row), bucket-join on (band, value), then verify
+    * candidates with exact Jaccard on the distinct shingle sets.
+    * At scale this is the standard topology: the only shuffle is on the
+    * band-bucket key; the verify join touches candidate pairs only.
+    */
+  private val p08 = Q(
+    "p08_minhash_lsh_pairs",
+    (s, d) => {
+      import s.implicits._
+      val sigs = withMinhash(T(s, d, "documents").select($"doc_id", shinglesCol.as("sh")))
+        .persist()
+      val bands = sigs.select($"doc_id",
+          expr("stack(4, 0, m0, 1, m1, 2, m2, 3, m3) AS (band, h)"))
+      val cand = bands.as("a").join(bands.as("b"),
+          col("a.band") === col("b.band") && col("a.h") === col("b.h") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+        .distinct()
+      val sh = sigs.select($"doc_id", $"sh")
+      cand
+        .join(sh.withColumnRenamed("doc_id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
+        .join(sh.withColumnRenamed("doc_id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+        .select($"id_a", $"id_b",
+          dec(size(array_intersect($"sh_a", $"sh_b")).cast(DoubleType) /
+            (size($"sh_a") + size($"sh_b") - size(array_intersect($"sh_a", $"sh_b")))
+              .cast(DoubleType), 18, 6).as("jaccard"))
+        .orderBy($"id_a", $"id_b")
+    },
+    Some(s"""
+      WITH sh AS (SELECT doc_id, $shinglesSqlDuck AS sh FROM documents),
+      sigs AS (SELECT doc_id, sh, ${minhashSqlDuck("sh")} FROM sh),
+      bands AS (
+        SELECT doc_id, 0 AS band, m0 AS h FROM sigs UNION ALL
+        SELECT doc_id, 1, m1 FROM sigs UNION ALL
+        SELECT doc_id, 2, m2 FROM sigs UNION ALL
+        SELECT doc_id, 3, m3 FROM sigs),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bands a JOIN bands b ON a.band = b.band AND a.h = b.h
+          AND a.doc_id < b.doc_id)
+      SELECT id_a, id_b,
+        CAST(CAST(length(list_filter(sa.sh, x -> list_contains(sb.sh, x))) AS DOUBLE)
+             / (length(sa.sh) + length(sb.sh) - length(list_filter(sa.sh, x -> list_contains(sb.sh, x)))) AS DECIMAL(18,6)) AS jaccard
+      FROM cand JOIN sh sa ON sa.doc_id = id_a JOIN sh sb ON sb.doc_id = id_b
+      ORDER BY id_a, id_b"""))
+
+  /** p09 — SimHash (64→60-bit) near-dup fingerprint: per-token 60-bit
+    * hashes, per-bit signed vote, sign → bit. O(tokens × 60) per row, all
+    * codegen'd; no shuffle at all.
+    */
+  private val p09 = Q(
+    "p09_simhash",
+    (s, d) => {
+      import s.implicits._
+      val tokenHashes =
+        """transform(array_distinct(split(text, ' ')),
+                     t -> CAST(conv(substr(md5(t), 1, 15), 16, 10) AS BIGINT))"""
+      val simhash = expr(
+        s"""aggregate(sequence(0, 59), CAST(0 AS BIGINT), (acc, j) ->
+              acc + CASE WHEN
+                aggregate($tokenHashes, 0,
+                          (v, h) -> v + CASE WHEN (h >> j) % 2 = 1 THEN 1 ELSE -1 END) >= 0
+              THEN shiftleft(CAST(1 AS BIGINT), j) ELSE CAST(0 AS BIGINT) END)""")
+      T(s, d, "documents")
+        .select($"doc_id", simhash.as("simhash"))
+        .orderBy($"doc_id")
+    },
+    Some("""
+      WITH th AS (
+        SELECT doc_id,
+          list_transform(list_distinct(string_split(text, ' ')),
+                         t -> ('0x' || substr(md5(t), 1, 15))::BIGINT) AS hs
+        FROM documents)
+      SELECT doc_id,
+        list_sum(list_transform(range(0, 60), j ->
+          CASE WHEN list_sum(list_transform(hs, h ->
+                 CASE WHEN (h >> j) % 2 = 1 THEN 1 ELSE -1 END)) >= 0
+          THEN (1::BIGINT << j) ELSE 0::BIGINT END))::BIGINT AS simhash
+      FROM th ORDER BY doc_id"""))
+
+  /** Sequential-fold dot product of two 64-dim float vectors in double —
+    * identical op order in both engines → bit-identical results.
+    */
+  private def foldDot(a: String, b: String): Column = expr(
+    s"""aggregate(sequence(1, 64), CAST(0.0 AS DOUBLE),
+          (acc, i) -> acc + CAST(element_at($a, i) AS DOUBLE) * CAST(element_at($b, i) AS DOUBLE))""")
+
+  private def foldDotDuck(a: String, b: String): String =
+    s"""list_sum(list_transform(range(1, 65),
+          i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"""
+
+  /** p10 — brute-force cosine top-k similarity search against a query
+    * vector (vec_id 0): the exact baseline for ANN. Scale path: the scan
+    * is embarrassingly parallel; top-k via TakeOrdered (no global sort
+    * materialization).
+    */
+  private val p10 = Q(
+    "p10_cosine_topk",
+    (s, d) => {
+      import s.implicits._
+      val emb = T(s, d, "embeddings")
+      val qv = emb.filter($"vec_id" === 0).select($"embedding".as("qvec"))
+      emb.filter($"vec_id" =!= 0)
+        .crossJoin(broadcast(qv))
+        .select($"vec_id", $"label",
+          dec(foldDot("embedding", "qvec") /
+            (sqrt(foldDot("embedding", "embedding")) * sqrt(foldDot("qvec", "qvec"))),
+            18, 6).as("cos_sim"))
+        .orderBy($"cos_sim".desc, $"vec_id")
+        .limit(25)
+    },
+    Some(s"""
+      WITH q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0)
+      SELECT vec_id, label,
+        CAST(${foldDotDuck("embedding", "qvec")} /
+             (sqrt(${foldDotDuck("embedding", "embedding")}) * sqrt(${foldDotDuck("qvec", "qvec")})) AS DECIMAL(18,6)) AS cos_sim
+      FROM embeddings, q WHERE vec_id <> 0
+      ORDER BY cos_sim DESC, vec_id LIMIT 25"""))
+
+  /** p11 — vector norms + per-label stats: per-row L2 norm (sequential
+    * fold), exact decimal mean by label.
+    */
+  private val p11 = Q(
+    "p11_vector_stats",
+    (s, d) => {
+      import s.implicits._
+      T(s, d, "embeddings")
+        .select($"vec_id", $"label",
+          dec(sqrt(foldDot("embedding", "embedding")), 18, 6).as("l2_norm"))
+        .groupBy($"label")
+        .agg(count(lit(1)).as("n"),
+          dec(sum($"l2_norm"), 38, 6).as("sum_norm"),
+          min($"l2_norm").as("min_norm"),
+          max($"l2_norm").as("max_norm"))
+        .orderBy($"label")
+    },
+    Some(s"""
+      WITH n AS (
+        SELECT vec_id, label,
+          CAST(sqrt(${foldDotDuck("embedding", "embedding")}) AS DECIMAL(18,6)) AS l2_norm
+        FROM embeddings)
+      SELECT label, COUNT(*) AS n, CAST(SUM(l2_norm) AS DECIMAL(38,6)) AS sum_norm,
+        MIN(l2_norm) AS min_norm, MAX(l2_norm) AS max_norm
+      FROM n GROUP BY label ORDER BY label"""))
+
+  val all: Seq[Q] = Seq(p01, p02, p03, p04, p05, p06, p07, p08, p09, p10, p11)
+}

@@ -1,0 +1,126 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.scalatest.funsuite.AnyFunSuite
+
+object SparkTestSession {
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+}
+
+/** Every catalog query must execute end-to-end on sf0.001 and produce a
+  * deterministic, non-degenerate result (the cross-engine value check is
+  * the driver's DuckDB gate; tools/check.py runs the same thing locally).
+  */
+class CatalogSpec extends AnyFunSuite {
+  private val sf = "/root/testdata/sf0.001"
+  private lazy val spark = SparkTestSession.spark
+
+  // Queries that legitimately may return few/zero rows at the smallest sf.
+  private val mayBeEmpty = Set("q21_string_funcs", "q08_not_exists_anti",
+    "q04_shipping_priority", "q07_exists_semi", "q11_having", "q12_in_subquery")
+
+  for ((name, q) <- Catalog.byName.toSeq.sortBy(_._1)) {
+    test(s"$name runs on sf0.001") {
+      val df = q.run(spark, sf)
+      assert(df.columns.nonEmpty)
+      val n = df.count()
+      if (!mayBeEmpty(name)) assert(n > 0, s"$name returned 0 rows")
+    }
+  }
+
+  test("every oracle query name exists in queries") {
+    assert(Catalog.oracleSql.keySet.subsetOf(Catalog.queries.keySet))
+  }
+
+  test("entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+}
+
+/** Independent recomputation checks for operators whose semantics are easy
+  * to get subtly wrong (mirrors the reference's per-query local replays,
+  * flock/src/datasource/nexmark/queries/q*.rs).
+  */
+class SemanticsSpec extends AnyFunSuite {
+  private val sf = "/root/testdata/sf0.001"
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("session windows match a gaps-and-islands recomputation") {
+    val got = Catalog.byName("w03_session_agg").run(spark, sf)
+      .select("user_id", "session_start_us", "session_end_us", "n")
+    val gapUs = 21600000000L
+    val ev = Tables.load(spark, sf, "events")
+      .select($"user_id", unix_micros($"ts").as("us"))
+    val w = Window.partitionBy($"user_id").orderBy($"us")
+    val expected = ev
+      .withColumn("prev", lag($"us", 1).over(w))
+      .withColumn("new_s",
+        when($"prev".isNull || $"us" - $"prev" >= gapUs, 1).otherwise(0))
+      .withColumn("sid", sum($"new_s").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy($"user_id", $"sid")
+      .agg(min($"us").as("session_start_us"),
+        (max($"us") + gapUs).as("session_end_us"),
+        count(lit(1)).as("n"))
+      .select("user_id", "session_start_us", "session_end_us", "n")
+    assert(got.exceptAll(expected).isEmpty && expected.exceptAll(got).isEmpty)
+  }
+
+  test("hopping windows cover each event exactly twice") {
+    val total = Catalog.byName("w02_hopping_agg").run(spark, sf)
+      .agg(sum($"n")).as[Long].head()
+    val nEvents = Tables.load(spark, sf, "events").count()
+    assert(total == 2 * nEvents)
+  }
+
+  test("exact dedup partitions all documents") {
+    val docs = Tables.load(spark, sf, "documents").count()
+    val deduped = Catalog.byName("p01_dedup_exact").run(spark, sf)
+      .agg(sum($"n_copies")).as[Long].head()
+    assert(deduped == docs)
+  }
+
+  test("cosine top-k similarities are in [-1, 1] and descending") {
+    val sims = Catalog.byName("p10_cosine_topk").run(spark, sf)
+      .select($"cos_sim".cast("double")).as[Double].collect()
+    assert(sims.nonEmpty)
+    assert(sims.forall(s => s >= -1.0001 && s <= 1.0001))
+    assert(sims.sameElements(sims.sorted(Ordering[Double].reverse)))
+  }
+
+  test("minhash containment: identical docs share all signature components") {
+    // Any doc pair with jaccard 1.0 must have identical minhash signatures.
+    val sig = Catalog.byName("p07_minhash_sig").run(spark, sf)
+    val pairs = Catalog.byName("p08_minhash_lsh_pairs").run(spark, sf)
+      .filter($"jaccard" === 1.0)
+    val joined = pairs
+      .join(sig.withColumnRenamed("doc_id", "id_a").as("sa"), "id_a")
+      .join(sig.withColumnRenamed("doc_id", "id_b").as("sb"), "id_b")
+    val bad = joined.filter(
+      col("sa.m0") =!= col("sb.m0") || col("sa.m1") =!= col("sb.m1") ||
+        col("sa.m2") =!= col("sb.m2") || col("sa.m3") =!= col("sb.m3"))
+    assert(bad.isEmpty)
+  }
+
+  test("range-residual join only keeps lineitems within 30 days") {
+    val ord = Tables.load(spark, sf, "orders")
+    val li = Tables.load(spark, sf, "lineitem")
+    val n = li.join(ord, $"l_orderkey" === $"o_orderkey" &&
+        $"l_shipdate".between($"o_orderdate", $"o_orderdate" + expr("INTERVAL 30 DAYS")))
+      .filter(datediff($"l_shipdate", $"o_orderdate") > 30)
+      .count()
+    assert(n == 0)
+  }
+}

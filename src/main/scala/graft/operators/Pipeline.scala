@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{Catalog, Q, Tables}
+import graft.functions.VectorFunctions
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -200,22 +201,29 @@ object Pipeline {
       SELECT doc_id, CAST(length($shinglesSqlDuck) AS INT) AS n_shingles
       FROM documents ORDER BY doc_id"""))
 
-  /** MinHash signature k=4: per permutation `i`, min over shingles of
-    * hash60(i || ':' || shingle). Pure per-row compute; signature columns
-    * m0..m3.
+  /** MinHash signature k=4 via the one-md5 scheme: md5 is computed ONCE per
+    * shingle, split into two independent 60-bit halves (h1, h2), and the k
+    * permutations are h1 ^ (i·h2) — the standard double-hashing trick, 4×
+    * cheaper than hashing per permutation while staying oracle-exact
+    * (Spark `^` == DuckDB `xor`; i·h2 < 2^62, no overflow).
     */
   private def withMinhash(df: DataFrame): DataFrame = {
+    val withHashes = df
+      .withColumn("mh", expr("transform(sh, sg -> md5(sg))"))
+      .withColumn("h1", expr(
+        "transform(mh, m -> CAST(conv(substr(m, 1, 15), 16, 10) AS BIGINT))"))
+      .withColumn("h2", expr(
+        "transform(mh, m -> CAST(conv(substr(m, 17, 15), 16, 10) AS BIGINT))"))
     val sigs = (0 until 4).map { i =>
-      expr(
-        s"""array_min(transform(sh, sg -> CAST(conv(substr(md5(concat('$i', ':', sg)), 1, 15), 16, 10) AS BIGINT)))"""
-      ).as(s"m$i")
+      expr(s"array_min(zip_with(h1, h2, (a, b) -> a ^ (CAST($i AS BIGINT) * b)))")
+        .as(s"m$i")
     }
-    df.select((col("doc_id") +: col("sh") +: sigs): _*)
+    withHashes.select((col("doc_id") +: col("sh") +: sigs): _*)
   }
 
   private def minhashSqlDuck(alias: String): String =
     (0 until 4).map { i =>
-      s"""list_min(list_transform(sh, sg -> ('0x' || substr(md5('$i' || ':' || sg), 1, 15))::BIGINT)) AS m$i"""
+      s"""list_min(list_transform(sh, sg -> xor(('0x' || substr(md5(sg), 1, 15))::BIGINT, $i * ('0x' || substr(md5(sg), 17, 15))::BIGINT))) AS m$i"""
     }.mkString(", ")
 
   /** p07 — MinHash signatures (shingle → k hash permutations → min):
@@ -288,17 +296,11 @@ object Pipeline {
     "p09_simhash",
     (s, d) => {
       import s.implicits._
-      val tokenHashes =
+      val tokenHashes = expr(
         """transform(array_distinct(split(text, ' ')),
-                     t -> CAST(conv(substr(md5(t), 1, 15), 16, 10) AS BIGINT))"""
-      val simhash = expr(
-        s"""aggregate(sequence(0, 59), CAST(0 AS BIGINT), (acc, j) ->
-              acc + CASE WHEN
-                aggregate($tokenHashes, 0,
-                          (v, h) -> v + CASE WHEN (h >> j) % 2 = 1 THEN 1 ELSE -1 END) >= 0
-              THEN shiftleft(CAST(1 AS BIGINT), j) ELSE CAST(0 AS BIGINT) END)""")
+                     t -> CAST(conv(substr(md5(t), 1, 15), 16, 10) AS BIGINT))""")
       T(s, d, "documents")
-        .select($"doc_id", simhash.as("simhash"))
+        .select($"doc_id", VectorFunctions.simhash60(tokenHashes).as("simhash"))
         .orderBy($"doc_id")
     },
     Some("""
@@ -339,9 +341,8 @@ object Pipeline {
       emb.filter($"vec_id" =!= 0)
         .crossJoin(broadcast(qv))
         .select($"vec_id", $"label",
-          dec(foldDot("embedding", "qvec") /
-            (sqrt(foldDot("embedding", "embedding")) * sqrt(foldDot("qvec", "qvec"))),
-            18, 6).as("cos_sim"))
+          dec(VectorFunctions.cosine_similarity($"embedding", $"qvec"), 18, 6)
+            .as("cos_sim"))
         .orderBy($"cos_sim".desc, $"vec_id")
         .limit(25)
     },
@@ -379,5 +380,66 @@ object Pipeline {
         MIN(l2_norm) AS min_norm, MAX(l2_norm) AS max_norm
       FROM n GROUP BY label ORDER BY label"""))
 
-  val all: Seq[Q] = Seq(p01, p02, p03, p04, p05, p06, p07, p08, p09, p10, p11)
+  /** Signed-random-projection bucket (4 hyperplanes → bucket 0..15): the
+    * j-th bit is the sign of ⟨v, hp_j⟩ where hp_j[i] is a deterministic
+    * pseudo-random value in [-0.5, 0.5) derived from md5(j || '_' || i) —
+    * identically computable in DuckDB, so the ANN path stays oracle-checked.
+    * (At production scale the plane matrix is a broadcast constant and the
+    * projection a single codegen'd expression — here the md5-derived form
+    * keeps both engines bit-identical.)
+    */
+  private def lshBucketExpr(vecCol: String): String =
+    s"""aggregate(sequence(0, 3), 0, (acc, j) ->
+          acc + CASE WHEN
+            aggregate(sequence(1, 64), CAST(0.0 AS DOUBLE), (a2, i) ->
+              a2 + CAST(element_at($vecCol, i) AS DOUBLE) *
+                   (CAST(CAST(conv(substr(md5(concat(j, '_', i)), 1, 15), 16, 10) AS BIGINT) AS DOUBLE)
+                    / 1152921504606846976.0D - 0.5D)) >= 0.0D
+          THEN CAST(shiftleft(1, j) AS INT) ELSE 0 END)"""
+
+  private def lshBucketDuck(vecCol: String): String =
+    s"""list_sum(list_transform(range(0, 4), j ->
+          CASE WHEN
+            list_sum(list_transform(range(1, 65), i ->
+              CAST($vecCol[i] AS DOUBLE) *
+              (CAST(('0x' || substr(md5(j || '_' || i), 1, 15))::BIGINT AS DOUBLE)
+               / 1152921504606846976.0 - 0.5))) >= 0.0
+          THEN (1 << j) ELSE 0 END))::INT"""
+
+  /** p12 — ANN via signed-random-projection LSH: bucket every vector by
+    * hyperplane signs, then run exact cosine only inside the query's
+    * bucket. The scale path for similarity search: the bucket column is a
+    * shuffle/partition key, so a 100 TB corpus probes one bucket instead of
+    * scanning everything (vs p10's exact brute force baseline).
+    */
+  private val p12 = Q(
+    "p12_ann_lsh",
+    (s, d) => {
+      import s.implicits._
+      val emb = T(s, d, "embeddings")
+        .withColumn("bucket", expr(lshBucketExpr("embedding")))
+      val qv = emb.filter($"vec_id" === 0)
+        .select($"embedding".as("qvec"), $"bucket".as("qbucket"))
+      emb.filter($"vec_id" =!= 0)
+        .join(broadcast(qv), $"bucket" === $"qbucket")
+        .select($"vec_id", $"label", $"bucket",
+          dec(VectorFunctions.cosine_similarity($"embedding", $"qvec"), 18, 6)
+            .as("cos_sim"))
+        .orderBy($"cos_sim".desc, $"vec_id")
+        .limit(10)
+    },
+    Some(s"""
+      WITH b AS (SELECT vec_id, label, embedding,
+                   ${lshBucketDuck("embedding")} AS bucket
+                 FROM embeddings),
+      q AS (SELECT embedding AS qvec, bucket AS qbucket FROM b WHERE vec_id = 0)
+      SELECT vec_id, label, bucket,
+        CAST(${foldDotDuck("embedding", "qvec")} /
+             (sqrt(${foldDotDuck("embedding", "embedding")}) * sqrt(${foldDotDuck("qvec", "qvec")})) AS DECIMAL(18,6)) AS cos_sim
+      FROM b JOIN q ON bucket = qbucket
+      WHERE vec_id <> 0
+      ORDER BY cos_sim DESC, vec_id LIMIT 10"""))
+
+  val all: Seq[Q] = Seq(p01, p02, p03, p04, p05, p06, p07, p08, p09, p10,
+    p11, p12)
 }

@@ -1,0 +1,211 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+// Top-level (not object-nested) so Catalyst encoders codegen cleanly.
+case class BidKeyed(bidder: Int, pTimeMs: Long)
+case class GapWindowOut(bidder: Int, startMs: Long, endMs: Long, nBids: Long)
+case class GapState(startMs: Long, n: Long)
+
+/** NEXMark query set (reference benchmarks/src/nexmark/query/q0.sql…q13.sql
+  * + window mapping benchmarks/src/nexmark/main.rs:116-123), expressed as
+  * DataFrame→DataFrame transforms that run identically on batch frames and
+  * on streaming frames (Structured Streaming replaces the reference's
+  * Lambda window drivers, payload hops, and Arena reassembly — SURVEY §2.C).
+  *
+  * Windowed queries take the raw event-time column; callers add
+  * `withWatermark` when streaming (the reference has no watermark concept —
+  * its generators are in-order — so any small watermark reproduces its
+  * semantics, SURVEY §2.C late-data row).
+  */
+object StreamQueries {
+
+  /** q0 — passthrough (query/q0.sql). */
+  def q0(bids: DataFrame): DataFrame = bids
+
+  /** q1 — currency conversion, projection with arithmetic (query/q1.sql). */
+  def q1(bids: DataFrame): DataFrame =
+    bids.select(col("auction"), col("bidder"),
+      (col("price") * 0.908).cast(LongType).as("price_eur"), col("b_date_time"))
+
+  /** q2 — selection `auction % 123 = 0` (query/q2.sql). */
+  def q2(bids: DataFrame): DataFrame =
+    bids.filter(col("auction") % 123 === 0).select(col("auction"), col("price"))
+
+  /** q3 — local item suggestion: auctions ⋈ persons with disjunctive state
+    * filter (query/q3.sql; FilterExec pushed below the join per
+    * planner.rs:148-171 — Catalyst does the same pushdown).
+    */
+  def q3(auctions: DataFrame, persons: DataFrame): DataFrame =
+    auctions.filter(col("category") === 3)
+      .join(persons.filter(col("state").isin("or", "id", "ca")),
+        col("seller") === col("p_id"))
+      .select(col("name"), col("city"), col("state"), col("a_id"))
+
+  /** q4 — average winning bid per category: equi-join with range residual
+    * (bid time within auction validity), argmax per auction, avg per
+    * category (query/q4.sql). Two-level aggregation after the join.
+    */
+  def q4(bids: DataFrame, auctions: DataFrame): DataFrame =
+    bids.join(auctions, col("auction") === col("a_id") &&
+        col("b_date_time").between(col("a_date_time"), col("expires")))
+      .groupBy(col("a_id"), col("category"))
+      .agg(max(col("price")).as("final_price"))
+      .groupBy(col("category"))
+      .agg((sum(col("final_price")) / count(lit(1))).cast(LongType).as("avg_final_price"))
+
+  /** q5 — hot items: hopping-window bid counts per auction, top auction(s)
+    * per window (query/q5.sql = Hopping(10,5)). Spark-first: rank over the
+    * windowed counts instead of a self-join against the global max
+    * (SURVEY §2.A row 7 note). Batch form; for streams use
+    * `q5Streaming` (rank functions aren't supported on streaming frames —
+    * the reference replays per-window batches too, q5.rs:73-110).
+    */
+  def q5(bids: DataFrame, size: String = "10 seconds", slide: String = "5 seconds"): DataFrame = {
+    val counts = bids
+      .groupBy(window(col("b_date_time"), size, slide).as("win"), col("auction"))
+      .agg(count(lit(1)).as("n_bids"))
+    val w = Window.partitionBy(col("win")).orderBy(col("n_bids").desc, col("auction"))
+    counts.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+      .select(col("win.start").as("win_start"), col("auction"), col("n_bids"))
+  }
+
+  /** q6 — average of the last 10 winning bids per seller: double ranking
+    * (query/q6.sql, working variant q6_v2.rs:46-62). Ranking windows are
+    * batch-only in Spark; on streams run inside foreachBatch exactly like
+    * the reference's per-window replay (SURVEY §7.1 step 6).
+    */
+  def q6(bids: DataFrame, auctions: DataFrame): DataFrame = {
+    val winning = bids.join(auctions, col("auction") === col("a_id") &&
+        col("b_date_time").between(col("a_date_time"), col("expires")))
+      .withColumn("rk_bid", row_number().over(
+        Window.partitionBy(col("a_id")).orderBy(col("price").desc, col("b_date_time"))))
+      .filter(col("rk_bid") === 1)
+    winning
+      .withColumn("rk_recent", row_number().over(
+        Window.partitionBy(col("seller")).orderBy(col("b_date_time").desc, col("a_id"))))
+      .filter(col("rk_recent") <= 10)
+      .groupBy(col("seller"))
+      .agg((sum(col("price")) / count(lit(1))).cast(LongType).as("avg_last10_price"))
+  }
+
+  /** q7 — highest bid per tumbling window (query/q7.sql, Tumbling(10)):
+    * windowed max joined back to the bids of the same window.
+    */
+  def q7(bids: DataFrame, size: String = "10 seconds"): DataFrame = {
+    val mx = bids.groupBy(window(col("b_date_time"), size).as("win"))
+      .agg(max(col("price")).as("max_price"))
+      .select(col("win"), col("max_price"))
+    bids.withColumn("bwin", window(col("b_date_time"), size))
+      .join(mx, col("bwin") === col("win") && col("price") === col("max_price"))
+      .select(col("win.start").as("win_start"), col("auction"), col("bidder"), col("price"))
+  }
+
+  /** q8 — monitor new users: persons ⋈ sellers within the same tumbling
+    * window (query/q8.sql, Tumbling(10)); the GROUP BY dedups each side.
+    */
+  def q8(persons: DataFrame, auctions: DataFrame, size: String = "10 seconds"): DataFrame = {
+    val p = persons.groupBy(window(col("p_date_time"), size).as("pwin"),
+      col("p_id"), col("name")).agg(count(lit(1)).as("np"))
+    val a = auctions.groupBy(window(col("a_date_time"), size).as("awin"),
+      col("seller")).agg(count(lit(1)).as("na"))
+    p.join(a, col("p_id") === col("seller") && col("pwin") === col("awin"))
+      .select(col("pwin.start").as("win_start"), col("p_id"), col("name"))
+  }
+
+  /** q9 — winning bid per auction (query/q9.sql): argmax by price with
+    * earliest-bid tiebreak, one shuffle via rank-over-window.
+    */
+  def q9(bids: DataFrame, auctions: DataFrame): DataFrame =
+    bids.join(auctions, col("auction") === col("a_id") &&
+        col("b_date_time").between(col("a_date_time"), col("expires")))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("a_id")).orderBy(col("price").desc, col("b_date_time"))))
+      .filter(col("rk") === 1)
+      .select(col("a_id"), col("category"), col("bidder"), col("price"),
+        col("b_date_time"))
+
+  /** q11 — bids per bidder per session (query/q11.sql, Session(10 s)):
+    * built-in session_window replaces the reference's 321-line HashDiff
+    * session driver (window/session.rs).
+    */
+  def q11(bids: DataFrame, gap: String = "10 seconds"): DataFrame =
+    bids.groupBy(session_window(col("b_date_time"), gap).as("win"), col("bidder"))
+      .agg(count(lit(1)).as("n_bids"), min(col("price")).as("min_price"),
+        max(col("price")).as("max_price"))
+      .select(col("bidder"), col("win.start").as("session_start"),
+        col("win.end").as("session_end"), col("n_bids"), col("min_price"),
+        col("max_price"))
+
+  /** q13 — bounded side-input join (query/q13.sql): stream ⋈ broadcast
+    * static table.
+    */
+  def q13(bids: DataFrame, side: DataFrame): DataFrame =
+    bids.join(broadcast(side), col("auction") % 1000 === col("key"))
+      .select(col("auction"), col("bidder"), col("price"), col("value"))
+
+  // --- q12: processing-time gap windows (Flock `Window::Global(n)`) -----
+
+  /** q12 — bids per bidder per 10 s of *processing* time, where each
+    * per-key window spans [first_event_p_time, first + size) — Flock's
+    * exact semantics (reference window/global.rs:95-102 closes a key's
+    * window when now() − first_p_time > size; SURVEY §7.2 calls out that
+    * this is NOT an aligned window). Implemented with
+    * flatMapGroupsWithState + ProcessingTimeTimeout, the Spark-native
+    * custom-state operator (SURVEY §2.C Global row).
+    *
+    * On a stream: windows emit when the timeout fires. On a batch frame
+    * flatMapGroupsWithState runs once per key with no timeouts, yielding
+    * one window per key — same as Flock replaying a bounded input.
+    */
+  def q12(bids: DataFrame, sizeMs: Long = 10000): Dataset[GapWindowOut] = {
+    val spark = bids.sparkSession
+    import spark.implicits._
+    val keyed = bids
+      .select(col("bidder"), (unix_millis(current_timestamp())).as("pTimeMs"))
+      .as[BidKeyed]
+    // Bounded input = one finite replay (like the reference's local query
+    // replays): close the final open window at end-of-group, since batch
+    // execution discards state and never fires timeouts.
+    val bounded = !bids.isStreaming
+
+    def fn(bidder: Int, rows: Iterator[BidKeyed],
+        state: GroupState[GapState]): Iterator[GapWindowOut] = {
+      var out = List.empty[GapWindowOut]
+      var cur = state.getOption
+      if (state.hasTimedOut) {
+        cur.foreach(st => out ::= GapWindowOut(bidder, st.startMs, st.startMs + sizeMs, st.n))
+        state.remove()
+        cur = None
+      }
+      rows.foreach { r =>
+        cur match {
+          case Some(st) if r.pTimeMs < st.startMs + sizeMs =>
+            cur = Some(st.copy(n = st.n + 1))
+          case Some(st) =>
+            out ::= GapWindowOut(bidder, st.startMs, st.startMs + sizeMs, st.n)
+            cur = Some(GapState(r.pTimeMs, 1))
+          case None =>
+            cur = Some(GapState(r.pTimeMs, 1))
+        }
+      }
+      cur.foreach { st =>
+        if (bounded) {
+          out ::= GapWindowOut(bidder, st.startMs, st.startMs + sizeMs, st.n)
+        } else {
+          state.update(st)
+          if (!state.hasTimedOut) state.setTimeoutDuration(sizeMs)
+        }
+      }
+      out.reverseIterator
+    }
+
+    keyed.groupByKey(_.bidder)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout)(
+        (k: Int, it: Iterator[BidKeyed], st: GroupState[GapState]) => fn(k, it, st))
+  }
+}

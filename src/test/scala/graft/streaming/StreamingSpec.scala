@@ -1,0 +1,176 @@
+package graft.streaming
+
+import graft.SparkTestSession
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+case class BidCC(auction: Int, bidder: Int, price: Int,
+    b_date_time: java.sql.Timestamp)
+
+/** Streaming correctness: the same transform applied to a batch frame and
+  * to a MemoryStream of the same rows must agree — mirroring the
+  * reference's per-query local replays
+  * (flock/src/datasource/nexmark/queries/q*.rs).
+  */
+class StreamingSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private val N = 20000L
+  private lazy val batchBids = Nexmark.bids(spark, N).cache()
+  private lazy val batchAuctions = Nexmark.auctions(spark, N).cache()
+  private lazy val batchPersons = Nexmark.persons(spark, N).cache()
+
+  private def bidRows: Seq[BidCC] = batchBids.as[BidCC].collect().toSeq
+
+  /** Run `transform` over a MemoryStream fed with all of `rows`, return the
+    * sink table contents.
+    */
+  private def streamed(rows: Seq[BidCC], mode: String, name: String)(
+      transform: DataFrame => DataFrame): DataFrame = {
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[BidCC]
+    ms.addData(rows)
+    val q = transform(ms.toDF()).writeStream
+      .format("memory").queryName(name).outputMode(mode).start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(name)
+  }
+
+  private def assertSameRows(a: DataFrame, b: DataFrame): Unit = {
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+      s"streaming/batch mismatch: ${a.count()} vs ${b.count()} rows")
+  }
+
+  test("generator is deterministic and has the 1:3:46 event mix") {
+    assert(batchBids.count() == N / 50 * 46)
+    assert(batchAuctions.count() == N / 50 * 3)
+    assert(batchPersons.count() == N / 50)
+    val again = Nexmark.bids(spark, N)
+    assertSameRows(batchBids, again)
+  }
+
+  test("q1/q2 stateless transforms: stream == batch") {
+    val s1 = streamed(bidRows, "append", "q1_sink")(StreamQueries.q1)
+    assertSameRows(s1, StreamQueries.q1(batchBids))
+    val s2 = streamed(bidRows, "append", "q2_sink")(StreamQueries.q2)
+    assertSameRows(s2, StreamQueries.q2(batchBids))
+  }
+
+  test("tumbling window aggregate: stream (complete mode) == batch") {
+    val agg: DataFrame => DataFrame = df =>
+      df.groupBy(window($"b_date_time", "10 seconds").as("win"))
+        .agg(count(lit(1)).as("n"), max($"price").as("max_price"))
+        .select($"win.start".as("win_start"), $"n", $"max_price")
+    val s = streamed(bidRows, "complete", "tumb_sink")(agg)
+    assertSameRows(s, agg(batchBids))
+  }
+
+  test("hopping window aggregate: stream (complete mode) == batch") {
+    val agg: DataFrame => DataFrame = df =>
+      df.groupBy(window($"b_date_time", "10 seconds", "5 seconds").as("win"), $"auction")
+        .agg(count(lit(1)).as("n"))
+        .select($"win.start".as("win_start"), $"auction", $"n")
+    val s = streamed(bidRows, "complete", "hop_sink")(agg)
+    assertSameRows(s, agg(batchBids))
+  }
+
+  test("session window (q11): stream with watermark == batch") {
+    // Sentinel event one hour past the data advances the watermark so every
+    // real session closes and is emitted in append mode.
+    val maxTs = batchBids.agg(max($"b_date_time")).head().getTimestamp(0)
+    val sentinel = BidCC(-1, -1, 0,
+      java.sql.Timestamp.from(maxTs.toInstant.plusSeconds(3600)))
+    val s = streamed(bidRows :+ sentinel, "append", "q11_sink")(df =>
+      StreamQueries.q11(df.withWatermark("b_date_time", "5 seconds")))
+      .filter($"bidder" =!= -1)
+    assertSameRows(s, StreamQueries.q11(batchBids))
+  }
+
+  test("stream-stream join (q3): stream == batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val msA = MemoryStream[(Int, Int, Int)] // a_id, seller, category
+    val msP = MemoryStream[(Int, String, String, String)] // p_id, name, city, state
+    msA.addData(batchAuctions.select($"a_id", $"seller", $"category")
+      .as[(Int, Int, Int)].collect().toSeq)
+    msP.addData(batchPersons.select($"p_id", $"name", $"city", $"state")
+      .as[(Int, String, String, String)].collect().toSeq)
+    val aDf = msA.toDF().toDF("a_id", "seller", "category")
+    val pDf = msP.toDF().toDF("p_id", "name", "city", "state")
+    val q = StreamQueries.q3(aDf, pDf).writeStream
+      .format("memory").queryName("q3_sink").outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    assertSameRows(spark.table("q3_sink"),
+      StreamQueries.q3(batchAuctions, batchPersons))
+  }
+
+  test("stream-static join (q13): stream == batch") {
+    val side = Nexmark.sideInput(spark)
+    val s = streamed(bidRows, "append", "q13_sink")(df => StreamQueries.q13(df, side))
+    assertSameRows(s, StreamQueries.q13(batchBids, side))
+  }
+
+  test("q12 gap windows on batch: one window per bidder covering all bids") {
+    val out = StreamQueries.q12(batchBids).cache()
+    val perBidder = batchBids.groupBy($"bidder").agg(count(lit(1)).as("n"))
+    assert(out.count() == perBidder.count())
+    val total = out.agg(sum($"nBids")).as[Long].head()
+    assert(total == batchBids.count())
+  }
+
+  test("q12 gap windows on a stream emit via processing-time timeout") {
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[BidCC]
+    ms.addData(bidRows.take(500))
+    val q = StreamQueries.q12(ms.toDF(), sizeMs = 500).writeStream
+      .format("memory").queryName("q12_sink").outputMode("append").start()
+    // NEVER processAllAvailable here: pending processing-time timers make
+    // the engine report "another batch required" forever, so it cannot
+    // quiesce. The engine keeps running micro-batches on its own; poll the
+    // sink until the 500 ms windows have timed out and been emitted.
+    val deadline = System.currentTimeMillis() + 30000
+    var n = 0L
+    while (n == 0 && System.currentTimeMillis() < deadline) {
+      Thread.sleep(500)
+      n = spark.table("q12_sink").count()
+    }
+    q.stop()
+    assert(n > 0, "no gap windows emitted within 30s")
+  }
+
+  test("batch NEXMark q4/q7/q9 invariants hold") {
+    val q4 = StreamQueries.q4(batchBids, batchAuctions)
+    assert(q4.count() > 0 && q4.filter($"avg_final_price" <= 0).isEmpty)
+    val q7 = StreamQueries.q7(batchBids)
+    val badWin = q7.groupBy($"win_start").agg(countDistinct($"price").as("np"))
+      .filter($"np" =!= 1)
+    assert(badWin.isEmpty, "q7 window with more than one max price")
+    val q9 = StreamQueries.q9(batchBids, batchAuctions)
+    assert(q9.groupBy($"a_id").count().filter($"count" > 1).isEmpty,
+      "q9 must emit exactly one winning bid per auction")
+  }
+
+  test("q5/q6/q8 produce plausible results on batch frames") {
+    assert(StreamQueries.q5(batchBids).count() > 0)
+    assert(StreamQueries.q6(batchBids, batchAuctions).count() > 0)
+    assert(StreamQueries.q8(batchPersons, batchAuctions).count() > 0)
+  }
+
+  test("rate-source bid stream produces rows") {
+    val q = Nexmark.bidStream(spark, rowsPerSecond = 5000)
+      .writeStream.format("memory").queryName("rate_sink")
+      .outputMode("append").start()
+    val deadline = System.currentTimeMillis() + 15000
+    var n = 0L
+    while (n == 0 && System.currentTimeMillis() < deadline) {
+      Thread.sleep(500)
+      n = spark.table("rate_sink").count()
+    }
+    q.stop()
+    assert(n > 0, "rate source emitted no rows within 15s")
+  }
+}

@@ -30,7 +30,8 @@ object Catalog {
   def modules: Seq[Q] =
     operators.Relational.all ++
       operators.EventWindows.all ++
-      operators.Pipeline.all
+      operators.Pipeline.all ++
+      operators.Multimodal.all
 
   lazy val byName: Map[String, Q] = {
     val qs = modules

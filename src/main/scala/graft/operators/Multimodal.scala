@@ -1,0 +1,150 @@
+package graft.operators
+
+import graft.{Catalog, Q, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal-column plumbing: image/audio/video payloads modeled as opaque
+  * `binary` columns with typed metadata, processed in partition-sized
+  * batches. The actual media decoders are NOT available in this
+  * environment, so the decode step is a clearly-marked deterministic stub
+  * (`FakeDecoder`) — but everything Spark-side is real and tested: the
+  * binary schema, the partition-batch processing shape (`mapPartitions`
+  * with a typed Encoder — the JVM equivalent of `mapInPandas`), the
+  * metadata extraction, and the per-modality aggregation topology.
+  *
+  * Scale notes: assets are opaque blobs → all per-asset work is narrow
+  * (no shuffle until the final per-modality rollup); a 100 TB corpus
+  * partitions by file and streams batch-at-a-time through the decoder.
+  */
+object Multimodal {
+  import Catalog.dec
+
+  private def T(s: SparkSession, d: String, n: String) = Tables.load(s, d, n)
+
+  /** Typed metadata a real decoder would emit (dims for images, frames for
+    * video, duration for audio).
+    */
+  case class AssetMeta(doc_id: Long, modality: String, n_bytes: Long,
+      width: Int, height: Int, n_frames: Int)
+
+  /** STUB decoder — stands in for libjpeg/ffmpeg/soundfile, which are not
+    * in this container. Deterministic: "decoded" properties derive from the
+    * md5 of the payload, so results are reproducible in any engine (the
+    * DuckDB oracle recomputes the identical values from the same md5).
+    * Replace `decode` with a real library call to productionize; the
+    * partition-batch plumbing around it does not change.
+    */
+  object FakeDecoder {
+    def md5Hex(bytes: Array[Byte]): String =
+      java.security.MessageDigest.getInstance("MD5").digest(bytes)
+        .map("%02x".format(_)).mkString
+
+    def decode(docId: Long, payload: Array[Byte]): AssetMeta = {
+      val h = java.lang.Long.parseLong(md5Hex(payload).substring(0, 15), 16)
+      val modality = (docId % 3) match {
+        case 0 => "image/png"
+        case 1 => "audio/wav"
+        case _ => "video/mp4"
+      }
+      AssetMeta(docId, modality, payload.length.toLong,
+        width = (16 * (1 + h % 64)).toInt,
+        height = (16 * (1 + (h / 64) % 64)).toInt,
+        n_frames = (1 + h % 16).toInt)
+    }
+  }
+
+  /** m01 — binary asset table + metadata: documents' text bytes stand in
+    * for media payloads (binary column), fingerprinted and rolled up per
+    * modality. The sha256 fingerprint is the content-addressing key a
+    * 100 TB media lake dedups on.
+    */
+  private val m01 = Q(
+    "m01_binary_assets",
+    (s, d) => {
+      import s.implicits._
+      T(s, d, "documents")
+        .select($"doc_id",
+          encode($"text", "UTF-8").as("payload"), // binary column
+          sha2($"text".cast(BinaryType), 256).as("sha"),
+          element_at(array(lit("image/png"), lit("audio/wav"), lit("video/mp4")),
+            ($"doc_id" % 3 + 1).cast(IntegerType)).as("modality"))
+        .groupBy($"modality")
+        .agg(count(lit(1)).as("n_assets"),
+          sum(length($"payload").cast(LongType)).as("total_bytes"),
+          countDistinct($"sha").as("n_distinct"))
+        .orderBy($"modality")
+    },
+    Some("""
+      WITH a AS (SELECT doc_id, encode(text) AS payload, sha256(text) AS sha,
+                   CASE doc_id % 3 WHEN 0 THEN 'image/png'
+                     WHEN 1 THEN 'audio/wav' ELSE 'video/mp4' END AS modality
+                 FROM documents)
+      SELECT modality, COUNT(*) AS n_assets,
+        CAST(SUM(octet_length(payload)) AS BIGINT) AS total_bytes,
+        COUNT(DISTINCT sha) AS n_distinct
+      FROM a GROUP BY modality ORDER BY modality"""))
+
+  /** m02 — partition-batch decode (the mapInPandas shape): binary payloads
+    * stream through `FakeDecoder.decode` partition by partition via a typed
+    * `mapPartitions`, then the decoded metadata aggregates per modality.
+    */
+  private val m02 = Q(
+    "m02_decode_meta",
+    (s, d) => {
+      import s.implicits._
+      val assets = T(s, d, "documents")
+        .select($"doc_id", encode($"text", "UTF-8").as("payload"))
+        .as[(Long, Array[Byte])]
+      val meta = assets.mapPartitions(_.map { case (id, payload) =>
+        FakeDecoder.decode(id, payload)
+      })
+      meta.toDF()
+        .groupBy($"modality")
+        .agg(count(lit(1)).as("n"),
+          sum($"width".cast(LongType)).as("sum_w"),
+          sum($"height".cast(LongType)).as("sum_h"),
+          sum($"n_frames".cast(LongType)).as("sum_frames"))
+        .orderBy($"modality")
+    },
+    Some("""
+      WITH m AS (SELECT doc_id,
+          ('0x' || substr(md5(text), 1, 15))::BIGINT AS h,
+          CASE doc_id % 3 WHEN 0 THEN 'image/png'
+            WHEN 1 THEN 'audio/wav' ELSE 'video/mp4' END AS modality
+        FROM documents)
+      SELECT modality, COUNT(*) AS n,
+        CAST(SUM(16 * (1 + h % 64)) AS BIGINT) AS sum_w,
+        CAST(SUM(16 * (1 + (h // 64) % 64)) AS BIGINT) AS sum_h,
+        CAST(SUM(1 + h % 16) AS BIGINT) AS sum_frames
+      FROM m GROUP BY modality ORDER BY modality"""))
+
+  /** m03 — byte-range "frame sampling": fixed-offset slices of the binary
+    * payload (what a real pipeline does to thumbnail/preview without full
+    * decode), fingerprinted per slice.
+    */
+  private val m03 = Q(
+    "m03_frame_sample",
+    (s, d) => {
+      import s.implicits._
+      val assets = T(s, d, "documents")
+        .select($"doc_id", encode($"text", "UTF-8").as("payload"))
+      assets
+        .select($"doc_id",
+          length($"payload").as("n_bytes"),
+          md5(expr("substr(payload, 1, 64)")).as("head_fp"),
+          md5(expr("substr(payload, greatest(1, length(payload) - 63), 64)")).as("tail_fp"))
+        .orderBy($"doc_id")
+    },
+    // DuckDB 1.0 has no substr-on-BLOB; the documents are pure ASCII
+    // (verified: octet_length == length for every row), so the varchar
+    // slice hashes the identical bytes as Spark's binary slice.
+    Some("""
+      SELECT doc_id, CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+        md5(substr(text, 1, 64)) AS head_fp,
+        md5(substr(text, greatest(1, length(text) - 63), 64)) AS tail_fp
+      FROM documents ORDER BY doc_id"""))
+
+  val all: Seq[Q] = Seq(m01, m02, m03)
+}

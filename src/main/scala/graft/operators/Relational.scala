@@ -665,7 +665,47 @@ object Relational {
       WHERE CAST(json_extract_string(props, '$.k') AS INT) % 10 = 0
       ORDER BY event_id"""))
 
+  /** q27 — as-of join (an operator Spark lacks natively, SURVEY build-guide
+    * custom-operator case): for each event, the latest order of the same
+    * user at or before the event time. Implemented with the scalable
+    * union-merge algorithm — tag both sides, ONE shuffle on the key, sort
+    * within partition, carry the last-seen right row forward — instead of
+    * an inequality join (which explodes) or a per-key collect. Oracle:
+    * DuckDB's native ASOF JOIN. Right side is pre-deduped per (key, time)
+    * so ties are deterministic.
+    */
+  private val q27 = Q(
+    "q27_asof_join",
+    (s, d) => {
+      import s.implicits._
+      val ev = T(s, d, "events")
+        .select($"user_id".as("k"), unix_micros($"ts").as("t_us"), $"event_id")
+      val ord = T(s, d, "orders")
+        .groupBy($"o_custkey".as("k"),
+          unix_micros($"o_orderdate".cast(TimestampType)).as("t_us"))
+        .agg(max($"o_orderkey").as("o_orderkey"))
+      val left = ev.select($"k", $"t_us", lit(1).as("side"), $"event_id",
+        lit(null).cast(LongType).as("o_orderkey"))
+      val right = ord.select($"k", $"t_us", lit(0).as("side"),
+        lit(null).cast(LongType).as("event_id"), $"o_orderkey")
+      val w = Window.partitionBy($"k").orderBy($"t_us", $"side")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      left.unionAll(right)
+        .withColumn("matched", last($"o_orderkey", ignoreNulls = true).over(w))
+        .filter($"side" === 1 && $"matched".isNotNull)
+        .select($"event_id", $"k".as("user_id"), $"t_us", $"matched".as("o_orderkey"))
+        .orderBy($"event_id")
+    },
+    Some("""
+      WITH ev AS (SELECT user_id AS k, epoch_us(ts) AS t_us, event_id FROM events),
+           ord AS (SELECT o_custkey AS k, epoch_us(o_orderdate) AS t_us,
+                     MAX(o_orderkey) AS o_orderkey
+                   FROM orders GROUP BY 1, 2)
+      SELECT event_id, ev.k AS user_id, ev.t_us AS t_us, o_orderkey
+      FROM ev ASOF JOIN ord ON ev.k = ord.k AND ev.t_us >= ord.t_us
+      ORDER BY event_id"""))
+
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
-    q25, q26)
+    q25, q26, q27)
 }

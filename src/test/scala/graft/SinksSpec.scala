@@ -1,0 +1,80 @@
+package graft
+
+import graft.streaming.{Nexmark, StreamQueries}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+/** Source/sink breadth (SURVEY §2.B): the reference's DataSink surface is
+  * S3/EFS/SQS × CSV/JSON/Parquet/SerdeBinary (flock/src/datasink/mod.rs:
+  * 46-118) and its sources include CSV side inputs (actor.rs:596-623).
+  * Spark-side: DataFrameWriter/readers for parquet/csv/json round-trip the
+  * same rows; the streaming parquet file sink with checkpointing covers
+  * NEXMark q10's "log to file system" (main.rs:125-128) and replaces the
+  * S3-state exactly-once machinery (SURVEY §2.C fault-tolerance row).
+  */
+class SinksSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def tmp(prefix: String) =
+    Files.createTempDirectory(prefix).toString
+
+  test("parquet / csv / json sinks round-trip the same rows") {
+    val df = Tables.load(spark, "/root/testdata/sf0.001", "lineitem")
+      .select($"l_orderkey", $"l_partkey", $"l_quantity", $"l_returnflag")
+    val n = df.count()
+    for (fmt <- Seq("parquet", "csv", "json")) {
+      val dir = tmp(s"sink_$fmt")
+      df.write.format(fmt).option("header", "true").mode("overwrite").save(dir)
+      val back = spark.read.format(fmt)
+        .option("header", "true").option("inferSchema", "true").load(dir)
+      assert(back.count() == n, s"$fmt round-trip lost rows")
+      val backTotal = back.agg(sum($"l_quantity".cast("long"))).as[Long].head()
+      val origTotal = df.agg(sum($"l_quantity".cast("long"))).as[Long].head()
+      assert(backTotal == origTotal, s"$fmt round-trip changed values")
+    }
+  }
+
+  test("csv side-input with explicit schema (q13 pattern)") {
+    val dir = tmp("side_csv")
+    Nexmark.sideInput(spark).write.option("header", "true")
+      .mode("overwrite").csv(dir)
+    val side = spark.read
+      .schema("key INT, value STRING").option("header", "true").csv(dir)
+    val joined = StreamQueries.q13(Nexmark.bids(spark, 5000), side)
+    assert(joined.count() == Nexmark.bids(spark, 5000).count())
+  }
+
+  test("streaming parquet file sink with checkpoint (q10)") {
+    implicit val sqlCtx = spark.sqlContext
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[graft.streaming.BidCC]
+    val bids = Nexmark.bids(spark, 5000).as[graft.streaming.BidCC].collect()
+    ms.addData(bids.toIndexedSeq)
+    val out = tmp("q10_out")
+    val ckpt = tmp("q10_ckpt")
+    val q = StreamQueries.q1(ms.toDF()).writeStream
+      .format("parquet").option("path", out)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val written = spark.read.parquet(out)
+    assert(written.count() == bids.length)
+    assert(written.columns.toSet ==
+      Set("auction", "bidder", "price_eur", "b_date_time"))
+  }
+
+  test("partitioned parquet write prunes partitions on read") {
+    val dir = tmp("part_out")
+    Tables.load(spark, "/root/testdata/sf0.001", "lineitem")
+      .write.partitionBy("l_returnflag").mode("overwrite").parquet(dir)
+    val one = spark.read.parquet(dir).filter($"l_returnflag" === "R")
+    val plan = one.queryExecution.executedPlan.toString()
+    assert(one.count() > 0)
+    // Partition pruning: the R-filter must land in PartitionFilters, not
+    // as a data filter.
+    assert(plan.contains("PartitionFilters"), "no partition filters in plan")
+  }
+}

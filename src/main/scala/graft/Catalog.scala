@@ -31,7 +31,8 @@ object Catalog {
     operators.Relational.all ++
       operators.EventWindows.all ++
       operators.Pipeline.all ++
-      operators.Multimodal.all
+      operators.Multimodal.all ++
+      operators.NexmarkBatch.all
 
   lazy val byName: Map[String, Q] = {
     val qs = modules

@@ -203,22 +203,17 @@ object Pipeline {
 
   /** MinHash signature k=4 via the one-md5 scheme: md5 is computed ONCE per
     * shingle, split into two independent 60-bit halves (h1, h2), and the k
-    * permutations are h1 ^ (i·h2) — the standard double-hashing trick, 4×
-    * cheaper than hashing per permutation while staying oracle-exact
-    * (Spark `^` == DuckDB `xor`; i·h2 < 2^62, no overflow).
+    * permutations are h1 ^ (i·h2) — the standard double-hashing trick
+    * (Spark `^` == DuckDB `xor`; i·h2 < 2^62, no overflow). The whole
+    * split→shingle→md5→min chain runs as ONE native expression
+    * (functions.MinHashShingleSig) instead of four HOF array pipelines;
+    * requires a `text` column on the input.
     */
   private def withMinhash(df: DataFrame): DataFrame = {
-    val withHashes = df
-      .withColumn("mh", expr("transform(sh, sg -> md5(sg))"))
-      .withColumn("h1", expr(
-        "transform(mh, m -> CAST(conv(substr(m, 1, 15), 16, 10) AS BIGINT))"))
-      .withColumn("h2", expr(
-        "transform(mh, m -> CAST(conv(substr(m, 17, 15), 16, 10) AS BIGINT))"))
-    val sigs = (0 until 4).map { i =>
-      expr(s"array_min(zip_with(h1, h2, (a, b) -> a ^ (CAST($i AS BIGINT) * b)))")
-        .as(s"m$i")
-    }
-    withHashes.select((col("doc_id") +: col("sh") +: sigs): _*)
+    val sig = graft.functions.MinHashShingleSig.minhash_sig(col("text"))
+    val sigs = (0 until 4).map(i => element_at(col("sig"), i + 1).as(s"m$i"))
+    df.withColumn("sig", sig)
+      .select((col("doc_id") +: col("sh") +: sigs): _*)
   }
 
   private def minhashSqlDuck(alias: String): String =
@@ -233,7 +228,7 @@ object Pipeline {
     "p07_minhash_sig",
     (s, d) => {
       import s.implicits._
-      withMinhash(T(s, d, "documents").select($"doc_id", shinglesCol.as("sh")))
+      withMinhash(T(s, d, "documents").select($"doc_id", $"text", shinglesCol.as("sh")))
         .select($"doc_id", $"m0", $"m1", $"m2", $"m3")
         .orderBy($"doc_id")
     },
@@ -251,7 +246,7 @@ object Pipeline {
     "p08_minhash_lsh_pairs",
     (s, d) => {
       import s.implicits._
-      val sigs = withMinhash(T(s, d, "documents").select($"doc_id", shinglesCol.as("sh")))
+      val sigs = withMinhash(T(s, d, "documents").select($"doc_id", $"text", shinglesCol.as("sh")))
         .persist()
       val bands = sigs.select($"doc_id",
           expr("stack(4, 0, m0, 1, m1, 2, m2, 3, m3) AS (band, h)"))

@@ -30,7 +30,7 @@ class CatalogSpec extends AnyFunSuite {
   // Queries that legitimately may return few/zero rows at the smallest sf.
   private val mayBeEmpty = Set("q21_string_funcs", "q08_not_exists_anti",
     "q04_shipping_priority", "q07_exists_semi", "q11_having", "q12_in_subquery",
-    "p08_minhash_lsh_pairs", "p12_ann_lsh")
+    "p08_minhash_lsh_pairs", "p12_ann_lsh", "nx_q2_selection")
 
   for ((name, q) <- Catalog.byName.toSeq.sortBy(_._1)) {
     test(s"$name runs on sf0.001") {

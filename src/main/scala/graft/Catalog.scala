@@ -32,7 +32,8 @@ object Catalog {
       operators.EventWindows.all ++
       operators.Pipeline.all ++
       operators.Multimodal.all ++
-      operators.NexmarkBatch.all
+      operators.NexmarkBatch.all ++
+      operators.SqlParity.all
 
   lazy val byName: Map[String, Q] = {
     val qs = modules

@@ -2,8 +2,8 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
-import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.trees.UnaryLike
 import org.apache.spark.sql.catalyst.util.ArrayData
@@ -163,6 +163,75 @@ case class SimHash60(child: Expression) extends Expression
     copy(child = newChild)
 }
 
+/** Signed-random-projection LSH bucket over a 64-dim float vector with
+  * `nPlanes` hyperplanes. The plane matrix is md5-derived (plane[j][i] =
+  * top-60-bits(md5("j_i")) / 2^60 − 0.5 — the same values the SQL/DuckDB
+  * formulation computes inline) but materialized ONCE statically, so the
+  * per-row cost is nPlanes·dim multiply-adds instead of nPlanes·dim md5
+  * calls. Fold order (i ascending per plane) matches the SQL sequential
+  * fold → bit-identical buckets.
+  */
+case class LshBucket(child: Expression, nPlanes: Int = 4)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = IntegerType
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"lsh_bucket needs array<float>, got ${other.catalogString}")
+    }
+
+  override def nullSafeEval(v: Any): Any = {
+    val x = v.asInstanceOf[ArrayData]
+    val planes = LshBucket.planes(nPlanes, x.numElements())
+    var bucket = 0
+    var j = 0
+    while (j < nPlanes) {
+      val p = planes(j)
+      var dot = 0.0
+      var i = 0
+      while (i < p.length) {
+        dot += x.getFloat(i).toDouble * p(i)
+        i += 1
+      }
+      if (dot >= 0.0) bucket |= (1 << j)
+      j += 1
+    }
+    bucket
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object LshBucket {
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int), Array[Array[Double]]]()
+
+  /** plane[j][i] = top-60-bits(md5(s"${j}_${i+1}")) / 2^60 − 0.5 — matches
+    * the inline SQL formulation over sequence(1, dim).
+    */
+  def planes(nPlanes: Int, dim: Int): Array[Array[Double]] =
+    cache.computeIfAbsent((nPlanes, dim), { case (np, d) =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      Array.tabulate(np) { j =>
+        Array.tabulate(d) { i0 =>
+          md.reset()
+          val dig = md.digest(s"${j}_${i0 + 1}".getBytes("UTF-8"))
+          var l0 = 0L
+          var b = 0
+          while (b < 8) { l0 = (l0 << 8) | (dig(b) & 0xffL); b += 1 }
+          (l0 >>> 4).toDouble / 1152921504606846976.0 - 0.5
+        }
+      }
+    })
+}
+
 /** Column-API entry points for the custom expressions. */
 object VectorFunctions {
   import org.apache.spark.sql.graft.shims.{column, expression}
@@ -172,4 +241,7 @@ object VectorFunctions {
 
   def simhash60(tokenHashes: Column): Column =
     column(SimHash60(expression(tokenHashes)))
+
+  def lsh_bucket(vec: Column, nPlanes: Int = 4): Column =
+    column(LshBucket(expression(vec), nPlanes))
 }

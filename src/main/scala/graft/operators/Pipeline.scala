@@ -377,21 +377,12 @@ object Pipeline {
 
   /** Signed-random-projection bucket (4 hyperplanes → bucket 0..15): the
     * j-th bit is the sign of ⟨v, hp_j⟩ where hp_j[i] is a deterministic
-    * pseudo-random value in [-0.5, 0.5) derived from md5(j || '_' || i) —
-    * identically computable in DuckDB, so the ANN path stays oracle-checked.
-    * (At production scale the plane matrix is a broadcast constant and the
-    * projection a single codegen'd expression — here the md5-derived form
-    * keeps both engines bit-identical.)
+    * pseudo-random value in [-0.5, 0.5) derived from md5(j || '_' || i).
+    * Spark computes it with functions.LshBucket (plane matrix materialized
+    * once, per-row cost = 256 multiply-adds); DuckDB recomputes the
+    * identical planes inline from md5, so the ANN path stays
+    * oracle-checked bit for bit.
     */
-  private def lshBucketExpr(vecCol: String): String =
-    s"""aggregate(sequence(0, 3), 0, (acc, j) ->
-          acc + CASE WHEN
-            aggregate(sequence(1, 64), CAST(0.0 AS DOUBLE), (a2, i) ->
-              a2 + CAST(element_at($vecCol, i) AS DOUBLE) *
-                   (CAST(CAST(conv(substr(md5(concat(j, '_', i)), 1, 15), 16, 10) AS BIGINT) AS DOUBLE)
-                    / 1152921504606846976.0D - 0.5D)) >= 0.0D
-          THEN CAST(shiftleft(1, j) AS INT) ELSE 0 END)"""
-
   private def lshBucketDuck(vecCol: String): String =
     s"""list_sum(list_transform(range(0, 4), j ->
           CASE WHEN
@@ -412,7 +403,7 @@ object Pipeline {
     (s, d) => {
       import s.implicits._
       val emb = T(s, d, "embeddings")
-        .withColumn("bucket", expr(lshBucketExpr("embedding")))
+        .withColumn("bucket", VectorFunctions.lsh_bucket($"embedding"))
       val qv = emb.filter($"vec_id" === 0)
         .select($"embedding".as("qvec"), $"bucket".as("qbucket"))
       emb.filter($"vec_id" =!= 0)

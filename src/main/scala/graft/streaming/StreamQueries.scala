@@ -148,6 +148,20 @@ object StreamQueries {
     bids.join(broadcast(side), col("auction") % 1000 === col("key"))
       .select(col("auction"), col("bidder"), col("price"), col("value"))
 
+  /** q6 on a live stream: ranking window functions are unsupported on
+    * streaming frames, so each micro-batch replays through the batch q6 —
+    * exactly the reference's approach (q6 is computed per window batch,
+    * flock/src/datasource/nexmark/queries/q6.rs:91-154). The caller's
+    * `sink` receives the per-batch result.
+    */
+  def q6ForeachBatch(bidsStream: DataFrame, auctions: DataFrame)(
+      sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    bidsStream.writeStream
+      .foreachBatch((batch: DataFrame, id: Long) => sink(q6(batch, auctions), id))
+      .outputMode("update")
+      .start()
+
   // --- q12: processing-time gap windows (Flock `Window::Global(n)`) -----
 
   /** q12 — bids per bidder per 10 s of *processing* time, where each

@@ -160,6 +160,23 @@ class StreamingSpec extends AnyFunSuite {
     assert(StreamQueries.q8(batchPersons, batchAuctions).count() > 0)
   }
 
+  test("q6 on a stream via foreachBatch matches batch q6") {
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[BidCC]
+    ms.addData(bidRows)
+    val collected = new java.util.concurrent.ConcurrentLinkedQueue[org.apache.spark.sql.Row]()
+    val q = StreamQueries.q6ForeachBatch(ms.toDF(), batchAuctions) { (df, _) =>
+      df.collect().foreach(collected.add)
+    }
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.createDataFrame(
+      new java.util.ArrayList(collected),
+      StreamQueries.q6(batchBids, batchAuctions).schema)
+    // Single micro-batch == whole input, so per-batch q6 equals batch q6.
+    assertSameRows(got, StreamQueries.q6(batchBids, batchAuctions))
+  }
+
   test("rate-source bid stream produces rows") {
     val q = Nexmark.bidStream(spark, rowsPerSecond = 5000)
       .writeStream.format("memory").queryName("rate_sink")

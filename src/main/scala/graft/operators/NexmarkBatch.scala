@@ -45,5 +45,9 @@ object NexmarkBatch {
         .groupBy(col("bidder")).agg(sum(col("nBids")).as("n_bids"))
         .orderBy(col("bidder"))),
     entry("nx_q13_side_input")(s =>
-      StreamQueries.q13(bids(s), Nexmark.sideInput(s))))
+      StreamQueries.q13(bids(s), Nexmark.sideInput(s))),
+    entry("nx_ysb_campaigns")(s =>
+      graft.streaming.Ysb.query(
+        graft.streaming.Ysb.adEvents(s, N), graft.streaming.Ysb.campaigns(s))
+        .orderBy(col("win_start"), col("campaign_id"))))
 }

@@ -170,14 +170,12 @@ object Pipeline {
       GROUP BY lang, pred_lang ORDER BY lang, pred_lang"""))
 
   /** Distinct 3-word shingles of `text` (both engines build the identical
-    * list: split on single space, window of 3, join with space).
+    * list: split on single space, window of 3, join with space). Spark side
+    * runs the single-pass native expression (functions.ShingleArray);
+    * DuckDB rebuilds the same list with list functions.
     */
-  private def shinglesCol: Column = expr(
-    """array_distinct(
-         CASE WHEN size(split(text, ' ')) >= 3
-           THEN transform(sequence(1, size(split(text, ' ')) - 2),
-                          i -> concat_ws(' ', slice(split(text, ' '), i, 3)))
-           ELSE array() END)""")
+  private def shinglesCol: Column =
+    graft.functions.ShingleArray.shingles(col("text"))
 
   private val shinglesSqlDuck =
     """CASE WHEN length(string_split(text, ' ')) >= 3

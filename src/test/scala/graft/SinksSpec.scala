@@ -66,6 +66,62 @@ class SinksSpec extends AnyFunSuite {
       Set("auction", "bidder", "price_eur", "b_date_time"))
   }
 
+  test("restart from checkpoint resumes without duplicating output (exactly-once)") {
+    // File source + checkpointed file sink: the canonical replayable
+    // source/committed sink pair (replaces the reference's S3-state
+    // backfill + PROCESSED_WINDOWS dedup, actor.rs:380-421/153-155).
+    val in = tmp("eo_in")
+    val out = tmp("eo_out")
+    val ckpt = tmp("eo_ckpt")
+    val allBids = Nexmark.bids(spark, 4000).cache()
+    val schema = allBids.schema
+
+    def runOnce(): Unit = {
+      val q = StreamQueries.q1(spark.readStream.schema(schema).parquet(in))
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(60000)
+    }
+
+    // Deterministic disjoint split (limit() would pick an arbitrary subset).
+    val cutoff = timestamp_millis(lit(Nexmark.BaseMs + 2000))
+    val first = allBids.filter($"b_date_time" < cutoff)
+    val second = allBids.filter($"b_date_time" >= cutoff)
+    val total = allBids.count()
+
+    first.coalesce(1).write.mode("append").parquet(in)
+    runOnce()
+    assert(spark.read.parquet(out).count() == first.count())
+
+    // New input file lands; a fresh query instance on the same checkpoint
+    // must process ONLY the new file.
+    second.coalesce(1).write.mode("append").parquet(in)
+    runOnce()
+    val after = spark.read.parquet(out)
+    assert(after.count() == total, "restart duplicated or dropped rows")
+    val expected = StreamQueries.q1(allBids)
+    assert(after.exceptAll(expected).isEmpty && expected.exceptAll(after).isEmpty,
+      "restarted sink content differs from batch q1 over the full input")
+  }
+
+  test("YSB query: stream == batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val events = graft.streaming.Ysb.adEvents(spark, 10000)
+    val camps = graft.streaming.Ysb.campaigns(spark)
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Int, String, java.sql.Timestamp)]
+    ms.addData(events.as[(Int, String, java.sql.Timestamp)].collect().toIndexedSeq)
+    val sDf = ms.toDF().toDF("ad_id", "event_type", "event_time")
+    val q = graft.streaming.Ysb.query(sDf, camps).writeStream
+      .format("memory").queryName("ysb_sink").outputMode("complete").start()
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("ysb_sink")
+    val expected = graft.streaming.Ysb.query(events, camps)
+    assert(got.exceptAll(expected).isEmpty && expected.exceptAll(got).isEmpty)
+  }
+
   test("partitioned parquet write prunes partitions on read") {
     val dir = tmp("part_out")
     Tables.load(spark, "/root/testdata/sf0.001", "lineitem")

@@ -424,6 +424,39 @@ object Pipeline {
       WHERE vec_id <> 0
       ORDER BY cos_sim DESC, vec_id LIMIT 10"""))
 
+  /** p13 — embedding-cosine near-dup pairs: LSH-bucket the corpus, exact
+    * cosine only within buckets, keep pairs over threshold (the embedding
+    * analogue of MinHash-LSH: candidate generation by bucket join, one
+    * shuffle on the bucket key, verify narrow). Threshold 0.4 reflects
+    * this synthetic corpus (max pairwise cosine ≈ 0.51); real near-dup
+    * corpora use ≥0.9.
+    */
+  private val p13 = Q(
+    "p13_embedding_neardup",
+    (s, d) => {
+      import s.implicits._
+      val emb = T(s, d, "embeddings")
+        .withColumn("bucket", VectorFunctions.lsh_bucket($"embedding"))
+        .select($"vec_id", $"bucket", $"embedding")
+      emb.as("a").join(emb.as("b"),
+          col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
+          dec(VectorFunctions.cosine_similarity(col("a.embedding"), col("b.embedding")),
+            18, 6).as("cos_sim"))
+        .filter($"cos_sim" >= 0.40)
+        .orderBy($"id_a", $"id_b")
+    },
+    Some(s"""
+      WITH b AS (SELECT vec_id, embedding, ${lshBucketDuck("embedding")} AS bucket
+                 FROM embeddings),
+      pairs AS (
+        SELECT x.vec_id AS id_a, y.vec_id AS id_b,
+          CAST(${foldDotDuck("x.embedding", "y.embedding")} /
+               (sqrt(${foldDotDuck("x.embedding", "x.embedding")}) * sqrt(${foldDotDuck("y.embedding", "y.embedding")})) AS DECIMAL(18,6)) AS cos_sim
+        FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id)
+      SELECT id_a, id_b, cos_sim FROM pairs WHERE cos_sim >= 0.40
+      ORDER BY id_a, id_b"""))
+
   val all: Seq[Q] = Seq(p01, p02, p03, p04, p05, p06, p07, p08, p09, p10,
-    p11, p12)
+    p11, p12, p13)
 }

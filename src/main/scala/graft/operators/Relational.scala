@@ -705,7 +705,80 @@ object Relational {
       FROM ev ASOF JOIN ord ON ev.k = ord.k AND ev.t_us >= ord.t_us
       ORDER BY event_id"""))
 
+  /** q28 — full window-function suite: lag/lead/rank/dense_rank + running
+    * sum over frames (SURVEY §2.A row 15 depth beyond row_number).
+    */
+  private val q28 = Q(
+    "q28_window_suite",
+    (s, d) => {
+      import s.implicits._
+      val w = Window.partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
+      T(s, d, "orders")
+        .select($"o_custkey", $"o_orderkey",
+          lag($"o_orderkey", 1).over(w).as("prev_order"),
+          lead($"o_orderkey", 1).over(w).as("next_order"),
+          rank().over(Window.partitionBy($"o_custkey")
+            .orderBy($"o_orderpriority", $"o_orderkey")).as("prio_rank"),
+          dense_rank().over(Window.partitionBy($"o_custkey")
+            .orderBy($"o_orderpriority")).as("prio_dense"),
+          dec(sum(dec($"o_totalprice", 12, 2))
+            .over(w.rowsBetween(Window.unboundedPreceding, 0)), 38, 2)
+            .as("running_total"))
+        .orderBy($"o_custkey", $"o_orderkey")
+    },
+    Some("""
+      SELECT o_custkey, o_orderkey,
+        lag(o_orderkey, 1) OVER w AS prev_order,
+        lead(o_orderkey, 1) OVER w AS next_order,
+        rank() OVER (PARTITION BY o_custkey ORDER BY o_orderpriority, o_orderkey) AS prio_rank,
+        dense_rank() OVER (PARTITION BY o_custkey ORDER BY o_orderpriority) AS prio_dense,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey ROWS UNBOUNDED PRECEDING) AS DECIMAL(38,2)) AS running_total
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+      ORDER BY o_custkey, o_orderkey"""))
+
+  /** q29 — CUBE + GROUPING() (SURVEY §2.A row 20). */
+  private val q29 = Q(
+    "q29_cube_grouping",
+    (s, d) => {
+      import s.implicits._
+      T(s, d, "orders")
+        .cube($"o_orderstatus", $"o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          grouping($"o_orderstatus").as("g_status"),
+          grouping($"o_orderpriority").as("g_prio"))
+        .orderBy($"o_orderstatus".asc_nulls_first, $"o_orderpriority".asc_nulls_first)
+    },
+    Some("""
+      SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+        CAST(GROUPING(o_orderstatus) AS TINYINT) AS g_status,
+        CAST(GROUPING(o_orderpriority) AS TINYINT) AS g_prio
+      FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+      ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST"""))
+
+  /** q30 — salted aggregation for hot keys: two-stage groupBy (key+salt →
+    * key) that spreads a skewed key across partitions before the final
+    * combine — the standard 100 TB skew pattern. Values must equal the
+    * direct GROUP BY, which is exactly what the oracle runs.
+    */
+  private val q30 = Q(
+    "q30_salted_agg",
+    (s, d) => {
+      import s.implicits._
+      T(s, d, "events")
+        .withColumn("salt", pmod(xxhash64($"event_id"), lit(16)))
+        .groupBy($"event_type", $"salt")
+        .agg(count(lit(1)).as("pn"), sum(dec($"value", 12, 2)).as("pv"))
+        .groupBy($"event_type")
+        .agg(sum($"pn").as("n"), dec(sum($"pv"), 38, 2).as("sum_v"))
+        .orderBy($"event_type")
+    },
+    Some("""
+      SELECT event_type, COUNT(*) AS n,
+        CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS sum_v
+      FROM events GROUP BY event_type ORDER BY event_type"""))
+
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
-    q25, q26, q27)
+    q25, q26, q27, q28, q29, q30)
 }

@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+/** Scale patterns that don't show up in result values, asserted on plan
+  * shape instead: bucketed co-located joins (no exchange), broadcast vs
+  * shuffle join selection, and salted-vs-direct aggregation equality.
+  */
+class ScaleSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+  import spark.implicits._
+
+  test("bucketed tables join without a shuffle exchange") {
+    // warehouse.dir is a static conf — use the session default location,
+    // and clear any orphaned table directories from prior runs (DROP TABLE
+    // is a no-op for locations the in-memory catalog doesn't know about).
+    def rmrf(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rmrf)
+      f.delete()
+    }
+    Seq("b_orders", "b_lineitem").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new java.io.File(s"spark-warehouse/$t")
+      if (loc.exists()) rmrf(loc)
+    }
+    Tables.load(spark, sf, "orders")
+      .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .mode("overwrite").saveAsTable("b_orders")
+    Tables.load(spark, sf, "lineitem")
+      .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .mode("overwrite").saveAsTable("b_lineitem")
+    // Disable broadcast so the join would otherwise need a full shuffle.
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table("b_lineitem")
+        .join(spark.table("b_orders"), $"l_orderkey" === $"o_orderkey")
+        .groupBy($"o_orderpriority").agg(count(lit(1)).as("n"))
+      val plan = joined.queryExecution.executedPlan.toString()
+      assert(!plan.contains("Exchange hashpartitioning(l_orderkey"),
+        "bucketed join still shuffles the fact table:\n" + plan)
+      assert(joined.count() > 0)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+    }
+  }
+
+  test("salted aggregation equals direct aggregation") {
+    val direct = Tables.load(spark, sf, "events")
+      .groupBy($"event_type").agg(count(lit(1)).as("n"))
+    val salted = Catalog.byName("q30_salted_agg").run(spark, sf)
+      .select($"event_type", $"n")
+    assert(direct.exceptAll(salted).isEmpty && salted.exceptAll(direct).isEmpty)
+  }
+
+  test("join strategy flips from broadcast to shuffle when threshold drops") {
+    val li = Tables.load(spark, sf, "lineitem")
+    val ord = Tables.load(spark, sf, "orders")
+    def planOf() = li.join(ord, $"l_orderkey" === $"o_orderkey")
+      .queryExecution.executedPlan.toString()
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "104857600")
+      assert(planOf().contains("BroadcastHashJoin"))
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      assert(!planOf().contains("BroadcastHashJoin"))
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+    }
+  }
+}

@@ -1,0 +1,109 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.Trigger
+
+/** CLI mirror of the reference's `flock-cli nexmark run -q N -s S -e E`
+  * (reference benchmarks/src/nexmark/main.rs:59-99 CLI knobs;
+  * README.md:128-131 documented invocation): runs one NEXMark query over a
+  * live generated stream for `-s` seconds at `-e` events/second and prints
+  * a one-line JSON summary.
+  *
+  * Usage: sbt "runMain graft.streaming.NexmarkRun -q 5 -s 10 -e 1000"
+  *
+  * Window semantics per query follow the reference mapping
+  * (main.rs:116-123): q5 hopping, q7/q8 tumbling, q11 session, q12
+  * processing-time gap; ranking queries (q5/q6) replay per micro-batch via
+  * foreachBatch exactly like the reference's per-window batches.
+  */
+object NexmarkRun {
+  def main(args: Array[String]): Unit = {
+    val opts = args.sliding(2, 2).collect {
+      case Array(k, v) => k -> v
+    }.toMap
+    val qn = opts.getOrElse("-q", "1").toInt
+    val secs = opts.getOrElse("-s", "10").toInt
+    val eps = opts.getOrElse("-e", "1000").toInt
+
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .appName(s"nexmark-q$qn")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val bids = Nexmark.bidStream(spark, rowsPerSecond = eps)
+    // Static sides for join queries: a bounded generated table (the
+    // reference feeds auctions/persons from the same generator).
+    val nStatic = (eps.toLong * secs * 4).max(50000L)
+    val auctions = Nexmark.auctions(spark, nStatic)
+    val persons = Nexmark.persons(spark, nStatic)
+
+    val t0 = System.nanoTime()
+    var rows = 0L
+    val sinkName = s"nx_run_q$qn"
+
+    def run(df: DataFrame, mode: String): Unit = {
+      val q = df.writeStream.format("memory").queryName(sinkName)
+        .outputMode(mode).trigger(Trigger.ProcessingTime("1 second")).start()
+      Thread.sleep(secs * 1000L)
+      q.stop()
+      rows = spark.table(sinkName).count()
+    }
+
+    qn match {
+      case 0 => run(StreamQueries.q0(bids), "append")
+      case 1 => run(StreamQueries.q1(bids), "append")
+      case 2 => run(StreamQueries.q2(bids), "append")
+      case 3 =>
+        // stream–static variant (stream–stream needs a second live source)
+        run(StreamQueries.q3(auctions, persons), "append")
+      case 4 => run(StreamQueries.q4(bids, auctions), "complete")
+      case 5 =>
+        // q5 ranking needs per-batch replay (foreachBatch, as the
+        // reference replays each hopping window).
+        val counts = new java.util.concurrent.atomic.AtomicLong()
+        val q5q = bids.writeStream.foreachBatch {
+          (batch: DataFrame, _: Long) =>
+            counts.addAndGet(StreamQueries.q5(batch).count()); ()
+        }.start()
+        Thread.sleep(secs * 1000L)
+        q5q.stop()
+        rows = counts.get()
+      case 6 =>
+        val counts = new java.util.concurrent.atomic.AtomicLong()
+        val q = StreamQueries.q6ForeachBatch(bids, auctions) { (df, _) =>
+          counts.addAndGet(df.count())
+        }
+        Thread.sleep(secs * 1000L)
+        q.stop()
+        rows = counts.get()
+      case 7 => run(StreamQueries.q7(bids.withWatermark("b_date_time", "5 seconds")), "append")
+      case 8 => run(StreamQueries.q8(persons, auctions), "complete")
+      case 9 =>
+        val counts = new java.util.concurrent.atomic.AtomicLong()
+        val q = bids.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+          counts.addAndGet(StreamQueries.q9(batch, auctions).count()); ()
+        }.start()
+        Thread.sleep(secs * 1000L)
+        q.stop()
+        rows = counts.get()
+      case 11 =>
+        // Append-mode sessions only emit once the watermark passes
+        // session_end + gap: runs shorter than ~2x the gap emit nothing.
+        run(StreamQueries.q11(
+        bids.withWatermark("b_date_time", "5 seconds")), "append")
+      case 12 =>
+        run(StreamQueries.q12(bids, sizeMs = 2000).toDF(), "append")
+      case 13 => run(StreamQueries.q13(bids, Nexmark.sideInput(spark)), "append")
+      case other => sys.error(s"unsupported query: $other")
+    }
+
+    val wall = (System.nanoTime() - t0) / 1e9
+    println(s"""{"query":$qn,"seconds":$secs,"events_per_sec":$eps,""" +
+      s""""out_rows":$rows,"wall_sec":${f"$wall%.2f"}}""")
+    spark.stop()
+  }
+}

@@ -177,6 +177,65 @@ class StreamingSpec extends AnyFunSuite {
     assertSameRows(got, StreamQueries.q6(batchBids, batchAuctions))
   }
 
+  test("watermark drops late data in append mode") {
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[BidCC]
+    val base = java.sql.Timestamp.from(
+      java.time.Instant.ofEpochMilli(Nexmark.BaseMs))
+    def at(sec: Int) = java.sql.Timestamp.from(
+      java.time.Instant.ofEpochMilli(Nexmark.BaseMs + sec * 1000L))
+    val agg: DataFrame => DataFrame = df =>
+      df.withWatermark("b_date_time", "5 seconds")
+        .groupBy(window($"b_date_time", "10 seconds").as("win"))
+        .agg(count(lit(1)).as("n"))
+        .select(unix_millis($"win.start").as("ws"), $"n")
+    val q = agg(ms.toDF()).writeStream
+      .format("memory").queryName("late_sink").outputMode("append").start()
+    // Batch 1: two events in window [0,10).
+    ms.addData(Seq(BidCC(1, 1, 10, at(1)), BidCC(2, 2, 20, at(2))))
+    q.processAllAvailable()
+    // Batch 2: advance watermark far past window [0,10) — closes it.
+    ms.addData(Seq(BidCC(3, 3, 30, at(100))))
+    q.processAllAvailable()
+    // Batch 3: a LATE event for the closed window — must be dropped.
+    ms.addData(Seq(BidCC(4, 4, 40, at(3))))
+    q.processAllAvailable()
+    // Flush the last window too.
+    ms.addData(Seq(BidCC(5, 5, 50, at(200))))
+    q.processAllAvailable()
+    q.stop()
+    val firstWindow = spark.table("late_sink").filter($"ws" === Nexmark.BaseMs)
+      .select($"n").as[Long].collect()
+    assert(firstWindow.sameElements(Array(2L)),
+      s"late event not dropped: ${firstWindow.mkString(",")}")
+  }
+
+  test("session window (q11) runs on the RocksDB state store provider") {
+    implicit val sqlCtx = spark.sqlContext
+    val saved = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val ms = MemoryStream[BidCC]
+      val rows = bidRows.take(5000)
+      val maxTs = rows.map(_.b_date_time.getTime).max
+      val sentinel = BidCC(-1, -1, 0,
+        new java.sql.Timestamp(maxTs + 3600000L))
+      ms.addData(rows :+ sentinel)
+      val q = StreamQueries.q11(ms.toDF().withWatermark("b_date_time", "5 seconds"))
+        .writeStream.format("memory").queryName("rocks_sink")
+        .outputMode("append").start()
+      q.processAllAvailable()
+      q.stop()
+      assert(spark.table("rocks_sink").filter($"bidder" =!= -1).count() > 0)
+    } finally {
+      saved match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("rate-source bid stream produces rows") {
     val q = Nexmark.bidStream(spark, rowsPerSecond = 5000)
       .writeStream.format("memory").queryName("rate_sink")

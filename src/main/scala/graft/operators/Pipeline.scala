@@ -457,6 +457,29 @@ object Pipeline {
       SELECT id_a, id_b, cos_sim FROM pairs WHERE cos_sim >= 0.40
       ORDER BY id_a, id_b"""))
 
+  /** p14 — sketch aggregates: approx_count_distinct (HLL++) and
+    * approx_percentile next to their exact counterparts. At 100 TB the
+    * sketches are the only viable form (fixed-size state, mergeable across
+    * partitions); the exact columns let the spec bound the error. No
+    * DuckDB oracle — HLL implementations differ across engines — so the
+    * driver records a rows-only check and SketchSpec asserts error bounds.
+    */
+  private val p14 = Q(
+    "p14_approx_sketches",
+    (s, d) => {
+      import s.implicits._
+      T(s, d, "events")
+        .groupBy($"event_type")
+        .agg(
+          countDistinct($"user_id").as("exact_users"),
+          approx_count_distinct($"user_id", 0.02).as("approx_users"),
+          expr("approx_percentile(value, array(0.5, 0.95, 0.99), 1000)")
+            .as("value_pcts"),
+          count(lit(1)).as("n"))
+        .orderBy($"event_type")
+    },
+    None)
+
   val all: Seq[Q] = Seq(p01, p02, p03, p04, p05, p06, p07, p08, p09, p10,
-    p11, p12, p13)
+    p11, p12, p13, p14)
 }

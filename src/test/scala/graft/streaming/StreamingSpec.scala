@@ -236,6 +236,41 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming dropDuplicates with watermark dedups across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[BidCC]
+    val a = bidRows.take(500)
+    val b = bidRows.slice(500, 900)
+    val q = ms.toDF()
+      .withWatermark("b_date_time", "1 hour")
+      .dropDuplicates("auction", "bidder", "price", "b_date_time")
+      .writeStream.format("memory").queryName("dedup_sink")
+      .outputMode("append").start()
+    ms.addData(a)
+    q.processAllAvailable()
+    ms.addData(a ++ b) // batch 2 re-sends batch 1 plus new rows
+    q.processAllAvailable()
+    q.stop()
+    val expected = (a ++ b).distinct.size
+    assert(spark.table("dedup_sink").count() == expected,
+      "cross-batch duplicates not removed")
+  }
+
+  test("approx sketches stay within error bounds of exact aggregates") {
+    val df = graft.Catalog.byName("p14_approx_sketches")
+      .run(spark, "/root/testdata/sf0.001")
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val exact = r.getAs[Long]("exact_users").toDouble
+      val approx = r.getAs[Long]("approx_users").toDouble
+      assert(math.abs(approx - exact) / exact < 0.1,
+        s"HLL error too large: $approx vs $exact")
+      val pcts = r.getSeq[Double](r.fieldIndex("value_pcts"))
+      assert(pcts.length == 3 && pcts(0) <= pcts(1) && pcts(1) <= pcts(2))
+    }
+  }
+
   test("rate-source bid stream produces rows") {
     val q = Nexmark.bidStream(spark, rowsPerSecond = 5000)
       .writeStream.format("memory").queryName("rate_sink")

@@ -163,5 +163,34 @@ object EventWindows {
         FROM events) t
       WHERE rk = 1 ORDER BY win_start_us"""))
 
-  val all: Seq[Q] = Seq(w01, w02, w03, w04, w05, w06)
+  /** w07 — count-based (row) windows per key: Flock's `Schedule::Rows(n)`
+    * (reference flock/src/stream/window.rs:55-94) has no direct Structured
+    * Streaming equivalent (SURVEY §1.1 Schedule row); expressed relationally
+    * as ordered row_number per key bucketed into windows of 100 events.
+    */
+  private val w07 = Q(
+    "w07_count_windows",
+    (s, d) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"us", $"event_id")
+      T(s, d, "events")
+        .select($"user_id", unix_micros($"ts").as("us"), $"event_id",
+          dec($"value", 12, 2).as("v"))
+        .withColumn("win_id", ((row_number().over(w) - 1) / 100).cast(IntegerType))
+        .groupBy($"user_id", $"win_id")
+        .agg(count(lit(1)).as("n"), min($"us").as("first_us"),
+          max($"us").as("last_us"), dec(sum($"v"), 38, 2).as("sum_v"))
+        .orderBy($"user_id", $"win_id")
+    },
+    Some("""
+      WITH r AS (
+        SELECT user_id, epoch_us(ts) AS us, event_id,
+          CAST(value AS DECIMAL(12,2)) AS v,
+          CAST((ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) - 1) // 100 AS INT) AS win_id
+        FROM events)
+      SELECT user_id, win_id, COUNT(*) AS n, MIN(us) AS first_us,
+        MAX(us) AS last_us, CAST(SUM(v) AS DECIMAL(38,2)) AS sum_v
+      FROM r GROUP BY user_id, win_id ORDER BY user_id, win_id"""))
+
+  val all: Seq[Q] = Seq(w01, w02, w03, w04, w05, w06, w07)
 }

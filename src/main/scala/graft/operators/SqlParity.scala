@@ -75,5 +75,30 @@ object SqlParity {
                            FROM lineitem l2
                            WHERE l2.l_partkey = lineitem.l_partkey)""")
 
-  val all: Seq[Q] = Seq(pricing, topOrders, orderPriority, volume, yearly, corr)
+  private val custDist = sql("sql_q13_cust_dist",
+    """SELECT c_count, COUNT(*) AS custdist FROM (
+         SELECT c_custkey, COUNT(o_orderkey) AS c_count
+         FROM customer LEFT OUTER JOIN orders
+           ON c_custkey = o_custkey AND o_orderpriority <> '5-LOW'
+         GROUP BY c_custkey) t
+       GROUP BY c_count ORDER BY custdist DESC, c_count DESC""")
+
+  private val antiJoin = sql("sql_q08_dormant",
+    """SELECT c_custkey, c_name, CAST(c_acctbal AS DECIMAL(12,2)) AS acctbal
+       FROM customer
+       WHERE c_acctbal > 0
+         AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                         AND o_orderdate >= TIMESTAMP '2001-01-01 00:00:00')""")
+
+  private val inSub = sql("sql_q12_in_parts",
+    """SELECT l_partkey, CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty,
+         COUNT(*) AS n
+       FROM lineitem
+       WHERE l_partkey IN (SELECT p_partkey FROM part
+                           WHERE p_size >= 40
+                             AND p_brand IN ('Brand#11','Brand#22','Brand#33'))
+       GROUP BY l_partkey ORDER BY l_partkey""")
+
+  val all: Seq[Q] = Seq(pricing, topOrders, orderPriority, volume, yearly,
+    corr, custDist, antiJoin, inSub)
 }

@@ -236,6 +236,33 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("stream-stream range join (q4/q9 shape) with watermarks == batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val msA = MemoryStream[(Int, java.sql.Timestamp, java.sql.Timestamp, Int)]
+    val msB = MemoryStream[BidCC]
+    msA.addData(batchAuctions
+      .select($"a_id", $"a_date_time", $"expires", $"category")
+      .as[(Int, java.sql.Timestamp, java.sql.Timestamp, Int)].collect().toIndexedSeq)
+    msB.addData(bidRows)
+    val aDf = msA.toDF().toDF("a_id", "a_date_time", "expires", "category")
+      .withWatermark("a_date_time", "10 seconds")
+    val bDf = msB.toDF().withWatermark("b_date_time", "10 seconds")
+    val joined = bDf.join(aDf,
+      $"auction" === $"a_id" &&
+        $"b_date_time".between($"a_date_time", $"expires"))
+      .select($"a_id", $"category", $"bidder", $"price", $"b_date_time")
+    val q = joined.writeStream.format("memory").queryName("ssj_sink")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    val expected = batchBids.join(
+        batchAuctions.select($"a_id", $"a_date_time", $"expires", $"category"),
+        $"auction" === $"a_id" &&
+          $"b_date_time".between($"a_date_time", $"expires"))
+      .select($"a_id", $"category", $"bidder", $"price", $"b_date_time")
+    assertSameRows(spark.table("ssj_sink"), expected)
+  }
+
   test("streaming dropDuplicates with watermark dedups across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val ms = MemoryStream[BidCC]

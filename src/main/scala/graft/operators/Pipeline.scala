@@ -27,13 +27,6 @@ object Pipeline {
 
   private def T(s: SparkSession, d: String, n: String) = Tables.load(s, d, n)
 
-  /** 60-bit positive hash from md5 hex — identical in Spark
-    * (`conv(substr(md5(x),1,15),16,10)`) and DuckDB
-    * (`('0x' || substr(md5(x),1,15))::BIGINT`).
-    */
-  private def hash60(c: Column): Column =
-    conv(substring(md5(c), 1, 15), 16, 10).cast(LongType)
-
   private val stops = Seq("the", "a", "of", "and", "to", "in")
 
   /** p01 — exact deduplication by content hash: hash-groupBy on md5(text),

@@ -122,6 +122,17 @@ class SinksSpec extends AnyFunSuite {
     assert(got.exceptAll(expected).isEmpty && expected.exceptAll(got).isEmpty)
   }
 
+  test("connector JSON decode maps transport bytes to bid rows") {
+    // The Kafka reader itself needs a connector jar + broker (absent
+    // offline); the decode chain is transport-independent and testable.
+    val raw = Nexmark.bids(spark, 5000)
+      .select(to_json(struct($"auction", $"bidder", $"price", $"b_date_time"))
+        .cast("binary").as("value"))
+    val decoded = graft.streaming.Connectors.decodeBidJson(raw)
+    val expected = Nexmark.bids(spark, 5000)
+    assert(decoded.exceptAll(expected).isEmpty && expected.exceptAll(decoded).isEmpty)
+  }
+
   test("partitioned parquet write prunes partitions on read") {
     val dir = tmp("part_out")
     Tables.load(spark, "/root/testdata/sf0.001", "lineitem")

@@ -15,11 +15,13 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   * installs the same functions as temp functions.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     GraftExtensions.builders.foreach { case (name, builder) =>
       e.injectFunction((FunctionIdentifier(name),
         new ExpressionInfo("graft.functions", name), builder))
     }
+    e.injectPlannerStrategy(_ => graft.plans.GraftStrategies)
+  }
 }
 
 object GraftExtensions {

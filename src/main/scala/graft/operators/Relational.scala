@@ -778,7 +778,35 @@ object Relational {
         CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS sum_v
       FROM events GROUP BY event_type ORDER BY event_type"""))
 
+  /** q31 — per-key top-k via the custom TopKPerKey physical operator
+    * (graft.plans — LogicalPlan + Strategy + bounded-heap exec; build-guide
+    * tier (c)): top-3 orders per customer by totalprice. The oracle runs
+    * the rank-filter formulation the operator replaces — equal result sets
+    * prove the operator's semantics.
+    */
+  private val q31 = Q(
+    "q31_topk_native",
+    (s, d) => {
+      import s.implicits._
+      graft.plans.TopK.perKey(
+        T(s, d, "orders").select($"o_custkey", $"o_orderkey",
+          dec($"o_totalprice", 12, 2).as("totalprice")),
+        keys = Seq($"o_custkey"),
+        order = Seq($"totalprice".desc, $"o_orderkey".asc),
+        k = 3)
+        .orderBy($"o_custkey", $"o_orderkey")
+    },
+    Some("""
+      SELECT o_custkey, o_orderkey, totalprice FROM (
+        SELECT o_custkey, o_orderkey,
+          CAST(o_totalprice AS DECIMAL(12,2)) AS totalprice,
+          ROW_NUMBER() OVER (PARTITION BY o_custkey
+                             ORDER BY CAST(o_totalprice AS DECIMAL(12,2)) DESC,
+                                      o_orderkey) AS rn
+        FROM orders) t
+      WHERE rn <= 3 ORDER BY o_custkey, o_orderkey"""))
+
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
-    q25, q26, q27, q28, q29, q30)
+    q25, q26, q27, q28, q29, q30, q31)
 }

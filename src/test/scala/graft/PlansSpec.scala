@@ -1,0 +1,51 @@
+package graft
+
+import graft.plans.{TopK, TopKPerKeyExec}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Custom physical operator (TopKPerKey): semantics equal the rank-filter
+  * formulation; plan shape shows the custom exec and a single exchange.
+  */
+class PlansSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+  import spark.implicits._
+
+  private def base = Tables.load(spark, sf, "orders")
+    .select($"o_custkey", $"o_orderkey", $"o_totalprice")
+
+  test("TopKPerKey equals the window-rank formulation") {
+    val fast = TopK.perKey(base, Seq($"o_custkey"),
+      Seq($"o_totalprice".desc, $"o_orderkey".asc), 3)
+    val w = Window.partitionBy($"o_custkey")
+      .orderBy($"o_totalprice".desc, $"o_orderkey".asc)
+    val expected = base.withColumn("rn", row_number().over(w))
+      .filter($"rn" <= 3).drop("rn")
+    assert(fast.exceptAll(expected).isEmpty && expected.exceptAll(fast).isEmpty)
+  }
+
+  test("TopKPerKey plans the custom exec with one exchange and no sort") {
+    val df = TopK.perKey(base, Seq($"o_custkey"), Seq($"o_totalprice".desc), 2)
+    val plan = df.queryExecution.executedPlan
+    val s = plan.toString()
+    assert(s.contains("TopKPerKey"), s"custom exec missing:\n$s")
+    assert(!s.contains("Sort "), s"unexpected sort in plan:\n$s")
+    assert(s.sliding("Exchange".length).count(_ == "Exchange") == 1,
+      s"expected exactly one exchange:\n$s")
+  }
+
+  test("TopKPerKey handles k larger than group size and single groups") {
+    val tiny = Seq((1, 10, 5.0), (1, 11, 7.0), (2, 20, 1.0))
+      .toDF("o_custkey", "o_orderkey", "o_totalprice")
+    val out = TopK.perKey(tiny, Seq($"o_custkey"),
+      Seq($"o_totalprice".desc, $"o_orderkey".asc), 5)
+    assert(out.count() == 3)
+    val top1 = TopK.perKey(tiny, Seq($"o_custkey"),
+      Seq($"o_totalprice".desc, $"o_orderkey".asc), 1)
+      .orderBy($"o_custkey")
+      .select($"o_orderkey").as[Int].collect().toSeq
+    assert(top1 == Seq(11, 20))
+  }
+}

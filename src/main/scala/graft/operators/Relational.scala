@@ -806,7 +806,49 @@ object Relational {
         FROM orders) t
       WHERE rn <= 3 ORDER BY o_custkey, o_orderkey"""))
 
+  /** q32 — pivot: order counts per priority spread across status columns
+    * (beyond the reference's surface; free via `groupBy().pivot()`).
+    * Missing combinations become 0 on both sides (na.fill / CASE-count).
+    */
+  private val q32 = Q(
+    "q32_pivot",
+    (s, d) => {
+      import s.implicits._
+      T(s, d, "orders")
+        .groupBy($"o_orderpriority")
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .orderBy($"o_orderpriority")
+    },
+    Some("""
+      SELECT o_orderpriority,
+        COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS "F",
+        COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS "O",
+        COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS "P"
+      FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
+
+  /** q33 — unpivot/melt: wide part attributes into (attr, val) rows. */
+  private val q33 = Q(
+    "q33_unpivot",
+    (s, d) => {
+      import s.implicits._
+      T(s, d, "part")
+        .select($"p_partkey",
+          $"p_size".cast(DoubleType).as("size"),
+          dec($"p_retailprice", 12, 2).cast(DoubleType).as("retailprice"))
+        .unpivot(Array($"p_partkey"), Array($"size", $"retailprice"),
+          "attr", "val")
+        .orderBy($"p_partkey", $"attr")
+    },
+    Some("""
+      SELECT p_partkey, 'size' AS attr, CAST(p_size AS DOUBLE) AS val FROM part
+      UNION ALL
+      SELECT p_partkey, 'retailprice' AS attr,
+        CAST(CAST(p_retailprice AS DECIMAL(12,2)) AS DOUBLE) AS val FROM part
+      ORDER BY p_partkey, attr"""))
+
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
-    q25, q26, q27, q28, q29, q30, q31)
+    q25, q26, q27, q28, q29, q30, q31, q32, q33)
 }

@@ -473,6 +473,40 @@ object Pipeline {
     },
     None)
 
+  /** p15 — fuzzy dedup by edit distance: candidate pairs from cheap blocking
+    * (same lang, same length bucket), then levenshtein on a fixed prefix —
+    * the classic blocked-fuzzy-matching topology (block key join, bounded
+    * per-pair work). levenshtein is the identical DP distance in both
+    * engines.
+    */
+  private val p15 = Q(
+    "p15_fuzzy_dedup",
+    (s, d) => {
+      import s.implicits._
+      val docs = T(s, d, "documents")
+        .select($"doc_id", $"lang", (floor($"n_chars" / 200.0)).cast(IntegerType).as("len_bucket"),
+          substring($"text", 1, 30).as("prefix"))
+      docs.as("a").join(docs.as("b"),
+          col("a.lang") === col("b.lang") &&
+            col("a.len_bucket") === col("b.len_bucket") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+          levenshtein(col("a.prefix"), col("b.prefix")).as("edit_dist"))
+        .filter($"edit_dist" <= 15)
+        .orderBy($"id_a", $"id_b")
+    },
+    Some("""
+      WITH d AS (SELECT doc_id, lang,
+                   CAST(FLOOR(n_chars / 200.0) AS INT) AS len_bucket,
+                   substr(text, 1, 30) AS prefix
+                 FROM documents)
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        CAST(levenshtein(a.prefix, b.prefix) AS INT) AS edit_dist
+      FROM d a JOIN d b ON a.lang = b.lang AND a.len_bucket = b.len_bucket
+        AND a.doc_id < b.doc_id
+      WHERE levenshtein(a.prefix, b.prefix) <= 15
+      ORDER BY id_a, id_b"""))
+
   val all: Seq[Q] = Seq(p01, p02, p03, p04, p05, p06, p07, p08, p09, p10,
-    p11, p12, p13, p14)
+    p11, p12, p13, p14, p15)
 }

@@ -848,7 +848,57 @@ object Relational {
         CAST(CAST(p_retailprice AS DECIMAL(12,2)) AS DOUBLE) AS val FROM part
       ORDER BY p_partkey, attr"""))
 
+  /** q34 — TPC-H Q22 shape: uncorrelated scalar subquery in WHERE (global
+    * average) + NOT EXISTS anti-join (SURVEY §2.A row 19).
+    */
+  private val q34 = Q(
+    "q34_global_sales_opportunity",
+    (s, d) => {
+      import s.implicits._
+      val cust = T(s, d, "customer")
+      val avgBal = cust.filter($"c_acctbal" > 0)
+        .agg((sum(dec($"c_acctbal", 12, 2)).cast(DoubleType) / count(lit(1)))
+          .as("avg_bal"))
+      val ord = T(s, d, "orders")
+        .filter($"o_orderdate" >= lit("2000-01-01").cast(TimestampType))
+      cust.crossJoin(broadcast(avgBal))
+        .filter($"c_acctbal" > $"avg_bal")
+        .join(ord, $"c_custkey" === $"o_custkey", "left_anti")
+        .groupBy($"c_nationkey")
+        .agg(count(lit(1)).as("n_cust"),
+          dec(sum(dec($"c_acctbal", 12, 2)), 38, 2).as("total_bal"))
+        .orderBy($"c_nationkey")
+    },
+    Some("""
+      SELECT c_nationkey, COUNT(*) AS n_cust,
+        CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS total_bal
+      FROM customer
+      WHERE c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*)
+                         FROM customer WHERE c_acctbal > 0)
+        AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                        AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+      GROUP BY c_nationkey ORDER BY c_nationkey"""))
+
+  /** q35 — histogram via explicit bucket arithmetic (DuckDB 1.0 lacks
+    * width_bucket; the single `value/50` double op + floor is
+    * engine-identical).
+    */
+  private val q35 = Q(
+    "q35_histogram",
+    (s, d) => {
+      import s.implicits._
+      T(s, d, "events")
+        .groupBy(floor($"value" / 50.0).cast(IntegerType).as("bucket"))
+        .agg(count(lit(1)).as("n"),
+          min($"value").as("min_v"), max($"value").as("max_v"))
+        .orderBy($"bucket")
+    },
+    Some("""
+      SELECT CAST(FLOOR(value / 50.0) AS INT) AS bucket, COUNT(*) AS n,
+        MIN(value) AS min_v, MAX(value) AS max_v
+      FROM events GROUP BY bucket ORDER BY bucket"""))
+
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
-    q25, q26, q27, q28, q29, q30, q31, q32, q33)
+    q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35)
 }

@@ -483,11 +483,17 @@ object Pipeline {
     "p15_fuzzy_dedup",
     (s, d) => {
       import s.implicits._
+      // Block key = (lang, first word, length bucket): blocks stay small
+      // as the corpus grows, keeping the pair count near-linear — coarse
+      // blocking (lang+length only) went quadratic at sf0.1.
       val docs = T(s, d, "documents")
-        .select($"doc_id", $"lang", (floor($"n_chars" / 200.0)).cast(IntegerType).as("len_bucket"),
+        .select($"doc_id", $"lang",
+          element_at(split($"text", " "), 1).as("w0"),
+          (floor($"n_chars" / 200.0)).cast(IntegerType).as("len_bucket"),
           substring($"text", 1, 30).as("prefix"))
       docs.as("a").join(docs.as("b"),
           col("a.lang") === col("b.lang") &&
+            col("a.w0") === col("b.w0") &&
             col("a.len_bucket") === col("b.len_bucket") &&
             col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
@@ -497,12 +503,14 @@ object Pipeline {
     },
     Some("""
       WITH d AS (SELECT doc_id, lang,
+                   string_split(text, ' ')[1] AS w0,
                    CAST(FLOOR(n_chars / 200.0) AS INT) AS len_bucket,
                    substr(text, 1, 30) AS prefix
                  FROM documents)
       SELECT a.doc_id AS id_a, b.doc_id AS id_b,
         CAST(levenshtein(a.prefix, b.prefix) AS INT) AS edit_dist
-      FROM d a JOIN d b ON a.lang = b.lang AND a.len_bucket = b.len_bucket
+      FROM d a JOIN d b ON a.lang = b.lang AND a.w0 = b.w0
+        AND a.len_bucket = b.len_bucket
         AND a.doc_id < b.doc_id
       WHERE levenshtein(a.prefix, b.prefix) <= 15
       ORDER BY id_a, id_b"""))

@@ -898,7 +898,43 @@ object Relational {
         MIN(value) AS min_v, MAX(value) AS max_v
       FROM events GROUP BY bucket ORDER BY bucket"""))
 
+  /** q36 — MapType + generator/explode (Spark's UDTF-shaped operator,
+    * §2.A row 21 adjacent): parse `props` JSON into a map and explode it
+    * to (key, value) rows.
+    */
+  private val q36 = Q(
+    "q36_map_explode",
+    (s, d) => {
+      import s.implicits._
+      T(s, d, "events")
+        .select($"event_id",
+          explode(from_json($"props", MapType(StringType, IntegerType))))
+        .select($"event_id", $"key", $"value")
+        .orderBy($"event_id", $"key")
+    },
+    Some("""
+      SELECT event_id, 'k' AS key, CAST(json_extract_string(props, '$.k') AS INT) AS value
+      FROM events ORDER BY event_id, key"""))
+
+  /** q37 — array functions: sort_array + slice + posexplode over the
+    * embedding vectors (smallest 3 components per vector as rows).
+    */
+  private val q37 = Q(
+    "q37_array_ops",
+    (s, d) => {
+      import s.implicits._
+      T(s, d, "embeddings")
+        .select($"vec_id",
+          posexplode(slice(sort_array($"embedding"), 1, 3)).as(Seq("pos", "val")))
+        .orderBy($"vec_id", $"pos")
+    },
+    Some("""
+      SELECT vec_id, CAST(i - 1 AS INT) AS pos,
+        CAST(list_sort(embedding)[i] AS FLOAT) AS val
+      FROM embeddings, range(1, 4) r(i)
+      ORDER BY vec_id, pos"""))
+
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
-    q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35)
+    q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37)
 }

@@ -27,6 +27,29 @@ object Catalog {
   def dec(c: Column, precision: Int = 18, scale: Int = 2): Column =
     c.cast(DecimalType(precision, scale))
 
+  /** Cross-reader output normalization: interior arithmetic stays exact
+    * DECIMAL (rules above), but every FINAL output DECIMAL column becomes
+    * DOUBLE. Rationale: the driver reads Spark parquet with pandas
+    * (DECIMAL → Python Decimal objects) but fetches the DuckDB oracle via
+    * fetchdf (DECIMAL → float64); a value with trailing zeros at its scale
+    * (e.g. 3254413.1840) stringifies/hashes differently across those two
+    * readers even when values are identical. One symmetric cast — here on
+    * the Spark side, and in Verify.wrapOracle on the DuckDB side — yields
+    * the identical float64 on both paths. The decimal math itself is
+    * unchanged, so results stay exact and order-independent up to this
+    * single deterministic conversion.
+    */
+  def finalizeDoubles(df: DataFrame): DataFrame =
+    if (!df.schema.fields.exists(_.dataType.isInstanceOf[DecimalType])) df
+    else df.select(df.schema.fields.toSeq.map { f =>
+      f.dataType match {
+        case _: DecimalType =>
+          org.apache.spark.sql.functions.col(f.name)
+            .cast(org.apache.spark.sql.types.DoubleType).as(f.name)
+        case _ => org.apache.spark.sql.functions.col(f.name)
+      }
+    }: _*)
+
   def modules: Seq[Q] =
     operators.Relational.all ++
       operators.EventWindows.all ++
@@ -42,7 +65,9 @@ object Catalog {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    byName.map { case (n, q) => n -> q.run }
+    byName.map { case (n, q) =>
+      n -> ((s: SparkSession, d: String) => finalizeDoubles(q.run(s, d)))
+    }
 
   def oracleSql: Map[String, String] =
     byName.collect { case (n, q) if q.oracle.isDefined => n -> q.oracle.get }

@@ -1,9 +1,59 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.types.{DecimalType, StructType}
 import java.nio.file.{Files, Paths}
-/** Driver-run correctness dump: each SparkEntry.queries result → parquet,
-  * plus oracle_sql.json, for the driver's DuckDB compare. */
+
+/** Driver-run correctness dump: each catalog query result → parquet, plus
+  * oracle_sql.json, for the driver's DuckDB compare.
+  *
+  * Two normalizations happen here (and only here — the library itself is
+  * untouched):
+  *   - final DECIMAL output columns become DOUBLE on BOTH sides — Spark via
+  *     Catalog.finalizeDoubles, the oracle via wrapOracle — because the
+  *     driver's two readers (pandas-on-parquet vs duckdb fetchdf) represent
+  *     DECIMAL differently (Decimal object vs float64) and hash-mismatch on
+  *     trailing-zero values;
+  *   - oracle SQL may reference the deterministic NEXMark/YSB generator
+  *     tables via the `{NX}` placeholder; Verify materializes those tables
+  *     to parquet under outDir/nx_input and substitutes the absolute path,
+  *     so DuckDB replays the exact same data Spark generated.
+  */
 object Verify {
+  /** Tables the NEXMark/YSB oracles read; dumped once per Verify run. */
+  def dumpNexmarkInputs(spark: SparkSession, nxDir: String): Unit = {
+    val n = operators.NexmarkBatch.N
+    Seq(
+      "bids" -> streaming.Nexmark.bids(spark, n),
+      "auctions" -> streaming.Nexmark.auctions(spark, n),
+      "persons" -> streaming.Nexmark.persons(spark, n),
+      "side" -> streaming.Nexmark.sideInput(spark),
+      "ad_events" -> streaming.Ysb.adEvents(spark, n),
+      "campaigns" -> streaming.Ysb.campaigns(spark)
+    ).foreach { case (name, df) =>
+      df.write.mode("overwrite").parquet(s"$nxDir/$name")
+    }
+  }
+
+  /** Mirror Catalog.finalizeDoubles on the oracle side: wrap the SQL so
+    * every column that is DECIMAL in the raw Spark result is CAST to
+    * DOUBLE. `schema` is the RAW (pre-finalize) Spark schema — names match
+    * the oracle's output columns by contract.
+    */
+  def wrapOracle(sql: String, schema: StructType): String = {
+    val decCols = schema.fields.collect {
+      case f if f.dataType.isInstanceOf[DecimalType] => f.name
+    }.toSet
+    if (decCols.isEmpty) sql
+    else {
+      val cols = schema.fields.map { f =>
+        val id = "\"" + f.name + "\""
+        if (decCols(f.name)) s"CAST($id AS DOUBLE) AS $id" else id
+      }.mkString(", ")
+      s"SELECT $cols FROM (\n$sql\n) graft_fin"
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -11,15 +61,30 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // int96 would reach DuckDB as ns; micros keeps epoch_us == unix_micros.
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+    val absOut = Paths.get(outDir).toAbsolutePath.toString
+    val nxDir = s"$absOut/nx_input"
+    try dumpNexmarkInputs(spark, nxDir)
+    catch { case e: Throwable =>
+      System.err.println(s"[verify] nx_input dump failed: ${e.getMessage}")
+    }
+
+    val oracles = scala.collection.mutable.SortedMap.empty[String, String]
+    Catalog.byName.toSeq.sortBy(_._1).foreach { case (name, q) =>
+      val substituted = q.oracle.map(_.replace("{NX}", nxDir))
+      try {
+        val raw = q.run(spark, sfDir)
+        Catalog.finalizeDoubles(raw).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        substituted.foreach(sql => oracles += name -> wrapOracle(sql, raw.schema))
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        substituted.foreach(sql => oracles += name -> sql)
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -34,7 +99,7 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql
+    val json = oracles
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

@@ -2,8 +2,9 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
-import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -24,11 +25,17 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * Returns array<bigint> of length k, or NULL when the text has fewer than
   * 3 tokens (matching `list_min([])` / `array_min(array())` = NULL).
+  *
+  * Codegen: the kernel lives in the companion's static `compute` (md5 via
+  * MessageDigest isn't worth inlining as Java source); `doGenCode` emits a
+  * single static call, so the expression stays inside the surrounding
+  * WholeStageCodegen span instead of forcing interpreted fallback.
   */
 case class MinHashShingleSig(child: Expression, k: Int = 4)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
 
   override def checkInputDataTypes()
       : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
@@ -40,9 +47,36 @@ case class MinHashShingleSig(child: Expression, k: Int = 4)
           s"minhash_sig needs a string input, got ${other.catalogString}")
     }
 
-  override def nullSafeEval(input: Any): Any = {
-    val text = input.asInstanceOf[UTF8String].toString
-    val words = text.split(" ", -1)
+  override def nullSafeEval(input: Any): Any =
+    MinHashShingleSig.compute(input.asInstanceOf[UTF8String], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val childGen = child.genCode(ctx)
+    val arrCls = classOf[ArrayData].getName
+    ev.copy(code =
+      code"""
+        ${childGen.code}
+        boolean ${ev.isNull} = true;
+        $arrCls ${ev.value} = null;
+        if (!${childGen.isNull}) {
+          ${ev.value} = graft.functions.MinHashShingleSig.compute(${childGen.value}, $k);
+          ${ev.isNull} = (${ev.value} == null);
+        }
+      """)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object MinHashShingleSig {
+  import org.apache.spark.sql.graft.shims.{column, expression}
+
+  /** Static kernel, called from both interpreted eval and generated code
+    * (Scala emits a static forwarder on the companion class).
+    */
+  def compute(input: UTF8String, k: Int): ArrayData = {
+    val words = input.toString.split(" ", -1)
     if (words.length < 3) return null
     val md = java.security.MessageDigest.getInstance("MD5")
     val mins = Array.fill(k)(Long.MaxValue)
@@ -76,13 +110,6 @@ case class MinHashShingleSig(child: Expression, k: Int = 4)
     }
     new GenericArrayData(mins)
   }
-
-  override protected def withNewChildInternal(newChild: Expression): Expression =
-    copy(child = newChild)
-}
-
-object MinHashShingleSig {
-  import org.apache.spark.sql.graft.shims.{column, expression}
 
   def minhash_sig(text: Column, k: Int = 4): Column =
     column(MinHashShingleSig(expression(text), k))

@@ -2,8 +2,8 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
-import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -15,10 +15,11 @@ import org.apache.spark.unsafe.types.UTF8String
   *   - distinct preserves first-occurrence order (LinkedHashSet),
   *   - fewer than n tokens → empty array.
   * Replaces three split() evaluations plus two array materializations per
-  * row in the dedup pipeline's hottest path.
+  * row in the dedup pipeline's hottest path. Codegen emits one static call
+  * to the companion's `compute` kernel (stays inside WholeStageCodegen).
   */
 case class ShingleArray(child: Expression, n: Int = 3)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
 
@@ -32,8 +33,23 @@ case class ShingleArray(child: Expression, n: Int = 3)
           s"shingles needs a string input, got ${other.catalogString}")
     }
 
-  override def nullSafeEval(input: Any): Any = {
-    val words = input.asInstanceOf[UTF8String].toString.split(" ", -1)
+  override def nullSafeEval(input: Any): Any =
+    ShingleArray.compute(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.ShingleArray.compute($c, $n);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object ShingleArray {
+  import org.apache.spark.sql.graft.shims.{column, expression}
+
+  /** Static kernel, called from both interpreted eval and generated code. */
+  def compute(input: UTF8String, n: Int): ArrayData = {
+    val words = input.toString.split(" ", -1)
     if (words.length < n) return new GenericArrayData(Array.empty[Any])
     val seen = new java.util.LinkedHashSet[String]()
     val sb = new java.lang.StringBuilder(64)
@@ -55,13 +71,6 @@ case class ShingleArray(child: Expression, n: Int = 3)
     while (it.hasNext) { out(j) = UTF8String.fromString(it.next()); j += 1 }
     new GenericArrayData(out)
   }
-
-  override protected def withNewChildInternal(newChild: Expression): Expression =
-    copy(child = newChild)
-}
-
-object ShingleArray {
-  import org.apache.spark.sql.graft.shims.{column, expression}
 
   def shingles(text: Column, n: Int = 3): Column =
     column(ShingleArray(expression(text), n))

@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.trees.UnaryLike
 import org.apache.spark.sql.catalyst.util.ArrayData
@@ -170,9 +170,12 @@ case class SimHash60(child: Expression) extends Expression
   * per-row cost is nPlanes·dim multiply-adds instead of nPlanes·dim md5
   * calls. Fold order (i ascending per plane) matches the SQL sequential
   * fold → bit-identical buckets.
+  *
+  * Codegen: emits one static call to the companion's `bucket` kernel, so
+  * the expression stays inside the surrounding WholeStageCodegen span.
   */
 case class LshBucket(child: Expression, nPlanes: Int = 4)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = IntegerType
 
@@ -186,8 +189,23 @@ case class LshBucket(child: Expression, nPlanes: Int = 4)
           s"lsh_bucket needs array<float>, got ${other.catalogString}")
     }
 
-  override def nullSafeEval(v: Any): Any = {
-    val x = v.asInstanceOf[ArrayData]
+  override def nullSafeEval(v: Any): Any =
+    LshBucket.bucket(v.asInstanceOf[ArrayData], nPlanes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.LshBucket.bucket($c, $nPlanes);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object LshBucket {
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int), Array[Array[Double]]]()
+
+  /** Static kernel, called from both interpreted eval and generated code. */
+  def bucket(x: ArrayData, nPlanes: Int): Int = {
     val planes = LshBucket.planes(nPlanes, x.numElements())
     var bucket = 0
     var j = 0
@@ -204,14 +222,6 @@ case class LshBucket(child: Expression, nPlanes: Int = 4)
     }
     bucket
   }
-
-  override protected def withNewChildInternal(newChild: Expression): Expression =
-    copy(child = newChild)
-}
-
-object LshBucket {
-  private val cache =
-    new java.util.concurrent.ConcurrentHashMap[(Int, Int), Array[Array[Double]]]()
 
   /** plane[j][i] = top-60-bits(md5(s"${j}_${i+1}")) / 2^60 − 0.5 — matches
     * the inline SQL formulation over sequence(1, dim).

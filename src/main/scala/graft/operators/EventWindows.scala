@@ -108,11 +108,12 @@ object EventWindows {
       T(s, d, "events")
         .select($"event_id", unix_micros($"ts").as("ts_us"), $"user_id", $"event_type",
           dec($"value", 12, 2).as("v"))
+        .orderBy($"event_id")
     },
     Some("""
       SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type,
         CAST(value AS DECIMAL(12,2)) AS v
-      FROM events"""))
+      FROM events ORDER BY event_id"""))
 
   /** w05 — stream–static (side-input) join (NEXMark q13 / YSB campaign
     * join, reference query/q13.sql + benchmarks/src/ysb/ysb.sql:1-7):

@@ -1,9 +1,10 @@
 package graft.operators
 
 import graft.Q
-import graft.streaming.{Nexmark, StreamQueries}
+import graft.streaming.{Nexmark, StreamQueries, Ysb}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.TimestampType
 
 /** NEXMark q0–q13 as batch replays of the deterministic generator
   * (SURVEY §2.D query-to-capability matrix; reference SQL at
@@ -12,42 +13,198 @@ import org.apache.spark.sql.functions._
   * driven here over a fixed 100k-event replay exactly like the reference's
   * local query tests (flock/src/datasource/nexmark/queries/q*.rs).
   *
-  * No DuckDB oracle (the generator is Spark-side; DuckDB cannot re-derive
-  * the data), so the driver records rows-only checks; cross-engine value
-  * checking for these operator *shapes* is covered by the oracle-checked
-  * q/w/p/m catalog entries, and stream==batch equivalence is asserted in
-  * StreamingSpec.
+  * Oracle strategy (round-2): Verify materializes the generator tables to
+  * parquet (outDir/nx_input, substituted for `{NX}` below), so DuckDB
+  * replays the *identical* data and every query here is hash-checked
+  * against an independent SQL formulation of the reference semantics —
+  * except nx_q12, which is processing-time-windowed by construction.
+  *
+  * Output normalization for the cross-engine compare: TIMESTAMP columns
+  * become epoch-µs longs on both sides (Spark `unix_micros` == DuckDB
+  * `epoch_us`), and integer averages truncate toward zero on both sides
+  * (Spark `CAST(x AS LONG)` == DuckDB `CAST(trunc(x) AS BIGINT)` for the
+  * non-negative sums here).
   */
 object NexmarkBatch {
-  private val N = 100000L
+  /** Fixed replay length; Verify dumps the generator tables at the same N
+    * so the DuckDB oracles replay identical data.
+    */
+  val N = 100000L
 
   private def bids(s: SparkSession) = Nexmark.bids(s, N)
   private def auctions(s: SparkSession) = Nexmark.auctions(s, N)
   private def persons(s: SparkSession) = Nexmark.persons(s, N)
 
-  private def entry(name: String)(f: SparkSession => DataFrame): Q =
-    Q(name, (s, _) => f(s), None)
+  // Oracle-side table refs over the Verify-dumped generator parquet.
+  private val B = "read_parquet('{NX}/bids/*.parquet')"
+  private val A = "read_parquet('{NX}/auctions/*.parquet')"
+  private val P = "read_parquet('{NX}/persons/*.parquet')"
+  private val S = "read_parquet('{NX}/side/*.parquet')"
+  private val AD = "read_parquet('{NX}/ad_events/*.parquet')"
+  private val C = "read_parquet('{NX}/campaigns/*.parquet')"
+
+  /** TIMESTAMP output columns → epoch-µs longs, names unchanged. */
+  private def usNormalize(df: DataFrame): DataFrame =
+    df.select(df.schema.fields.toSeq.map { f =>
+      f.dataType match {
+        case TimestampType => unix_micros(col(f.name)).as(f.name)
+        case _ => col(f.name)
+      }
+    }: _*)
+
+  private def entry(name: String, oracle: Option[String] = None)(
+      f: SparkSession => DataFrame): Q =
+    Q(name, (s, _) => usNormalize(f(s)), oracle)
 
   val all: Seq[Q] = Seq(
-    entry("nx_q0_passthrough")(s => StreamQueries.q0(bids(s))),
-    entry("nx_q1_currency")(s => StreamQueries.q1(bids(s))),
-    entry("nx_q2_selection")(s => StreamQueries.q2(bids(s))),
-    entry("nx_q3_local_item")(s => StreamQueries.q3(auctions(s), persons(s))),
-    entry("nx_q4_avg_winning_bid")(s => StreamQueries.q4(bids(s), auctions(s))),
-    entry("nx_q5_hot_items")(s => StreamQueries.q5(bids(s))),
-    entry("nx_q6_avg_seller_price")(s => StreamQueries.q6(bids(s), auctions(s))),
-    entry("nx_q7_highest_bid")(s => StreamQueries.q7(bids(s))),
-    entry("nx_q8_monitor_new_users")(s => StreamQueries.q8(persons(s), auctions(s))),
-    entry("nx_q9_winning_bids")(s => StreamQueries.q9(bids(s), auctions(s))),
-    entry("nx_q11_bid_sessions")(s => StreamQueries.q11(bids(s))),
+    // q0 — passthrough (query/q0.sql).
+    entry("nx_q0_passthrough", Some(s"""
+      SELECT auction, bidder, price, epoch_us(b_date_time) AS b_date_time
+      FROM $B"""))(s => StreamQueries.q0(bids(s))),
+
+    // q1 — currency conversion (query/q1.sql): 0.908 * price, truncated.
+    entry("nx_q1_currency", Some(s"""
+      SELECT auction, bidder, CAST(trunc(price * 0.908) AS BIGINT) AS price_eur,
+        epoch_us(b_date_time) AS b_date_time
+      FROM $B"""))(s => StreamQueries.q1(bids(s))),
+
+    // q2 — selection auction % 123 = 0 (query/q2.sql).
+    entry("nx_q2_selection", Some(s"""
+      SELECT auction, price FROM $B WHERE auction % 123 = 0"""))(
+      s => StreamQueries.q2(bids(s))),
+
+    // q3 — local item suggestion (query/q3.sql).
+    entry("nx_q3_local_item", Some(s"""
+      SELECT name, city, state, a_id
+      FROM $A a JOIN $P p ON seller = p_id
+      WHERE category = 3 AND state IN ('or', 'id', 'ca')"""))(
+      s => StreamQueries.q3(auctions(s), persons(s))),
+
+    // q4 — average winning bid per category (query/q4.sql).
+    entry("nx_q4_avg_winning_bid", Some(s"""
+      WITH winning AS (
+        SELECT a_id, category, MAX(price) AS final_price
+        FROM $B b JOIN $A a ON b.auction = a.a_id
+          AND b.b_date_time BETWEEN a.a_date_time AND a.expires
+        GROUP BY a_id, category)
+      SELECT category,
+        CAST(trunc(CAST(SUM(final_price) AS DOUBLE) / COUNT(*)) AS BIGINT) AS avg_final_price
+      FROM winning GROUP BY category"""))(
+      s => StreamQueries.q4(bids(s), auctions(s))),
+
+    // q5 — hot items, Hopping(10 s, 5 s) + top auction per window (query/q5.sql).
+    entry("nx_q5_hot_items", Some(s"""
+      WITH c AS (
+        SELECT ((epoch_us(b_date_time) // 5000000) - k) * 5000000 AS win_start,
+          auction, COUNT(*) AS n_bids
+        FROM $B CROSS JOIN (VALUES (0), (1)) ks(k)
+        GROUP BY win_start, auction),
+      r AS (
+        SELECT win_start, auction, n_bids,
+          ROW_NUMBER() OVER (PARTITION BY win_start
+                             ORDER BY n_bids DESC, auction) AS rk
+        FROM c)
+      SELECT win_start, auction, n_bids FROM r WHERE rk = 1"""))(
+      s => StreamQueries.q5(bids(s))),
+
+    // q6 — avg of last 10 winning bids per seller (query/q6.sql).
+    entry("nx_q6_avg_seller_price", Some(s"""
+      WITH j AS (
+        SELECT a.a_id, a.seller, b.price, b.b_date_time,
+          ROW_NUMBER() OVER (PARTITION BY a.a_id
+                             ORDER BY b.price DESC, b.b_date_time) AS rk_bid
+        FROM $B b JOIN $A a ON b.auction = a.a_id
+          AND b.b_date_time BETWEEN a.a_date_time AND a.expires),
+      w AS (SELECT seller, price, b_date_time, a_id FROM j WHERE rk_bid = 1),
+      r AS (
+        SELECT seller, price,
+          ROW_NUMBER() OVER (PARTITION BY seller
+                             ORDER BY b_date_time DESC, a_id) AS rk_recent
+        FROM w)
+      SELECT seller,
+        CAST(trunc(CAST(SUM(price) AS DOUBLE) / COUNT(*)) AS BIGINT) AS avg_last10_price
+      FROM r WHERE rk_recent <= 10 GROUP BY seller"""))(
+      s => StreamQueries.q6(bids(s), auctions(s))),
+
+    // q7 — highest bid per Tumbling(10 s) window (query/q7.sql); ties all emit.
+    entry("nx_q7_highest_bid", Some(s"""
+      WITH b AS (
+        SELECT (epoch_us(b_date_time) // 10000000) * 10000000 AS win_start,
+          auction, bidder, price
+        FROM $B),
+      m AS (SELECT win_start, MAX(price) AS max_price FROM b GROUP BY win_start)
+      SELECT b.win_start, auction, bidder, price
+      FROM b JOIN m ON b.win_start = m.win_start AND price = max_price"""))(
+      s => StreamQueries.q7(bids(s))),
+
+    // q8 — monitor new users: persons ⋈ sellers in the same window (query/q8.sql).
+    entry("nx_q8_monitor_new_users", Some(s"""
+      WITH p AS (
+        SELECT DISTINCT (epoch_us(p_date_time) // 10000000) * 10000000 AS win_start,
+          p_id, name
+        FROM $P),
+      a AS (
+        SELECT DISTINCT (epoch_us(a_date_time) // 10000000) * 10000000 AS win_start,
+          seller
+        FROM $A)
+      SELECT p.win_start, p_id, name
+      FROM p JOIN a ON p_id = seller AND p.win_start = a.win_start"""))(
+      s => StreamQueries.q8(persons(s), auctions(s))),
+
+    // q9 — winning bid per auction (query/q9.sql); b_date_time is unique per
+    // bid (generator injects id-distinct ms offsets), so rk ties are impossible.
+    entry("nx_q9_winning_bids", Some(s"""
+      WITH j AS (
+        SELECT a.a_id, a.category, b.bidder, b.price, b.b_date_time,
+          ROW_NUMBER() OVER (PARTITION BY a.a_id
+                             ORDER BY b.price DESC, b.b_date_time) AS rk
+        FROM $B b JOIN $A a ON b.auction = a.a_id
+          AND b.b_date_time BETWEEN a.a_date_time AND a.expires)
+      SELECT a_id, category, bidder, price, epoch_us(b_date_time) AS b_date_time
+      FROM j WHERE rk = 1"""))(
+      s => StreamQueries.q9(bids(s), auctions(s))),
+
+    // q11 — bids per bidder per Session(10 s) (query/q11.sql). Session
+    // islands use >= gap (Spark session_window semantics; see w03).
+    entry("nx_q11_bid_sessions", Some(s"""
+      WITH e AS (SELECT bidder, epoch_us(b_date_time) AS us, price FROM $B),
+      m AS (
+        SELECT bidder, us, price,
+          CASE WHEN LAG(us) OVER w IS NULL
+               OR us - LAG(us) OVER w >= 10000000 THEN 1 ELSE 0 END AS new_s
+        FROM e WINDOW w AS (PARTITION BY bidder ORDER BY us)),
+      g AS (
+        SELECT bidder, us, price,
+          SUM(new_s) OVER (PARTITION BY bidder ORDER BY us
+                           ROWS UNBOUNDED PRECEDING) AS sid
+        FROM m)
+      SELECT bidder, MIN(us) AS session_start, MAX(us) + 10000000 AS session_end,
+        COUNT(*) AS n_bids, MIN(price) AS min_price, MAX(price) AS max_price
+      FROM g GROUP BY bidder, sid"""))(
+      s => StreamQueries.q11(bids(s))),
+
+    // q12 — processing-time windows: no oracle by construction (p-time);
+    // aggregated to deterministic per-bidder counts for the rows-only check.
     entry("nx_q12_ptime_windows")(s =>
       StreamQueries.q12(bids(s)).toDF()
         .groupBy(col("bidder")).agg(sum(col("nBids")).as("n_bids"))
         .orderBy(col("bidder"))),
-    entry("nx_q13_side_input")(s =>
-      StreamQueries.q13(bids(s), Nexmark.sideInput(s))),
-    entry("nx_ysb_campaigns")(s =>
-      graft.streaming.Ysb.query(
-        graft.streaming.Ysb.adEvents(s, N), graft.streaming.Ysb.campaigns(s))
+
+    // q13 — bounded side-input join (query/q13.sql).
+    entry("nx_q13_side_input", Some(s"""
+      SELECT auction, bidder, price, value
+      FROM $B b JOIN $S s ON auction % 1000 = key"""))(
+      s => StreamQueries.q13(bids(s), Nexmark.sideInput(s))),
+
+    // YSB — filter view events, join ad→campaign, count per campaign per
+    // Tumbling(10 s) window (benchmarks/src/ysb/ysb.sql).
+    entry("nx_ysb_campaigns", Some(s"""
+      WITH v AS (
+        SELECT (epoch_us(event_time) // 10000000) * 10000000 AS win_start, ad_id
+        FROM $AD WHERE event_type = 'view')
+      SELECT win_start, campaign_id, COUNT(*) AS n_views
+      FROM v JOIN $C ON ad_id = c_ad_id
+      GROUP BY win_start, campaign_id"""))(s =>
+      Ysb.query(Ysb.adEvents(s, N), Ysb.campaigns(s))
         .orderBy(col("win_start"), col("campaign_id"))))
 }

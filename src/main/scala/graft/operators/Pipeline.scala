@@ -192,17 +192,17 @@ object Pipeline {
       SELECT doc_id, CAST(length($shinglesSqlDuck) AS INT) AS n_shingles
       FROM documents ORDER BY doc_id"""))
 
-  /** MinHash signature k=4 via the one-md5 scheme: md5 is computed ONCE per
+  /** MinHash signature via the one-md5 scheme: md5 is computed ONCE per
     * shingle, split into two independent 60-bit halves (h1, h2), and the k
     * permutations are h1 ^ (i·h2) — the standard double-hashing trick
     * (Spark `^` == DuckDB `xor`; i·h2 < 2^62, no overflow). The whole
     * split→shingle→md5→min chain runs as ONE native expression
-    * (functions.MinHashShingleSig) instead of four HOF array pipelines;
+    * (functions.MinHashShingleSig) instead of k HOF array pipelines;
     * requires a `text` column on the input.
     */
-  private def withMinhash(df: DataFrame): DataFrame = {
-    val sig = graft.functions.MinHashShingleSig.minhash_sig(col("text"))
-    val sigs = (0 until 4).map(i => element_at(col("sig"), i + 1).as(s"m$i"))
+  private def withMinhash(df: DataFrame, k: Int = 4): DataFrame = {
+    val sig = graft.functions.MinHashShingleSig.minhash_sig(col("text"), k)
+    val sigs = (0 until k).map(i => element_at(col("sig"), i + 1).as(s"m$i"))
     df.withColumn("sig", sig)
       .select((col("doc_id") +: col("sh") +: sigs): _*)
   }
@@ -227,35 +227,57 @@ object Pipeline {
       WITH sh AS (SELECT doc_id, $shinglesSqlDuck AS sh FROM documents)
       SELECT doc_id, ${minhashSqlDuck("sh")} FROM sh ORDER BY doc_id"""))
 
-  /** p08 — MinHash LSH candidate pairs + exact Jaccard verify: band the
-    * signature (4 bands × 1 row), bucket-join on (band, value), then verify
-    * candidates with exact Jaccard on the distinct shingle sets.
-    * At scale this is the standard topology: the only shuffle is on the
-    * band-bucket key; the verify join touches candidate pairs only.
+  /** MinHash-LSH near-dup candidate pairs + exact Jaccard verify,
+    * parameterized by `bands` × `rowsPerBand` (signature length k =
+    * bands·rowsPerBand; tune the S-curve threshold ≈ (1/bands)^(1/rows)).
+    * Band the signature, bucket-join on (band, key) — key is the band's
+    * value slice (a scalar when rowsPerBand = 1, an array otherwise; both
+    * hash-join fine) — then verify candidates with exact Jaccard on the
+    * distinct shingle sets. At scale this is the standard topology: the
+    * only wide op is the shuffle on the band-bucket key; the verify join
+    * touches candidate pairs only.
+    *
+    * No executor-cache persist (round-1 finding: a leaked `.persist`).
+    * The signature scan appears three times in the plan, but the shuffled
+    * sides are identical so Spark's ReusedExchange computes it once per
+    * shuffle key; at 100 TB the durable form of this reuse is a checkpoint
+    * to parquet, not executor memory.
+    */
+  def minhashLshPairs(s: SparkSession, d: String,
+      bands: Int = 4, rowsPerBand: Int = 1): DataFrame = {
+    import s.implicits._
+    val k = bands * rowsPerBand
+    val sigs = withMinhash(
+      T(s, d, "documents").select($"doc_id", $"text", shinglesCol.as("sh")), k)
+    val bandKey = (b: Int) =>
+      if (rowsPerBand == 1) col(s"m$b")
+      else array((0 until rowsPerBand).map(r => col(s"m${b * rowsPerBand + r}")): _*)
+    val bandsDf = sigs.select($"doc_id",
+      explode(array((0 until bands).map(b =>
+        struct(lit(b).as("band"), bandKey(b).as("h"))): _*)).as("bk"))
+      .select($"doc_id", $"bk.band".as("band"), $"bk.h".as("h"))
+    val cand = bandsDf.as("a").join(bandsDf.as("b"),
+        col("a.band") === col("b.band") && col("a.h") === col("b.h") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+    val sh = sigs.select($"doc_id", $"sh")
+    cand
+      .join(sh.withColumnRenamed("doc_id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
+      .join(sh.withColumnRenamed("doc_id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+      .select($"id_a", $"id_b",
+        dec(size(array_intersect($"sh_a", $"sh_b")).cast(DoubleType) /
+          (size($"sh_a") + size($"sh_b") - size(array_intersect($"sh_a", $"sh_b")))
+            .cast(DoubleType), 18, 6).as("jaccard"))
+      .orderBy($"id_a", $"id_b")
+  }
+
+  /** p08 — the catalog entry runs the 4×1 configuration (oracle mirrors it
+    * with a UNION-ALL band stack).
     */
   private val p08 = Q(
     "p08_minhash_lsh_pairs",
-    (s, d) => {
-      import s.implicits._
-      val sigs = withMinhash(T(s, d, "documents").select($"doc_id", $"text", shinglesCol.as("sh")))
-        .persist()
-      val bands = sigs.select($"doc_id",
-          expr("stack(4, 0, m0, 1, m1, 2, m2, 3, m3) AS (band, h)"))
-      val cand = bands.as("a").join(bands.as("b"),
-          col("a.band") === col("b.band") && col("a.h") === col("b.h") &&
-            col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-        .distinct()
-      val sh = sigs.select($"doc_id", $"sh")
-      cand
-        .join(sh.withColumnRenamed("doc_id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
-        .join(sh.withColumnRenamed("doc_id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
-        .select($"id_a", $"id_b",
-          dec(size(array_intersect($"sh_a", $"sh_b")).cast(DoubleType) /
-            (size($"sh_a") + size($"sh_b") - size(array_intersect($"sh_a", $"sh_b")))
-              .cast(DoubleType), 18, 6).as("jaccard"))
-        .orderBy($"id_a", $"id_b")
-    },
+    (s, d) => minhashLshPairs(s, d, bands = 4, rowsPerBand = 1),
     Some(s"""
       WITH sh AS (SELECT doc_id, $shinglesSqlDuck AS sh FROM documents),
       sigs AS (SELECT doc_id, sh, ${minhashSqlDuck("sh")} FROM sh),
@@ -454,8 +476,11 @@ object Pipeline {
     * approx_percentile next to their exact counterparts. At 100 TB the
     * sketches are the only viable form (fixed-size state, mergeable across
     * partitions); the exact columns let the spec bound the error. No
-    * DuckDB oracle — HLL implementations differ across engines — so the
-    * driver records a rows-only check and SketchSpec asserts error bounds.
+    * DuckDB oracle — HLL/percentile sketch implementations differ across
+    * engines — so the driver records a rows-only check and SketchSpec
+    * asserts error bounds. The percentiles are three scalar columns (not
+    * one ARRAY column): the driver's pandas-side row sorter can't hash
+    * numpy arrays.
     */
   private val p14 = Q(
     "p14_approx_sketches",
@@ -466,9 +491,15 @@ object Pipeline {
         .agg(
           countDistinct($"user_id").as("exact_users"),
           approx_count_distinct($"user_id", 0.02).as("approx_users"),
+          // ONE percentile sketch per group; the scalars project out of it.
           expr("approx_percentile(value, array(0.5, 0.95, 0.99), 1000)")
-            .as("value_pcts"),
+            .as("pcts"),
           count(lit(1)).as("n"))
+        .select($"event_type", $"exact_users", $"approx_users",
+          element_at($"pcts", 1).as("value_p50"),
+          element_at($"pcts", 2).as("value_p95"),
+          element_at($"pcts", 3).as("value_p99"),
+          $"n")
         .orderBy($"event_type")
     },
     None)

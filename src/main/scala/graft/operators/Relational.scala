@@ -77,11 +77,12 @@ object Relational {
         $"l_orderkey",
         $"l_linenumber",
         dec(price($"l_extendedprice") * dec(lit(0.908), 5, 3), 18, 5).as("eur_price"))
+        .orderBy($"l_orderkey", $"l_linenumber")
     },
     Some("""
       SELECT l_orderkey, l_linenumber,
         CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(0.908 AS DECIMAL(5,3)) AS DECIMAL(18,5)) AS eur_price
-      FROM lineitem"""))
+      FROM lineitem ORDER BY l_orderkey, l_linenumber"""))
 
   /** q03 — filter with modulo predicate (NEXMark q2 `auction % 123 = 0`,
     * reference query/q2.sql; plan planner.rs:122. SURVEY §2.A row 4).
@@ -227,13 +228,15 @@ object Relational {
         .filter($"o_orderdate" >= lit("2001-01-01").cast(TimestampType))
       cust.join(ord, $"c_custkey" === $"o_custkey", "left_anti")
         .select($"c_custkey", $"c_name", dec($"c_acctbal", 12, 2).as("acctbal"))
+        .orderBy($"c_custkey")
     },
     Some("""
       SELECT c_custkey, c_name, CAST(c_acctbal AS DECIMAL(12,2)) AS acctbal
       FROM customer
       WHERE c_acctbal > 0
         AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
-                        AND o_orderdate >= TIMESTAMP '2001-01-01 00:00:00')"""))
+                        AND o_orderdate >= TIMESTAMP '2001-01-01 00:00:00')
+      ORDER BY c_custkey"""))
 
   /** q09 — CASE WHEN inside aggregation + conditional share ratio (TPC-H
     * Q8/Q14 family; SURVEY §2.A rows 18/19).
@@ -377,11 +380,17 @@ object Relational {
     "q14_small_qty_orders",
     (s, d) => {
       import s.implicits._
-      val li = T(s, d, "lineitem")
+      // Scale note: p_partkey → p_brand is 1:1, so semi-joining lineitem
+      // against the brand's partkeys BEFORE the per-partkey aggregate is
+      // exactly TPC-H Q17's correlated average — but the aggregate now runs
+      // over the ~1% brand subset instead of the whole fact table (Catalyst
+      // can't push the brand filter through the aggregate by itself).
       val brandParts = T(s, d, "part").filter($"p_brand" === "Brand#23").select($"p_partkey")
-      val avgQty = li.groupBy($"l_partkey".as("ak"))
+      val liBrand = T(s, d, "lineitem")
+        .join(broadcast(brandParts), $"l_partkey" === $"p_partkey", "left_semi")
+      val avgQty = liBrand.groupBy($"l_partkey".as("ak"))
         .agg((lit(0.2) * sum($"l_quantity") / count(lit(1))).as("qty_threshold"))
-      li.join(broadcast(brandParts), $"l_partkey" === $"p_partkey")
+      liBrand
         .join(avgQty, $"l_partkey" === $"ak")
         .filter($"l_quantity" < $"qty_threshold")
         .agg(dec(sum(price($"l_extendedprice")), 38, 2).as("total_price"),
@@ -405,9 +414,10 @@ object Relational {
       import s.implicits._
       val w = Window.partitionBy($"o_custkey").orderBy($"o_totalprice".desc, $"o_orderkey")
       T(s, d, "orders")
-        .withColumn("rn", row_number().over(w))
+        .withColumn("rn", row_number().over(w).cast(LongType))
         .filter($"rn" <= 3)
         .select($"o_custkey", $"o_orderkey", dec($"o_totalprice", 12, 2).as("totalprice"), $"rn")
+        .orderBy($"o_custkey", $"o_orderkey")
     },
     Some("""
       SELECT o_custkey, o_orderkey, CAST(o_totalprice AS DECIMAL(12,2)) AS totalprice, rn
@@ -415,7 +425,7 @@ object Relational {
               ROW_NUMBER() OVER (PARTITION BY o_custkey
                                  ORDER BY o_totalprice DESC, o_orderkey) AS rn
             FROM orders) t
-      WHERE rn <= 3"""))
+      WHERE rn <= 3 ORDER BY o_custkey, o_orderkey"""))
 
   /** q16 — COUNT(DISTINCT …) multi-column (reference window/session.rs:
     * 235-247 uses count_distinct to size windows; SURVEY §2.A row 11).
@@ -718,9 +728,9 @@ object Relational {
           lag($"o_orderkey", 1).over(w).as("prev_order"),
           lead($"o_orderkey", 1).over(w).as("next_order"),
           rank().over(Window.partitionBy($"o_custkey")
-            .orderBy($"o_orderpriority", $"o_orderkey")).as("prio_rank"),
+            .orderBy($"o_orderpriority", $"o_orderkey")).cast(LongType).as("prio_rank"),
           dense_rank().over(Window.partitionBy($"o_custkey")
-            .orderBy($"o_orderpriority")).as("prio_dense"),
+            .orderBy($"o_orderpriority")).cast(LongType).as("prio_dense"),
           dec(sum(dec($"o_totalprice", 12, 2))
             .over(w.rowsBetween(Window.unboundedPreceding, 0)), 38, 2)
             .as("running_total"))

@@ -26,17 +26,28 @@ import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
   * (callers sort the — much smaller — output if they need order). The
   * ordering should be total per key (include a tiebreak) for deterministic
   * results.
+  *
+  * Memory contract: state is k × distinct-keys-per-partition, which is the
+  * operator's reason to exist — but it does NOT spill. `maxKeysPerPartition`
+  * (default 2^20) guards the contract: a partition that exceeds it fails
+  * fast with a clear message (raise the bound, repartition wider, or use
+  * the window-rank formulation, which sorts and therefore spills) instead
+  * of OOMing the executor mid-stage.
   */
 case class TopKPerKey(keys: Seq[Expression], order: Seq[SortOrder], k: Int,
-    child: LogicalPlan) extends UnaryNode {
+    child: LogicalPlan,
+    maxKeysPerPartition: Int = TopK.DefaultMaxKeysPerPartition) extends UnaryNode {
   require(k > 0, "k must be positive")
+  require(maxKeysPerPartition > 0, "maxKeysPerPartition must be positive")
   override def output: Seq[Attribute] = child.output
   override protected def withNewChildInternal(newChild: LogicalPlan): LogicalPlan =
     copy(child = newChild)
 }
 
 case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder], k: Int,
-    child: SparkPlan) extends UnaryExecNode {
+    child: SparkPlan,
+    maxKeysPerPartition: Int = TopK.DefaultMaxKeysPerPartition)
+    extends UnaryExecNode {
   override def output: Seq[Attribute] = child.output
   override def outputPartitioning: Partitioning = child.outputPartitioning
   override def requiredChildDistribution: Seq[Distribution] =
@@ -56,11 +67,20 @@ case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder], k: Int,
       val cmp = new java.util.Comparator[InternalRow] {
         override def compare(a: InternalRow, b: InternalRow): Int = ord.compare(b, a)
       }
+      val maxKeys = maxKeysPerPartition
       while (iter.hasNext) {
         val row = iter.next()
         val key = keyProj(row)
         var heap = heaps.get(key)
         if (heap == null) {
+          if (heaps.size() >= maxKeys) {
+            throw new org.apache.spark.SparkException(
+              s"TopKPerKey: partition exceeded maxKeysPerPartition=$maxKeys " +
+                s"distinct keys (state is k × keys and does not spill). " +
+                s"Raise the bound via TopK.perKey(..., maxKeysPerPartition=), " +
+                s"repartition into more partitions, or use the window-rank " +
+                s"formulation (sorts, spills).")
+          }
           heap = new java.util.PriorityQueue[InternalRow](limit + 1, cmp)
           heaps.put(key.copy(), heap)
         }
@@ -83,8 +103,8 @@ case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder], k: Int,
 /** Planner strategy for graft's custom logical operators. */
 object GraftStrategies extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case TopKPerKey(keys, order, k, child) =>
-      TopKPerKeyExec(keys, order, k, planLater(child)) :: Nil
+    case TopKPerKey(keys, order, k, child, maxKeys) =>
+      TopKPerKeyExec(keys, order, k, planLater(child), maxKeys) :: Nil
     case _ => Nil
   }
 }
@@ -94,9 +114,16 @@ object GraftStrategies extends SparkStrategy {
   * GraftExtensions' injectPlannerStrategy instead).
   */
 object TopK {
+  /** Default per-partition distinct-key guard: at k ≈ 3 and ~100-byte rows
+    * this caps heap state near 300 MB/partition — under a typical executor
+    * task budget, far past any sane use of the operator.
+    */
+  val DefaultMaxKeysPerPartition: Int = 1 << 20
+
   import org.apache.spark.sql.graft.shims
 
-  def perKey(df: DataFrame, keys: Seq[Column], order: Seq[Column], k: Int): DataFrame = {
+  def perKey(df: DataFrame, keys: Seq[Column], order: Seq[Column], k: Int,
+      maxKeysPerPartition: Int = DefaultMaxKeysPerPartition): DataFrame = {
     val spark = df.sparkSession
     shims.addStrategy(spark, GraftStrategies)
     val sortOrders = order.map(c => shims.expression(c) match {
@@ -105,6 +132,6 @@ object TopK {
     })
     shims.ofRows(spark,
       TopKPerKey(keys.map(shims.expression), sortOrders, k,
-        shims.logicalPlan(df)))
+        shims.logicalPlan(df), maxKeysPerPartition))
   }
 }

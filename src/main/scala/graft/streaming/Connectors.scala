@@ -9,12 +9,18 @@ import org.apache.spark.sql.types._
   * reference flock/src/datasource/{kafka,kinesis,sqs}.rs). This offline
   * environment ships no connector jars and has zero egress, so these
   * builders configure the reader without calling `.load()` — deploying
-  * clusters add `spark-sql-kafka-0-10` (or the Kinesis connector) to the
-  * classpath and call `.load()` on the returned reader.
+  * clusters add `spark-sql-kafka-0-10` / `spark-streaming-sql-kinesis`
+  * to the classpath and call `.load()` on the returned reader.
+  *
+  * The decode chains are transport-independent pure-column transforms
+  * (tested in SinksSpec over synthesized payload frames): every transport
+  * lands on the same `bid` schema, mirroring how the reference funnels all
+  * sources into one Arrow RecordBatch shape.
   */
 object Connectors {
   /** Kafka bid-event source (reference kafka.rs:1-165): JSON payloads on a
-    * topic → the NEXMark `bid` schema via from_json.
+    * topic → the NEXMark `bid` schema via from_json. Payload column: `value`
+    * (binary).
     */
   def kafkaReader(spark: SparkSession, bootstrapServers: String,
       topic: String): DataStreamReader =
@@ -23,17 +29,55 @@ object Connectors {
       .option("subscribe", topic)
       .option("startingOffsets", "latest")
 
+  /** Kinesis bid-event source (reference kinesis.rs:31-45 KinesisSource
+    * {stream_name, window}): the Spark Kinesis connector exposes records as
+    * `data` (binary), `partitionKey`, `sequenceNumber`,
+    * `approximateArrivalTimestamp` — decode `data` with
+    * [[decodeBidPayload]]. TRIM_HORIZON mirrors the reference's
+    * replay-from-start local tests.
+    */
+  def kinesisReader(spark: SparkSession, streamName: String,
+      region: String, endpointUrl: Option[String] = None): DataStreamReader = {
+    val r = spark.readStream.format("kinesis")
+      .option("streamName", streamName)
+      .option("region", region)
+      .option("initialPosition", "TRIM_HORIZON")
+    endpointUrl.fold(r)(u => r.option("endpointUrl", u))
+  }
+
+  /** SQS payload source (reference sqs.rs; datasink/mod.rs lists SQS as a
+    * queue transport): Spark has no first-party SQS source, so the
+    * deployment shape is the S3-notification pattern — SQS carries object
+    * notifications and the payload files land on S3, consumed by a
+    * replayable file source (exactly-once, SinksSpec checkpoint test). For
+    * direct message bodies, the `body` string column decodes through the
+    * same chain.
+    */
+  def sqsBackedFileReader(spark: SparkSession, schema: StructType,
+      path: String): DataStreamReader =
+    spark.readStream.schema(schema).format("json")
+      .option("maxFilesPerTrigger", 64) // bounded micro-batches at scale
+
   val bidJsonSchema: StructType = StructType(Seq(
     StructField("auction", IntegerType),
     StructField("bidder", IntegerType),
     StructField("price", IntegerType),
     StructField("b_date_time", TimestampType)))
 
-  /** Decode a Kafka `value` column (JSON bytes) into bid rows — the same
-    * transform chain whatever the transport.
+  /** Decode a JSON payload column (bytes or string) into bid rows — the
+    * same transform chain whatever the transport.
     */
-  def decodeBidJson(raw: DataFrame): DataFrame =
-    raw.select(from_json(col("value").cast(StringType), bidJsonSchema).as("b"))
+  def decodeBidPayload(raw: DataFrame, payloadCol: String): DataFrame =
+    raw.select(from_json(col(payloadCol).cast(StringType), bidJsonSchema).as("b"))
       .select(col("b.auction"), col("b.bidder"), col("b.price"),
         col("b.b_date_time"))
+
+  /** Kafka: payload arrives in `value`. */
+  def decodeBidJson(raw: DataFrame): DataFrame = decodeBidPayload(raw, "value")
+
+  /** Kinesis: payload arrives in `data`. */
+  def decodeBidKinesis(raw: DataFrame): DataFrame = decodeBidPayload(raw, "data")
+
+  /** SQS message body: payload arrives in `body`. */
+  def decodeBidSqs(raw: DataFrame): DataFrame = decodeBidPayload(raw, "body")
 }

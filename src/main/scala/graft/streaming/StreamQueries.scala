@@ -46,6 +46,30 @@ object StreamQueries {
         col("seller") === col("p_id"))
       .select(col("name"), col("city"), col("state"), col("a_id"))
 
+  /** q3 deployed on live streams with BOUNDED state: the plain q3 join is
+    * correct but keeps every person row in the join state forever (a person
+    * may sell at any later time — the reference's generators share that
+    * unbounded-state semantics). For a production stream, bound retention
+    * with watermarks plus an event-time constraint: only auctions listed
+    * within `horizon` of the person's registration match, which lets Spark
+    * evict person state older than horizon + watermark delay and auction
+    * state older than the watermark. Choose horizon ≥ the max
+    * registration→listing lag you care about; matches outside it are
+    * consciously dropped (that's the state/recall trade every bounded
+    * stream join makes).
+    */
+  def q3Bounded(auctions: DataFrame, persons: DataFrame,
+      horizon: String = "1 hour", watermarkDelay: String = "10 seconds"): DataFrame = {
+    val a = auctions.withWatermark("a_date_time", watermarkDelay)
+    val p = persons.withWatermark("p_date_time", watermarkDelay)
+    a.filter(col("category") === 3)
+      .join(p.filter(col("state").isin("or", "id", "ca")),
+        col("seller") === col("p_id") &&
+          col("a_date_time") >= col("p_date_time") &&
+          col("a_date_time") <= col("p_date_time") + expr(s"INTERVAL $horizon"))
+      .select(col("name"), col("city"), col("state"), col("a_id"))
+  }
+
   /** q4 — average winning bid per category: equi-join with range residual
     * (bid time within auction validity), argmax per auction, avg per
     * category (query/q4.sql). Two-level aggregation after the join.

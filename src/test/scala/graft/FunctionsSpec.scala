@@ -50,6 +50,42 @@ class FunctionsSpec extends AnyFunSuite {
     assert(bad.forall(_ == 0), s"minhash mismatch counts: $bad")
   }
 
+  test("minhash LSH banding is parameterizable; multi-row bands are stricter") {
+    // 2 bands × 2 rows: a pair is a candidate only when a FULL band (two
+    // consecutive minhashes) matches — a subset of the 4×1 candidates,
+    // which match on any single value. Exercises the array band-key path.
+    val p41 = graft.operators.Pipeline.minhashLshPairs(spark, sf, 4, 1)
+      .select($"id_a".cast("long"), $"id_b".cast("long")).as[(Long, Long)].collect().toSet
+    val p22 = graft.operators.Pipeline.minhashLshPairs(spark, sf, 2, 2)
+      .select($"id_a".cast("long"), $"id_b".cast("long")).as[(Long, Long)].collect().toSet
+    assert(p22.subsetOf(p41), s"2x2 pairs not a subset of 4x1: ${p22 -- p41}")
+    assert(p41.nonEmpty)
+  }
+
+  test("shingles / minhash / lsh_bucket stay inside whole-stage codegen") {
+    // Round-1 finding: CodegenFallback forced interpreted per-row calls.
+    // The static-helper codegen must keep the projection in a single
+    // WholeStageCodegen stage with no fallback marker.
+    val docs = Tables.load(spark, sf, "documents")
+      .select(graft.functions.ShingleArray.shingles($"text").as("sh"),
+        MinHashShingleSig.minhash_sig($"text").as("sig"))
+    val emb = Tables.load(spark, sf, "embeddings")
+      .select(VectorFunctions.lsh_bucket($"embedding").as("b"))
+    for (df <- Seq(docs, emb)) {
+      val codegenProjects = df.queryExecution.executedPlan.collect {
+        case w: org.apache.spark.sql.execution.WholeStageCodegenExec
+            if w.collectLeaves().nonEmpty => w
+      }
+      assert(codegenProjects.nonEmpty,
+        s"no WholeStageCodegen stage:\n${df.queryExecution.executedPlan}")
+      // The custom expressions must sit INSIDE the codegen stage (rendered
+      // with the *(n) fused prefix), not in a fallback Project outside it.
+      val s = df.queryExecution.executedPlan.toString()
+      assert(s.contains("*(1) Project"), s"projection not fused:\n$s")
+      assert(df.count() > 0)
+    }
+  }
+
   test("functions are callable from SQL after registration") {
     GraftExtensions.register(spark)
     Tables.registerAll(spark, sf)

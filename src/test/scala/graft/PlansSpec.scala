@@ -36,6 +36,26 @@ class PlansSpec extends AnyFunSuite {
       s"expected exactly one exchange:\n$s")
   }
 
+  test("TopKPerKey guards per-partition key cardinality instead of OOMing") {
+    // 1500 distinct keys in one partition vs a 1000-key guard: the task
+    // must fail fast with the actionable message, not degrade silently.
+    val wide = spark.range(0, 1500).select(
+      $"id".as("o_custkey"), $"id".as("o_orderkey"),
+      ($"id" % 7).cast("double").as("o_totalprice")).coalesce(1)
+    val guarded = TopK.perKey(wide, Seq($"o_custkey"),
+      Seq($"o_totalprice".desc, $"o_orderkey".asc), 2,
+      maxKeysPerPartition = 1000)
+    val ex = intercept[Exception](guarded.count())
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else t.getMessage +: messages(t.getCause)
+    assert(messages(ex).exists(m => m != null && m.contains("maxKeysPerPartition")),
+      s"guard message missing: ${ex.getMessage}")
+    // Same data under the default guard: full result, no failure.
+    val ok = TopK.perKey(wide, Seq($"o_custkey"),
+      Seq($"o_totalprice".desc, $"o_orderkey".asc), 2)
+    assert(ok.count() == 1500)
+  }
+
   test("TopKPerKey handles k larger than group size and single groups") {
     val tiny = Seq((1, 10, 5.0), (1, 11, 7.0), (2, 20, 1.0))
       .toDF("o_custkey", "o_orderkey", "o_totalprice")

@@ -123,14 +123,49 @@ class SinksSpec extends AnyFunSuite {
   }
 
   test("connector JSON decode maps transport bytes to bid rows") {
-    // The Kafka reader itself needs a connector jar + broker (absent
-    // offline); the decode chain is transport-independent and testable.
-    val raw = Nexmark.bids(spark, 5000)
-      .select(to_json(struct($"auction", $"bidder", $"price", $"b_date_time"))
-        .cast("binary").as("value"))
-    val decoded = graft.streaming.Connectors.decodeBidJson(raw)
+    // The Kafka/Kinesis readers themselves need a connector jar + endpoint
+    // (absent offline); the decode chain is transport-independent and
+    // testable: Kafka lands payloads in `value`, Kinesis in `data`, SQS
+    // bodies in `body` — all three route through the same decode.
+    val payload = to_json(struct($"auction", $"bidder", $"price", $"b_date_time"))
     val expected = Nexmark.bids(spark, 5000)
-    assert(decoded.exceptAll(expected).isEmpty && expected.exceptAll(decoded).isEmpty)
+    val kafka = graft.streaming.Connectors.decodeBidJson(
+      Nexmark.bids(spark, 5000).select(payload.cast("binary").as("value")))
+    val kinesis = graft.streaming.Connectors.decodeBidKinesis(
+      Nexmark.bids(spark, 5000).select(payload.cast("binary").as("data")))
+    val sqs = graft.streaming.Connectors.decodeBidSqs(
+      Nexmark.bids(spark, 5000).select(payload.as("body")))
+    for (decoded <- Seq(kafka, kinesis, sqs)) {
+      assert(decoded.exceptAll(expected).isEmpty && expected.exceptAll(decoded).isEmpty)
+    }
+  }
+
+  test("foreachBatch idempotent keyed upsert sink (DynamoDB-style)") {
+    // The reference's DynamoDB/SQS sinks (flock/src/datasink/mod.rs:46-118)
+    // are keyed writes; Spark's equivalent is foreachBatch + an idempotent
+    // upsert keyed on (key, batchId-independent content) so replayed
+    // batches don't double-write. Modeled here with an in-memory keyed
+    // store standing in for the external table.
+    implicit val sqlCtx = spark.sqlContext
+    val store = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[graft.streaming.BidCC]
+    val bids = Nexmark.bids(spark, 5000).as[graft.streaming.BidCC].collect()
+    ms.addData(bids.toIndexedSeq)
+    val q = ms.toDF()
+      .groupBy($"auction").agg(count(lit(1)).as("n"))
+      .writeStream.outputMode("update")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        // Upsert: last write per key wins — replays overwrite, not append.
+        batch.collect().foreach(r => store.put(r.getInt(0), r.getLong(1)))
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val expected = Nexmark.bids(spark, 5000).groupBy($"auction")
+      .agg(count(lit(1)).as("n")).as[(Int, Long)].collect().toMap
+    assert(store.size() == expected.size)
+    expected.foreach { case (k, v) => assert(store.get(k) == v) }
   }
 
   test("partitioned parquet write prunes partitions on read") {

@@ -55,7 +55,10 @@ object Verify {
   }
 
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    // Optional trailing args restrict the dump to named queries (dev loop);
+    // the driver always calls with exactly (sfDir, outDir).
+    val Array(sfDir, outDir) = args.take(2)
+    val only = args.drop(2).toSet
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -75,7 +78,9 @@ object Verify {
     }
 
     val oracles = scala.collection.mutable.SortedMap.empty[String, String]
-    Catalog.byName.toSeq.sortBy(_._1).foreach { case (name, q) =>
+    Catalog.byName.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.isEmpty || only(name) }
+      .foreach { case (name, q) =>
       val substituted = q.oracle.map(_.replace("{NX}", nxDir))
       try {
         val raw = q.run(spark, sfDir)

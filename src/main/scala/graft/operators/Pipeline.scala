@@ -243,24 +243,54 @@ object Pipeline {
     * shuffle key; at 100 TB the durable form of this reuse is a checkpoint
     * to parquet, not executor memory.
     */
-  def minhashLshPairs(s: SparkSession, d: String,
-      bands: Int = 4, rowsPerBand: Int = 1): DataFrame = {
+  /** Signature scan shared by the LSH entries (p08/p17). */
+  private def sigsDf(s: SparkSession, d: String, k: Int): DataFrame = {
     import s.implicits._
-    val k = bands * rowsPerBand
-    val sigs = withMinhash(
+    withMinhash(
       T(s, d, "documents").select($"doc_id", $"text", shinglesCol.as("sh")), k)
+  }
+
+  /** LSH band-bucket candidate pairs (id_a < id_b, distinct): band the
+    * signature, bucket-join on (band, key). The only wide op is the shuffle
+    * on the band-bucket key — the candidate-generation half of p08, shared
+    * with p17's cluster assignment.
+    */
+  def lshCandidates(sigs: DataFrame, bands: Int, rowsPerBand: Int): DataFrame = {
     val bandKey = (b: Int) =>
       if (rowsPerBand == 1) col(s"m$b")
       else array((0 until rowsPerBand).map(r => col(s"m${b * rowsPerBand + r}")): _*)
-    val bandsDf = sigs.select($"doc_id",
+    val bandsDf = sigs.select(col("doc_id"),
       explode(array((0 until bands).map(b =>
         struct(lit(b).as("band"), bandKey(b).as("h"))): _*)).as("bk"))
-      .select($"doc_id", $"bk.band".as("band"), $"bk.h".as("h"))
-    val cand = bandsDf.as("a").join(bandsDf.as("b"),
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.h").as("h"))
+    bandsDf.as("a").join(bandsDf.as("b"),
         col("a.band") === col("b.band") && col("a.h") === col("b.h") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .distinct()
+  }
+
+  /** The sh/sigs/bands/cand CTE chain of the 4×1 LSH oracle — shared body
+    * for the p08 and p17 oracles (p17 prepends WITH RECURSIVE).
+    */
+  private val candCtesDuck = s"""
+      sh AS (SELECT doc_id, $shinglesSqlDuck AS sh FROM documents),
+      sigs AS (SELECT doc_id, sh, ${minhashSqlDuck("sh")} FROM sh),
+      bands AS (
+        SELECT doc_id, 0 AS band, m0 AS h FROM sigs UNION ALL
+        SELECT doc_id, 1, m1 FROM sigs UNION ALL
+        SELECT doc_id, 2, m2 FROM sigs UNION ALL
+        SELECT doc_id, 3, m3 FROM sigs),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bands a JOIN bands b ON a.band = b.band AND a.h = b.h
+          AND a.doc_id < b.doc_id)"""
+
+  def minhashLshPairs(s: SparkSession, d: String,
+      bands: Int = 4, rowsPerBand: Int = 1): DataFrame = {
+    import s.implicits._
+    val sigs = sigsDf(s, d, bands * rowsPerBand)
+    val cand = lshCandidates(sigs, bands, rowsPerBand)
     val sh = sigs.select($"doc_id", $"sh")
     cand
       .join(sh.withColumnRenamed("doc_id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
@@ -279,17 +309,7 @@ object Pipeline {
     "p08_minhash_lsh_pairs",
     (s, d) => minhashLshPairs(s, d, bands = 4, rowsPerBand = 1),
     Some(s"""
-      WITH sh AS (SELECT doc_id, $shinglesSqlDuck AS sh FROM documents),
-      sigs AS (SELECT doc_id, sh, ${minhashSqlDuck("sh")} FROM sh),
-      bands AS (
-        SELECT doc_id, 0 AS band, m0 AS h FROM sigs UNION ALL
-        SELECT doc_id, 1, m1 FROM sigs UNION ALL
-        SELECT doc_id, 2, m2 FROM sigs UNION ALL
-        SELECT doc_id, 3, m3 FROM sigs),
-      cand AS (
-        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-        FROM bands a JOIN bands b ON a.band = b.band AND a.h = b.h
-          AND a.doc_id < b.doc_id)
+      WITH $candCtesDuck
       SELECT id_a, id_b,
         CAST(CAST(length(list_filter(sa.sh, x -> list_contains(sb.sh, x))) AS DOUBLE)
              / (length(sa.sh) + length(sb.sh) - length(list_filter(sa.sh, x -> list_contains(sb.sh, x)))) AS DECIMAL(18,6)) AS jaccard
@@ -546,6 +566,244 @@ object Pipeline {
       WHERE levenshtein(a.prefix, b.prefix) <= 15
       ORDER BY id_a, id_b"""))
 
+  /** p16 — exact n-gram Jaccard near-dup pairs: blocked all-pairs (same
+    * lang + first word + length bucket, the blocking proven near-linear by
+    * p15), exact Jaccard over the distinct 3-gram shingle sets. This is
+    * the EXACT complement of p08's MinHash approximation —
+    * same similarity definition, no sketch; the blocking key bounds the
+    * pair count the way p15's does for edit distance. At 100 TB: blocks
+    * stay small as the corpus grows (more blocks, not bigger ones), so the
+    * self-join stays near-linear; the shingle sets travel with the rows,
+    * so the verify work is one narrow array pass per candidate pair.
+    */
+  private val p16 = Q(
+    "p16_ngram_jaccard",
+    (s, d) => {
+      import s.implicits._
+      val docs = T(s, d, "documents")
+        .select($"doc_id", $"lang",
+          element_at(split($"text", " "), 1).as("w0"),
+          (floor($"n_chars" / 200.0)).cast(IntegerType).as("len_bucket"),
+          shinglesCol.as("sh"))
+      val inter = size(array_intersect(col("a.sh"), col("b.sh")))
+      docs.as("a").join(docs.as("b"),
+          col("a.lang") === col("b.lang") && col("a.w0") === col("b.w0") &&
+            col("a.len_bucket") === col("b.len_bucket") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+          dec(inter.cast(DoubleType) /
+            (size(col("a.sh")) + size(col("b.sh")) - inter).cast(DoubleType),
+            18, 6).as("jaccard"))
+        .filter($"jaccard" >= 0.10)
+        .orderBy($"id_a", $"id_b")
+    },
+    Some(s"""
+      WITH d AS (SELECT doc_id, lang, string_split(text, ' ')[1] AS w0,
+                   CAST(FLOOR(n_chars / 200.0) AS INT) AS len_bucket,
+                   $shinglesSqlDuck AS sh FROM documents),
+      pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+          CAST(CAST(length(list_filter(a.sh, x -> list_contains(b.sh, x))) AS DOUBLE)
+               / (length(a.sh) + length(b.sh) - length(list_filter(a.sh, x -> list_contains(b.sh, x)))) AS DECIMAL(18,6)) AS jaccard
+        FROM d a JOIN d b ON a.lang = b.lang AND a.w0 = b.w0
+          AND a.len_bucket = b.len_bucket
+          AND a.doc_id < b.doc_id)
+      SELECT id_a, id_b, jaccard FROM pairs WHERE jaccard >= 0.10
+      ORDER BY id_a, id_b"""))
+
+  /** p17 — near-dup CLUSTER assignment: connected components over the LSH
+    * candidate graph (p08's 4×1 bands), by iterative min-label propagation
+    * — each vertex repeatedly takes the min label among itself and its
+    * neighbors until fixpoint. The output (doc_id → cluster_id = min doc_id
+    * in its component) is what a real dedup pipeline keeps: one
+    * representative per cluster.
+    *
+    * 100 TB shape: O(diameter) rounds of join+groupBy on the edge key —
+    * near-dup components are small and shallow (dup chains), so this
+    * converges in a handful of rounds; `localCheckpoint` truncates the
+    * lineage each round (on a cluster, a reliable checkpoint dir). The
+    * driver-side loop only reads ONE aggregate (changed-count) per round —
+    * the label table itself never leaves the executors. For adversarial
+    * graphs (long chains) the large-star/small-star variant halves the
+    * round count; not needed for dedup-shaped graphs.
+    */
+  /** Truncate lineage AND plan statistics between rounds. localCheckpoint
+    * alone is not enough: the checkpointed LogicalRDD inherits the origin
+    * plan's size estimate, which SQUARES every round through the self-joins
+    * and overflows Catalyst's BigInteger stats after ~24 rounds. Re-wrapping
+    * the checkpointed RDD resets to default leaf stats (constant per round).
+    * On a real cluster the durable form is `checkpoint()` to a reliable dir.
+    */
+  private def pin(df: DataFrame): DataFrame = {
+    val cp = df.localCheckpoint()
+    cp.sparkSession.createDataFrame(cp.rdd, cp.schema)
+  }
+
+  def dedupClusters(s: SparkSession, d: String, maxIter: Int = 25): DataFrame = {
+    import s.implicits._
+    val dbg = sys.env.contains("GRAFT_CC_DEBUG")
+    def now = System.nanoTime()
+    val tStart = now
+    val cand = lshCandidates(sigsDf(s, d, 4), 4, 1)
+    var edges = pin(cand.select($"id_a".as("src"), $"id_b".as("dst"))
+      .union(cand.select($"id_b".as("src"), $"id_a".as("dst"))))
+    // Size the loop tables to the data: the edge set is tiny relative to
+    // the corpus (near-dup pairs only), and the loop's cost is per-round
+    // job overhead, not volume — so pick partitions from the actual edge
+    // count (~2M rows each) instead of inheriting the scan parallelism.
+    val nEdges = edges.count()
+    if (dbg) System.err.println(
+      f"[cc] edges=$nEdges built at ${(now - tStart) / 1e9}%.2fs")
+    val parts = math.max(1L, nEdges / 2000000L).toInt
+    edges = pin(edges.repartition(parts))
+    var labels = pin(edges.select($"src".as("id")).distinct()
+      .select($"id", $"id".as("label")).repartition(parts))
+    // Labels only ever decrease, so "anything changed?" ≡ "did sum(label)
+    // drop?" — a narrow partial-aggregate scan over the pinned table, far
+    // cheaper than the join-on-id diff it replaces (one shuffle job per
+    // round adds up: the loop's cost is fixed job overhead × rounds, not
+    // data volume).
+    def labelSum(df: DataFrame): Long = {
+      val r = df.agg(sum($"label")).first
+      if (r.isNullAt(0)) 0L else r.getLong(0) // null = empty graph
+    }
+    var curSum = labelSum(labels)
+    var changed = true
+    var iter = 0
+    while (changed && iter < maxIter) {
+      // Hook step, on the QUOTIENT graph: for each current label-group
+      // (star), find the min label adjacent to ANY member, and move the
+      // whole group there. Hooking members individually instead (the naive
+      // nbr-min) strands star-mates one member-hop per round — chained LSH
+      // buckets then converge linearly, not logarithmically.
+      // The label table is the edge-ENDPOINT set — orders of magnitude
+      // smaller than the corpus (only docs in ≥1 candidate pair), so it
+      // broadcasts; each round is then narrow except the one rootMin
+      // shuffle. On a graph where even the endpoint set outgrows broadcast,
+      // drop the hints and these become sort-merge joins — same topology.
+      val withRoots = edges
+        .join(broadcast(labels.select($"id".as("src"), $"label".as("rsrc"))), "src")
+        .join(broadcast(labels.select($"id".as("dst"), $"label".as("rdst"))), "dst")
+      val rootMin = withRoots.groupBy($"rsrc").agg(min($"rdst").as("rmin"))
+      var cur = pin(labels
+        .join(broadcast(rootMin.withColumnRenamed("rsrc", "label")),
+          Seq("label"), "left")
+        .select($"id",
+          least($"label", coalesce($"rmin", $"label")).as("label")))
+      // Compression step (Shiloach–Vishkin): jump label(v) <- label(label(v))
+      // until fixpoint, so every tree is a depth-1 star before the next hook.
+      // Labels are always vertex ids, so the self-join is total. One jump per
+      // hook is NOT enough — chained LSH buckets then converge linearly; full
+      // compression (pointer doubling) keeps the hook rounds O(log n).
+      var prevSum = labelSum(cur)
+      var jumping = true
+      while (jumping) {
+        val j = broadcast(cur.select($"id".as("jid"), $"label".as("jlabel")))
+        val jumped = pin(cur.join(j, cur("label") === j("jid"))
+          .select(cur("id").as("id"),
+            least(cur("label"), col("jlabel")).as("label")))
+        val s = labelSum(jumped)
+        jumping = s < prevSum
+        prevSum = s
+        cur = jumped
+      }
+      changed = prevSum < curSum
+      curSum = prevSum
+      labels = cur
+      iter += 1
+      if (dbg) System.err.println(
+        f"[cc] round $iter sum=$curSum at ${(now - tStart) / 1e9}%.2fs")
+    }
+    require(!changed, s"label propagation did not converge in $maxIter rounds")
+    labels.select($"id".as("doc_id"), $"label".as("cluster_id"))
+      .orderBy($"doc_id")
+  }
+
+  private val p17 = Q(
+    "p17_dedup_clusters",
+    (s, d) => dedupClusters(s, d),
+    Some(s"""
+      WITH RECURSIVE $candCtesDuck,
+      edges AS (SELECT id_a AS src, id_b AS dst FROM cand
+                UNION ALL SELECT id_b, id_a FROM cand),
+      reach(id, lab) AS (
+        SELECT src, dst FROM edges
+        UNION
+        SELECT r.id, e.dst FROM reach r JOIN edges e ON r.lab = e.src)
+      SELECT id AS doc_id, LEAST(id, MIN(lab)) AS cluster_id
+      FROM reach GROUP BY id ORDER BY doc_id"""))
+
+  /** p18 — ANN via IVF (inverted-file) coarse quantization: assign every
+    * vector to its nearest of 8 fixed centroids (here: the embeddings of
+    * vec_id 1..8 — a training-free stand-in for k-means centroids, which
+    * keeps the oracle exact), then answer a query by probing only the
+    * nprobe=2 cells nearest the query. The complement of p12's LSH
+    * bucketing: data-dependent cells instead of random hyperplanes.
+    *
+    * 100 TB shape: the centroid table broadcasts (8..65k rows), assignment
+    * is ONE map-side max_by hash-aggregate (partial-aggregatable — no sort,
+    * no window shuffle), and the cell id becomes the partition/cluster key
+    * so a query reads nprobe cells instead of the corpus.
+    */
+  private val p18 = Q(
+    "p18_ann_ivf",
+    (s, d) => {
+      import s.implicits._
+      val emb = T(s, d, "embeddings")
+      val cents = emb.filter($"vec_id".between(1, 8))
+        .select($"vec_id".cast(IntegerType).as("cid"), $"embedding".as("cvec"))
+      // Assignment: argmax cosine over the broadcast centroids, ties to the
+      // smaller cid (max of struct(csim, -cid) — lexicographic).
+      val cells = emb.crossJoin(broadcast(cents))
+        .withColumn("csim",
+          VectorFunctions.cosine_similarity($"embedding", $"cvec"))
+        .groupBy($"vec_id")
+        .agg(max_by(struct($"cid", $"label", $"embedding"),
+          struct($"csim", -$"cid")).as("best"))
+        .select($"vec_id", $"best.cid".as("cell"), $"best.label".as("label"),
+          $"best.embedding".as("embedding"))
+      val q = emb.filter($"vec_id" === 0).select($"embedding".as("qvec"))
+      val qcells = cents.crossJoin(broadcast(q))
+        .withColumn("qsim", VectorFunctions.cosine_similarity($"cvec", $"qvec"))
+        .orderBy($"qsim".desc, $"cid")
+        .limit(2)
+        .select($"cid".as("cell"))
+      cells.join(broadcast(qcells), "cell")
+        .crossJoin(broadcast(q))
+        .filter($"vec_id" =!= 0)
+        .select($"vec_id", $"label", $"cell",
+          dec(VectorFunctions.cosine_similarity($"embedding", $"qvec"), 18, 6)
+            .as("cos_sim"))
+        .orderBy($"cos_sim".desc, $"vec_id")
+        .limit(10)
+    },
+    Some(s"""
+      WITH c AS (SELECT CAST(vec_id AS INT) AS cid, embedding AS cvec
+                 FROM embeddings WHERE vec_id BETWEEN 1 AND 8),
+      sims AS (SELECT e.vec_id, e.label, e.embedding, c.cid,
+                 ${foldDotDuck("e.embedding", "c.cvec")} /
+                   (sqrt(${foldDotDuck("e.embedding", "e.embedding")}) * sqrt(${foldDotDuck("c.cvec", "c.cvec")})) AS csim
+               FROM embeddings e CROSS JOIN c),
+      assign AS (SELECT vec_id, label, embedding, cid,
+                   row_number() OVER (PARTITION BY vec_id
+                     ORDER BY csim DESC, cid) AS rn
+                 FROM sims),
+      cells AS (SELECT vec_id, label, embedding, cid AS cell
+                FROM assign WHERE rn = 1),
+      q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0),
+      qsims AS (SELECT c.cid,
+                  row_number() OVER (ORDER BY
+                    ${foldDotDuck("c.cvec", "q.qvec")} /
+                      (sqrt(${foldDotDuck("c.cvec", "c.cvec")}) * sqrt(${foldDotDuck("q.qvec", "q.qvec")})) DESC, c.cid) AS qrn
+                FROM c, q),
+      qcells AS (SELECT cid AS cell FROM qsims WHERE qrn <= 2)
+      SELECT v.vec_id, v.label, v.cell,
+        CAST(${foldDotDuck("v.embedding", "q.qvec")} /
+             (sqrt(${foldDotDuck("v.embedding", "v.embedding")}) * sqrt(${foldDotDuck("q.qvec", "q.qvec")})) AS DECIMAL(18,6)) AS cos_sim
+      FROM cells v JOIN qcells ON v.cell = qcells.cell, q
+      WHERE v.vec_id <> 0
+      ORDER BY cos_sim DESC, vec_id LIMIT 10"""))
+
   val all: Seq[Q] = Seq(p01, p02, p03, p04, p05, p06, p07, p08, p09, p10,
-    p11, p12, p13, p14, p15)
+    p11, p12, p13, p14, p15, p16, p17, p18)
 }

@@ -30,6 +30,25 @@ object Nexmark {
   val BidsPerBlock = 46
   val Block = 50 // PersonsPerBlock + AuctionsPerBlock + BidsPerBlock
 
+  /** Generator config mirroring the reference CLI's knobs (reference
+    * benchmarks/src/nexmark/main.rs:62-74 `-g` generator count,
+    * config.rs person/auction/bid proportions). `generators` maps to
+    * source parallelism: the pure-column design derives every event from
+    * its id, so N generators == N range/rate partitions producing the
+    * bit-identical event stream at any N — the property the reference
+    * gets from seeding each generator's SmallRng from the event index.
+    */
+  final case class Config(
+      personProportion: Int = PersonsPerBlock,
+      auctionProportion: Int = AuctionsPerBlock,
+      bidProportion: Int = BidsPerBlock,
+      generators: Int = 8) {
+    require(personProportion >= 1 && auctionProportion >= 1 && bidProportion >= 1,
+      "each event-type proportion must be >= 1")
+    require(generators >= 1, "generators must be >= 1")
+    val block: Int = personProportion + auctionProportion + bidProportion
+  }
+
   /** Uniform double in [0,1) derived from (id, salt) — codegen'd, stateless. */
   private def u01(id: Column, salt: String): Column =
     (abs(xxhash64(id, lit(salt))) % lit(1000000000L)).cast(DoubleType) / lit(1e9)
@@ -45,20 +64,34 @@ object Nexmark {
     timestamp_millis(lit(BaseMs) + (id.cast(LongType) / eventsPerSecond).cast(LongType) * 1000L +
       ((id % eventsPerSecond) * 1000L / eventsPerSecond).cast(LongType))
 
-  // Within each 50-event block: index 0 → person, 1..3 → auction, rest → bid.
-  private def blockOf(id: Column) = id / Block
-  private def offsetOf(id: Column) = id % Block
+  // Within each block: first `personProportion` ids → person, next
+  // `auctionProportion` → auction, rest → bid. Column `/` is DOUBLE
+  // division — the fractional part would leak into the id arithmetic
+  // downstream (e.g. `blockOf*ap + offset` picks up `ap*offset/block`,
+  // off-by-one once that exceeds 1) — so blockOf must be exact integer
+  // division: subtract the remainder first, then the quotient is an
+  // integer-valued double (exact below 2^53) cast back to LONG.
+  private def offsetOf(id: Column, cfg: Config = Config()) = id % cfg.block
+  private def blockOf(id: Column, cfg: Config = Config()) =
+    ((id - offsetOf(id, cfg)) / cfg.block).cast(LongType)
 
-  /** Person events: one per block. p_id == block number. */
-  def persons(spark: SparkSession, nEvents: Long, eventsPerSecond: Long = 1000): DataFrame = {
-    val ids = spark.range(0, nEvents).filter(col("id") % Block === 0)
+  private def rangeIds(spark: SparkSession, nEvents: Long, cfg: Config) =
+    spark.range(0L, nEvents, 1L, numPartitions = cfg.generators)
+
+  /** Person events: `personProportion` per block; p_id is dense. */
+  def persons(spark: SparkSession, nEvents: Long, eventsPerSecond: Long = 1000,
+      cfg: Config = Config()): DataFrame = {
+    val ids = rangeIds(spark, nEvents, cfg)
+      .filter(offsetOf(col("id"), cfg) < cfg.personProportion)
     val id = col("id")
+    val pId = (blockOf(id, cfg) * cfg.personProportion + offsetOf(id, cfg))
+      .cast(IntegerType)
     val states = array(Seq("or", "id", "ca", "wa", "az").map(lit): _*)
     val cities = array(Seq("portland", "boise", "seattle", "phoenix", "eugene").map(lit): _*)
     ids.select(
-      blockOf(id).cast(IntegerType).as("p_id"),
-      concat(lit("person_"), blockOf(id)).as("name"),
-      concat(lit("user"), blockOf(id), lit("@example.com")).as("email_address"),
+      pId.as("p_id"),
+      concat(lit("person_"), pId).as("name"),
+      concat(lit("user"), pId, lit("@example.com")).as("email_address"),
       lpad(conv(substring(md5(id.cast(StringType)), 1, 12), 16, 10), 16, "0").as("credit_card"),
       element_at(cities, (uniformLong(id, "city", lit(5L)) + 1).cast(IntegerType)).as("city"),
       element_at(states, (uniformLong(id, "state", lit(5L)) + 1).cast(IntegerType)).as("state"),
@@ -69,15 +102,17 @@ object Nexmark {
     * auctions are listed by the most recent person (reference hot-key
     * logic, event.rs:247-311).
     */
-  def auctions(spark: SparkSession, nEvents: Long, eventsPerSecond: Long = 1000): DataFrame = {
-    val ids = spark.range(0, nEvents)
-      .filter(col("id") % Block >= PersonsPerBlock &&
-        col("id") % Block < PersonsPerBlock + AuctionsPerBlock)
+  def auctions(spark: SparkSession, nEvents: Long, eventsPerSecond: Long = 1000,
+      cfg: Config = Config()): DataFrame = {
+    val ids = rangeIds(spark, nEvents, cfg)
+      .filter(offsetOf(col("id"), cfg) >= cfg.personProportion &&
+        offsetOf(col("id"), cfg) < cfg.personProportion + cfg.auctionProportion)
     val id = col("id")
-    val aId = (blockOf(id) * AuctionsPerBlock + (offsetOf(id) - PersonsPerBlock))
-      .cast(IntegerType)
-    val curPerson = blockOf(id) + 1 // persons 0..block exist
-    val hotSeller = blockOf(id)
+    val aId = (blockOf(id, cfg) * cfg.auctionProportion +
+      (offsetOf(id, cfg) - cfg.personProportion)).cast(IntegerType)
+    // persons 0..(block+1)*pp - 1 exist once this block's persons emitted
+    val curPerson = (blockOf(id, cfg) + 1) * cfg.personProportion
+    val hotSeller = blockOf(id, cfg) * cfg.personProportion
     val seller = when(u01(id, "hotseller") < 0.5, hotSeller)
       .otherwise(uniformLong(id, "seller", curPerson))
     ids.select(
@@ -98,19 +133,23 @@ object Nexmark {
     * most recent auction, 50% the most recent person; price is log-uniform
     * 10^(U*6)*100 cents (reference event.rs:355-371).
     */
-  def bids(spark: SparkSession, nEvents: Long, eventsPerSecond: Long = 1000): DataFrame =
-    bidsFromIds(spark.range(0, nEvents).toDF()
-      .filter(col("id") % Block >= PersonsPerBlock + AuctionsPerBlock), eventsPerSecond)
+  def bids(spark: SparkSession, nEvents: Long, eventsPerSecond: Long = 1000,
+      cfg: Config = Config()): DataFrame =
+    bidsFromIds(rangeIds(spark, nEvents, cfg).toDF()
+      .filter(offsetOf(col("id"), cfg) >=
+        cfg.personProportion + cfg.auctionProportion), eventsPerSecond, cfg)
 
   /** The bid projection, applicable to any DataFrame with an `id` column —
     * reused by the rate-source streaming variant.
     */
-  def bidsFromIds(ids: DataFrame, eventsPerSecond: Long = 1000): DataFrame = {
+  def bidsFromIds(ids: DataFrame, eventsPerSecond: Long = 1000,
+      cfg: Config = Config()): DataFrame = {
     val id = col("id")
-    val curAuction = blockOf(id) * AuctionsPerBlock + AuctionsPerBlock // auctions 0..cur-1 exist
+    // auctions 0..(block+1)*ap - 1 exist once this block's auctions emitted
+    val curAuction = (blockOf(id, cfg) + 1) * cfg.auctionProportion
     val hotAuction = curAuction - 1
-    val curPerson = blockOf(id) + 1
-    val hotBidder = blockOf(id)
+    val curPerson = (blockOf(id, cfg) + 1) * cfg.personProportion
+    val hotBidder = blockOf(id, cfg) * cfg.personProportion
     val auction = when(u01(id, "hotauction") < 0.5, hotAuction)
       .otherwise(uniformLong(id, "auction", curAuction))
     val bidder = when(u01(id, "hotbidder") < 0.5, hotBidder)
@@ -128,10 +167,12 @@ object Nexmark {
     * rate-source wall clock.
     */
   def bidStream(spark: SparkSession, rowsPerSecond: Int = 1000,
-      eventsPerSecond: Long = 1000): DataFrame = {
+      eventsPerSecond: Long = 1000, cfg: Config = Config()): DataFrame = {
     val rate = spark.readStream.format("rate")
-      .option("rowsPerSecond", rowsPerSecond).load()
-    bidsFromIds(rate.select(col("value").as("id")), eventsPerSecond)
+      .option("rowsPerSecond", rowsPerSecond)
+      .option("numPartitions", cfg.generators)
+      .load()
+    bidsFromIds(rate.select(col("value").as("id")), eventsPerSecond, cfg)
   }
 
   /** Side-input table for q13-style stream–static joins (reference

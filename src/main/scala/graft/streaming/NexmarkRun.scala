@@ -9,7 +9,8 @@ import org.apache.spark.sql.streaming.Trigger
   * live generated stream for `-s` seconds at `-e` events/second and prints
   * a one-line JSON summary.
   *
-  * Usage: sbt "runMain graft.streaming.NexmarkRun -q 5 -s 10 -e 1000"
+  * Usage: sbt "runMain graft.streaming.NexmarkRun -q 5 -s 10 -e 1000
+  *   -g 8 --person-proportion 1 --auction-proportion 3 --bid-proportion 46"
   *
   * Window semantics per query follow the reference mapping
   * (main.rs:116-123): q5 hopping, q7/q8 tumbling, q11 session, q12
@@ -24,6 +25,15 @@ object NexmarkRun {
     val qn = opts.getOrElse("-q", "1").toInt
     val secs = opts.getOrElse("-s", "10").toInt
     val eps = opts.getOrElse("-e", "1000").toInt
+    // -g generator count + event-type proportions (reference main.rs:62-74
+    // -g flag; config.rs person/auction/bid proportions). Generators map to
+    // source partitions: the pure-column generator emits the bit-identical
+    // stream at any parallelism.
+    val cfg = Nexmark.Config(
+      personProportion = opts.getOrElse("--person-proportion", "1").toInt,
+      auctionProportion = opts.getOrElse("--auction-proportion", "3").toInt,
+      bidProportion = opts.getOrElse("--bid-proportion", "46").toInt,
+      generators = opts.getOrElse("-g", "8").toInt)
 
     val spark = SparkSession.builder()
       .master("local[8]")
@@ -34,12 +44,12 @@ object NexmarkRun {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val bids = Nexmark.bidStream(spark, rowsPerSecond = eps)
+    val bids = Nexmark.bidStream(spark, rowsPerSecond = eps, cfg = cfg)
     // Static sides for join queries: a bounded generated table (the
     // reference feeds auctions/persons from the same generator).
     val nStatic = (eps.toLong * secs * 4).max(50000L)
-    val auctions = Nexmark.auctions(spark, nStatic)
-    val persons = Nexmark.persons(spark, nStatic)
+    val auctions = Nexmark.auctions(spark, nStatic, cfg = cfg)
+    val persons = Nexmark.persons(spark, nStatic, cfg = cfg)
 
     val t0 = System.nanoTime()
     var rows = 0L

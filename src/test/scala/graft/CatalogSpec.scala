@@ -30,7 +30,8 @@ class CatalogSpec extends AnyFunSuite {
   // Queries that legitimately may return few/zero rows at the smallest sf.
   private val mayBeEmpty = Set("q21_string_funcs", "q08_not_exists_anti",
     "q04_shipping_priority", "q07_exists_semi", "q11_having", "q12_in_subquery",
-    "p08_minhash_lsh_pairs", "p12_ann_lsh", "nx_q2_selection")
+    "p08_minhash_lsh_pairs", "p12_ann_lsh", "nx_q2_selection",
+    "p16_ngram_jaccard", "p17_dedup_clusters", "p18_ann_ivf")
 
   for ((name, q) <- Catalog.byName.toSeq.sortBy(_._1)) {
     test(s"$name runs on sf0.001") {
@@ -113,6 +114,54 @@ class SemanticsSpec extends AnyFunSuite {
       col("sa.m0") =!= col("sb.m0") || col("sa.m1") =!= col("sb.m1") ||
         col("sa.m2") =!= col("sb.m2") || col("sa.m3") =!= col("sb.m3"))
     assert(bad.isEmpty)
+  }
+
+  test("dedup clusters are closed over LSH candidate pairs") {
+    // Every candidate pair must land in the same cluster, and every
+    // cluster id must be the min doc_id of its members (sf0.01 — the
+    // smallest sf with a non-trivial candidate graph).
+    val d = "/root/testdata/sf0.01"
+    val clusters = Catalog.byName("p17_dedup_clusters").run(spark, d)
+    val pairs = Catalog.byName("p08_minhash_lsh_pairs").run(spark, d)
+      .select($"id_a", $"id_b")
+    val c = clusters.withColumnRenamed("doc_id", "id").withColumnRenamed("cluster_id", "cl")
+    val split = pairs
+      .join(c.withColumnRenamed("id", "id_a").withColumnRenamed("cl", "cl_a"), "id_a")
+      .join(c.withColumnRenamed("id", "id_b").withColumnRenamed("cl", "cl_b"), "id_b")
+      .filter($"cl_a" =!= $"cl_b")
+    assert(split.isEmpty, "a candidate pair was split across clusters")
+    val badRep = clusters.groupBy($"cluster_id")
+      .agg(min($"doc_id").as("min_id"))
+      .filter($"cluster_id" =!= $"min_id")
+    assert(badRep.isEmpty, "cluster_id is not the min doc_id of its cluster")
+  }
+
+  test("exact n-gram jaccard agrees with p08's verify on shared pairs") {
+    // p16 (exact, blocked) and p08 (LSH candidates) compute the same
+    // jaccard definition — where both report a pair, values must match.
+    val d = "/root/testdata/sf0.01"
+    val exact = Catalog.byName("p16_ngram_jaccard").run(spark, d)
+      .withColumnRenamed("jaccard", "j_exact")
+    val lsh = Catalog.byName("p08_minhash_lsh_pairs").run(spark, d)
+      .withColumnRenamed("jaccard", "j_lsh")
+    val both = exact.join(lsh, Seq("id_a", "id_b"))
+    assert(both.filter($"j_exact" =!= $"j_lsh").isEmpty)
+  }
+
+  test("IVF ANN cos_sim values match an independent brute-force recompute") {
+    val d = "/root/testdata/sf0.001"
+    val ivf = Catalog.byName("p18_ann_ivf").run(spark, d)
+      .select($"vec_id", $"cos_sim".cast("double").as("ivf_sim"))
+    val emb = Tables.load(spark, d, "embeddings")
+    val qv = emb.filter($"vec_id" === 0).select($"embedding".as("qvec"))
+    val brute = emb.filter($"vec_id" =!= 0).crossJoin(broadcast(qv))
+      .select($"vec_id",
+        functions.VectorFunctions.cosine_similarity($"embedding", $"qvec")
+          .cast(org.apache.spark.sql.types.DecimalType(18, 6)).cast("double")
+          .as("bf_sim"))
+    val joined = ivf.join(brute, "vec_id")
+    assert(joined.count() == ivf.count())
+    assert(joined.filter(abs($"ivf_sim" - $"bf_sim") > 1e-9).isEmpty)
   }
 
   test("range-residual join only keeps lineitems within 30 days") {

@@ -18,7 +18,11 @@ object Explain {
       .master("local[4]")
       .appName("graft-explain")
       .config("spark.sql.shuffle.partitions", "32")
-      .config("spark.sql.adaptive.enabled", "true")
+      // AQE off HERE only: under AdaptiveSparkPlan the printed plan is the
+      // pre-execution skeleton — codegen collapse happens per-stage at
+      // runtime, so WholeStageCodegen spans (and final join picks) are
+      // invisible. The audit wants the static plan; Bench runs AQE on.
+      .config("spark.sql.adaptive.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -27,8 +31,14 @@ object Explain {
     val verbose = sys.env.get("GRAFT_EXPLAIN_FULL").contains("1")
     for (n <- names; q <- Catalog.byName.get(n)) {
       val df = q.run(spark, sfDir)
-      val plan = df.queryExecution.executedPlan.toString()
+      val executed = df.queryExecution.executedPlan
+      val plan = executed.toString()
       def count(p: String) = plan.sliding(p.length).count(_ == p)
+      // The tree STRING renders WholeStageCodegenExec as a bare `*(n)`
+      // operator prefix, so codegen spans must be counted on the plan tree.
+      val wscg = executed.collect {
+        case w: org.apache.spark.sql.execution.WholeStageCodegenExec => w
+      }.size
       val summary = Seq(
         "scans" -> count("FileScan"),
         "pushedFilters" -> count("PushedFilters: ["),
@@ -36,7 +46,7 @@ object Explain {
         "smJoins" -> count("SortMergeJoin"),
         "exchanges" -> count("Exchange"),
         "bcastExchanges" -> count("BroadcastExchange"),
-        "wscg" -> count("WholeStageCodegen"),
+        "wscg" -> wscg,
         "udfs" -> count("BatchEvalPython"))
         .map { case (k, v) => s"$k=$v" }.mkString(" ")
       println(s"== $n: $summary")

@@ -28,7 +28,17 @@ object GraftExtensions {
   private[functions] val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "cosine_similarity" -> ((es: Seq[Expression]) => CosineSimilarity(es(0), es(1))),
     "simhash60" -> ((es: Seq[Expression]) => SimHash60(es(0))),
-    "minhash_sig" -> ((es: Seq[Expression]) => MinHashShingleSig(es(0))))
+    "minhash_sig" -> ((es: Seq[Expression]) => MinHashShingleSig(es(0))),
+    // space_saving_topk(key, k, capacity) — k/capacity must be int literals.
+    "space_saving_topk" -> ((es: Seq[Expression]) => {
+      def intLit(e: Expression, what: String): Int = e match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+        case other => throw new IllegalArgumentException(
+          s"space_saving_topk $what must be an integer literal, got $other")
+      }
+      SpaceSavingTopK(es(0), intLit(es(1), "k"), intLit(es(2), "capacity"))
+        .toAggregateExpression()
+    }))
 
   /** Register the functions on a live session (temp-function path). */
   def register(spark: SparkSession): Unit =

@@ -1,0 +1,156 @@
+package graft.functions
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, DataOutputStream}
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.trees.UnaryLike
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.graft.shims
+import org.apache.spark.sql.types._
+
+/** SpaceSaving (Metwally et al.) heavy-hitters state: a bounded counter
+  * table over long keys. The 100 TB shape for per-group top-k by
+  * frequency: fixed-size mergeable state per group — the map side streams
+  * every row into a capacity-bounded sketch, partials merge associatively
+  * on the reduce side, and only (capacity × groups) counters ever travel
+  * the wire, vs a full (group, key) count table for the exact two-phase
+  * form (q16's topology).
+  *
+  * Guarantees: with capacity ≥ distinct keys per group the counts are
+  * EXACT (no eviction ever happens — the sizing rule the p19 oracle uses).
+  * Past capacity a new key inherits the evicted minimum's count as its
+  * overestimate (`err`), the classic SpaceSaving bound: true ≤ count ≤
+  * true + err. Cross-sketch merge sums counts/errors and trims back to
+  * capacity, dropping trimmed tails entirely — frequent keys survive (they
+  * are never the minimum), long-tail counts become approximate.
+  *
+  * Eviction/trim order is a total order (smallest count, ties to the
+  * LARGEST key), so results are deterministic for a fixed partitioning.
+  */
+final class SpaceSavingSketch(val capacity: Int) {
+  import scala.collection.mutable
+  val counters: mutable.HashMap[Long, (Long, Long)] = mutable.HashMap.empty
+
+  private def minEntry: (Long, (Long, Long)) =
+    counters.minBy { case (v, (c, _)) => (c, -v) }
+
+  def add(v: Long): Unit = counters.get(v) match {
+    case Some((c, e)) => counters(v) = (c + 1, e)
+    case None if counters.size < capacity => counters(v) = (1L, 0L)
+    case None =>
+      val (mv, (mc, _)) = minEntry
+      counters.remove(mv)
+      counters(v) = (mc + 1, mc)
+  }
+
+  def mergeWith(o: SpaceSavingSketch): Unit = {
+    o.counters.foreach { case (v, (c, e)) =>
+      counters.get(v) match {
+        case Some((c0, e0)) => counters(v) = (c0 + c, e0 + e)
+        case None => counters(v) = (c, e)
+      }
+    }
+    while (counters.size > capacity) counters.remove(minEntry._1)
+  }
+
+  /** Top-k entries by (count desc, key asc) as (key, count, err). */
+  def topK(k: Int): Array[(Long, Long, Long)] =
+    counters.toArray.map { case (v, (c, e)) => (v, c, e) }
+      .sortBy { case (v, c, _) => (-c, v) }.take(k)
+}
+
+/** `space_saving_topk(key, k, capacity)` — a TypedImperativeAggregate over
+  * the SpaceSaving sketch. Returns array<struct<value,count,err>> of the
+  * k most frequent keys (count desc, key asc).
+  */
+case class SpaceSavingTopK(
+    child: Expression,
+    k: Int,
+    capacity: Int,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[SpaceSavingSketch]
+  with UnaryLike[Expression] {
+
+  require(k >= 1 && capacity >= k, s"need 1 <= k <= capacity, got k=$k capacity=$capacity")
+
+  override def prettyName: String = "space_saving_topk"
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("value", LongType, nullable = false),
+    StructField("count", LongType, nullable = false),
+    StructField("err", LongType, nullable = false))), containsNull = false)
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case LongType | IntegerType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"space_saving_topk needs an integral key, got ${other.catalogString}")
+    }
+
+  override def createAggregationBuffer(): SpaceSavingSketch =
+    new SpaceSavingSketch(capacity)
+
+  override def update(b: SpaceSavingSketch, input: InternalRow): SpaceSavingSketch = {
+    val v = child.eval(input)
+    if (v != null) b.add(v match {
+      case i: java.lang.Integer => i.longValue()
+      case l: java.lang.Long => l.longValue()
+      case other => other.toString.toLong
+    })
+    b
+  }
+
+  override def merge(b: SpaceSavingSketch, o: SpaceSavingSketch): SpaceSavingSketch = {
+    b.mergeWith(o); b
+  }
+
+  override def eval(b: SpaceSavingSketch): Any =
+    new GenericArrayData(b.topK(k).map { case (v, c, e) =>
+      InternalRow(v, c, e)
+    }.toSeq)
+
+  override def serialize(b: SpaceSavingSketch): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.writeInt(b.counters.size)
+    // Sorted dump: byte-stable serialization regardless of hash-map order.
+    b.counters.toArray.sortBy(_._1).foreach { case (v, (c, e)) =>
+      out.writeLong(v); out.writeLong(c); out.writeLong(e)
+    }
+    out.flush()
+    bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): SpaceSavingSketch = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    val sk = new SpaceSavingSketch(capacity)
+    val n = in.readInt()
+    var i = 0
+    while (i < n) {
+      sk.counters(in.readLong()) = (in.readLong(), in.readLong())
+      i += 1
+    }
+    sk
+  }
+
+  override def withNewMutableAggBufferOffset(offset: Int): SpaceSavingTopK =
+    copy(mutableAggBufferOffset = offset)
+  override def withNewInputAggBufferOffset(offset: Int): SpaceSavingTopK =
+    copy(inputAggBufferOffset = offset)
+  override protected def withNewChildInternal(newChild: Expression): SpaceSavingTopK =
+    copy(child = newChild)
+}
+
+object HeavyHitters {
+  /** Column API: per-group top-k frequent keys via a SpaceSaving sketch. */
+  def space_saving_topk(key: Column, k: Int, capacity: Int): Column =
+    shims.column(
+      SpaceSavingTopK(shims.expression(key), k, capacity).toAggregateExpression())
+}

@@ -804,6 +804,38 @@ object Pipeline {
       WHERE v.vec_id <> 0
       ORDER BY cos_sim DESC, vec_id LIMIT 10"""))
 
+  /** p19 — heavy hitters per group via the SpaceSaving sketch
+    * (functions.SpaceSavingTopK, a TypedImperativeAggregate): top-3 users
+    * by event count per event_type. Capacity 4096 ≥ the per-group key
+    * cardinality at every TESTDATA sf, so the sketch runs in its EXACT
+    * regime and the oracle is plain SQL top-k; the eviction/merge-trim
+    * approximation path is spec-tested (FunctionsSpec). At 100 TB this is
+    * the frequency twin of p14's HLL/percentile sketches: fixed-size
+    * mergeable state instead of a full (group, key) count table.
+    */
+  private val p19 = Q(
+    "p19_heavy_hitters",
+    (s, d) => {
+      import s.implicits._
+      T(s, d, "events")
+        .groupBy($"event_type")
+        .agg(graft.functions.HeavyHitters
+          .space_saving_topk($"user_id".cast(LongType), 3, 4096).as("tk"))
+        .select($"event_type", posexplode($"tk"))
+        .select($"event_type", ($"pos" + 1).cast(IntegerType).as("rank"),
+          $"col.value".as("user_id"), $"col.count".as("cnt"))
+        .orderBy($"event_type", $"rank")
+    },
+    Some("""
+      WITH c AS (SELECT event_type, user_id, COUNT(*) AS cnt
+                 FROM events GROUP BY event_type, user_id),
+      r AS (SELECT event_type, user_id, cnt,
+              CAST(row_number() OVER (PARTITION BY event_type
+                ORDER BY cnt DESC, user_id) AS INT) AS rank
+            FROM c)
+      SELECT event_type, rank, CAST(user_id AS BIGINT) AS user_id, cnt
+      FROM r WHERE rank <= 3 ORDER BY event_type, rank"""))
+
   val all: Seq[Q] = Seq(p01, p02, p03, p04, p05, p06, p07, p08, p09, p10,
-    p11, p12, p13, p14, p15, p16, p17, p18)
+    p11, p12, p13, p14, p15, p16, p17, p18, p19)
 }

@@ -434,12 +434,26 @@ object Relational {
     "q16_count_distinct",
     (s, d) => {
       import s.implicits._
-      T(s, d, "lineitem")
-        .groupBy($"l_returnflag")
-        .agg(countDistinct($"l_orderkey").as("n_orders"),
-          countDistinct($"l_partkey").as("n_parts"),
-          countDistinct($"l_suppkey").as("n_supps"),
-          count(lit(1)).as("n_rows"))
+      // Deliberately NOT `agg(countDistinct × 3)`: multiple DISTINCT
+      // aggregates make Catalyst plan an Expand (one duplicated row set
+      // per distinct column — 4× the fact table into the shuffle). The
+      // expand-free form runs one distinct-then-count pass per column:
+      // each pass shuffles only the (group, key) DISTINCT pairs after
+      // map-side partial dedup, and the three tiny per-group counts
+      // broadcast-join back together. At 100 TB the shuffle volume is
+      // |distinct pairs| per pass instead of 4×|rows| — the right default
+      // whenever keys repeat; p14 shows the sketch form when approximate
+      // counts suffice.
+      val li = T(s, d, "lineitem")
+      def dcount(c: String, out: String) =
+        li.select($"l_returnflag", col(c)).distinct()
+          .groupBy($"l_returnflag").agg(count(lit(1)).as(out))
+      li.groupBy($"l_returnflag").agg(count(lit(1)).as("n_rows"))
+        .join(dcount("l_orderkey", "n_orders"), "l_returnflag")
+        .join(dcount("l_partkey", "n_parts"), "l_returnflag")
+        .join(dcount("l_suppkey", "n_supps"), "l_returnflag")
+        .select($"l_returnflag", $"n_orders", $"n_parts", $"n_supps",
+          $"n_rows")
         .orderBy($"l_returnflag")
     },
     Some("""

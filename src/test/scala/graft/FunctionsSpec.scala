@@ -101,10 +101,62 @@ class FunctionsSpec extends AnyFunSuite {
            t -> CAST(conv(substr(md5(t), 1, 15), 16, 10) AS BIGINT))) AS h
          FROM documents LIMIT 3""").as[Long].collect()
     assert(r3.forall(h => h >= 0 && h < (1L << 60)))
+    val r4 = spark.sql(
+      """SELECT lang, space_saving_topk(doc_id, 2, 1024) AS tk
+         FROM documents GROUP BY lang""").collect()
+    assert(r4.forall(_.getSeq[org.apache.spark.sql.Row](1).length <= 2))
   }
 
   test("extensions class applies cleanly to a SparkSessionExtensions") {
     val exts = new org.apache.spark.sql.SparkSessionExtensions
     new GraftExtensions().apply(exts) // must not throw
+  }
+
+  test("space_saving_topk is exact when capacity covers the key space") {
+    import org.apache.spark.sql.functions._
+    // 1000 rows over 20 keys, skewed: key k appears (k+1)*5 times.
+    val df = spark.range(0, 20).select($"id")
+      .withColumn("n", ($"id" + 1) * 5)
+      .select($"id", explode(sequence(lit(1), $"n")).as("i"))
+      .repartition(7) // force multi-partition partials + merges
+    val got = df.agg(graft.functions.HeavyHitters.space_saving_topk($"id", 5, 64).as("tk"))
+      .select(explode($"tk").as("e"))
+      .select($"e.value", $"e.count", $"e.err")
+      .as[(Long, Long, Long)].collect()
+    // Exact regime: top-5 are keys 19..15 with counts 100,95,90,85,80, err 0.
+    assert(got.toSeq == Seq((19L, 100L, 0L), (18L, 95L, 0L), (17L, 90L, 0L),
+      (16L, 85L, 0L), (15L, 80L, 0L)))
+  }
+
+  test("space_saving_topk retains heavy hitters past capacity with bounded error") {
+    import org.apache.spark.sql.functions._
+    // One partition (the single-sketch SpaceSaving bound): 200 distinct
+    // light keys + one heavy key with 300 hits, capacity 64 << 201 keys.
+    val light = spark.range(0, 200).select($"id".as("k"))
+    val heavy = spark.range(0, 300).select(lit(999L).as("k"))
+    val df = light.union(heavy).repartition(1)
+    val rows = df
+      .agg(graft.functions.HeavyHitters.space_saving_topk($"k", 1, 64).as("tk"))
+      .select(explode($"tk").as("x"))
+      .select($"x.value", $"x.count", $"x.err")
+      .as[(Long, Long, Long)].collect()
+    assert(rows.length == 1)
+    val (v, c, e) = rows.head
+    assert(v == 999L, s"heavy hitter lost: got $v")
+    // SpaceSaving overestimates: true <= count <= true + err.
+    assert(c >= 300L && c - e <= 300L, s"count $c err $e out of bounds")
+  }
+
+  test("space_saving_topk is deterministic across runs") {
+    import org.apache.spark.sql.functions._
+    def run() = Tables.load(spark, sf, "events")
+      .groupBy($"event_type")
+      .agg(graft.functions.HeavyHitters.space_saving_topk(
+        $"user_id".cast("long"), 3, 4096).as("tk"))
+      .select($"event_type", explode($"tk").as("e"))
+      .select($"event_type", $"e.value", $"e.count")
+      .orderBy($"event_type", $"e.count".desc, $"e.value")
+      .collect().toSeq
+    assert(run() == run())
   }
 }

@@ -33,9 +33,39 @@ object Tables {
     }
   }
 
-  /** Register every table in `dir` as a temp view named after the table.
-    * Idempotent; cheap (schema read only — scans stay lazy).
+  /** TESTDATA ships no `partsupp`, so the TPC-H queries that need one
+    * (q2/q9/q11/q16/q20) run against a DERIVED partsupp: the distinct
+    * (l_partkey, l_suppkey) pairs observed in lineitem — which preserves
+    * the referential integrity those queries rely on (every lineitem row
+    * joins a partsupp row, as dbgen guarantees) — with availqty/supplycost
+    * derived deterministically from md5 of the key pair. Both engines
+    * re-derive the identical table from the same parquet (the md5→60-bit
+    * pattern proven by the dedup oracles), so the derivation itself is
+    * oracle-checked, not just the query over it.
     */
-  def registerAll(spark: SparkSession, dir: String): Unit =
+  private def partsuppSql(hash60: String => String): String = {
+    val key = (salt: String) =>
+      s"CAST(ps_partkey AS STRING) || '_' || CAST(ps_suppkey AS STRING) || '_$salt'"
+    s"""SELECT ps_partkey, ps_suppkey,
+      CAST((${hash60(key("a"))} % 9999) + 1 AS INT) AS ps_availqty,
+      CAST(CAST((${hash60(key("c"))} % 99900) + 100 AS DOUBLE) / 100.0
+        AS DECIMAL(12,2)) AS ps_supplycost
+    FROM (SELECT DISTINCT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey
+          FROM lineitem)"""
+  }
+
+  val partsuppSpark: String = partsuppSql(s =>
+    s"CAST(conv(substr(md5($s), 1, 15), 16, 10) AS BIGINT)")
+
+  val partsuppDuck: String = partsuppSql(s =>
+    s"('0x' || substr(md5($s), 1, 15))::BIGINT")
+
+  /** Register every table in `dir` as a temp view named after the table,
+    * plus the derived `partsupp` view. Idempotent; cheap (schema read
+    * only — scans stay lazy).
+    */
+  def registerAll(spark: SparkSession, dir: String): Unit = {
     all.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+    spark.sql(partsuppSpark).createOrReplaceTempView("partsupp")
+  }
 }

@@ -111,8 +111,17 @@ object SqlParity {
   //     (q10, q22 — cntrycode comes from c_nationkey), s_address/s_phone
   //     (q15), p_container/l_shipmode/l_shipinstruct (q19);
   //   - every ORDER BY gets a unique tiebreak.
-  // Data-blocked (TESTDATA ships no `partsupp` table): q2, q9, q11, q16,
-  // q20 cannot run — documented rather than silently skipped.
+  // q2/q9/q11/q16/q20 need `partsupp`, which TESTDATA doesn't ship: they
+  // run against the DERIVED partsupp view (Tables.partsuppSpark /
+  // partsuppDuck — distinct lineitem key pairs + hash-derived attributes,
+  // re-derived independently by BOTH engines so the derivation itself is
+  // oracle-checked). Their query text is shared verbatim; only the oracle
+  // gets a `WITH partsupp AS (...)` prelude since DuckDB sees raw parquet.
+  // Still data-blocked: q12 (l_shipmode + l_receiptdate) and q21
+  // (l_receiptdate/l_commitdate) — TESTDATA lineitem carries none of those
+  // columns and no reasonable stand-in exists; their SHAPES are covered by
+  // sql_q12_in_parts (IN-subquery grouped agg) and q21's
+  // EXISTS/NOT-EXISTS twin q07/q08.
 
   private val tpchQ6 = sql("sql_tpch_q06",
     """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(4,2))) AS DECIMAL(38,4)) AS revenue
@@ -257,8 +266,104 @@ object SqlParity {
        GROUP BY cntrycode
        ORDER BY cntrycode""")
 
+  /** Same-text entry over the derived partsupp: Spark reads the registered
+    * view; the oracle re-derives it in a CTE prelude.
+    */
+  private def sqlPs(name: String, text: String): Q =
+    Q(name,
+      (s, d) => { Tables.registerAll(s, d); s.sql(text) },
+      Some(s"WITH partsupp AS (${Tables.partsuppDuck})\n$text"))
+
+  // Adaptations beyond the shared list: p_type is a single word (= /<>
+  // instead of LIKE '%BRASS' / NOT LIKE 'MEDIUM POLISHED%'), p_name colors
+  // ('red%' for q9/q20's '%green%'), and q16's s_comment
+  // '%Customer%Complaints%' filter becomes s_acctbal < 0 (the only
+  // supplier-disqualifying attribute TESTDATA carries).
+
+  private val tpchQ2 = sqlPs("sql_tpch_q02",
+    """SELECT CAST(s_acctbal AS DECIMAL(12,2)) AS s_acctbal, s_name, n_name,
+         p_partkey, ps_supplycost
+       FROM part, supplier, partsupp, nation, region
+       WHERE p_partkey = ps_partkey
+         AND s_suppkey = ps_suppkey
+         AND p_size = 15
+         AND p_type = 'STANDARD'
+         AND s_nationkey = n_nationkey
+         AND n_regionkey = r_regionkey
+         AND r_name = 'EUROPE'
+         AND ps_supplycost = (SELECT MIN(ps_supplycost)
+                              FROM partsupp, supplier, nation, region
+                              WHERE p_partkey = ps_partkey
+                                AND s_suppkey = ps_suppkey
+                                AND s_nationkey = n_nationkey
+                                AND n_regionkey = r_regionkey
+                                AND r_name = 'EUROPE')
+       ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 100""")
+
+  private val tpchQ9 = sqlPs("sql_tpch_q09",
+    """SELECT nation, o_year, CAST(SUM(amount) AS DECIMAL(38,4)) AS sum_profit
+       FROM (SELECT n_name AS nation,
+                    CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS o_year,
+                    CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - CAST(l_discount AS DECIMAL(4,2)) AS DECIMAL(4,2))
+                      - ps_supplycost * CAST(l_quantity AS BIGINT) AS amount
+             FROM part, supplier, lineitem, partsupp, orders, nation
+             WHERE s_suppkey = l_suppkey
+               AND ps_suppkey = l_suppkey
+               AND ps_partkey = l_partkey
+               AND p_partkey = l_partkey
+               AND o_orderkey = l_orderkey
+               AND s_nationkey = n_nationkey
+               AND p_name LIKE 'red%') AS profit
+       GROUP BY nation, o_year
+       ORDER BY nation, o_year DESC""")
+
+  private val tpchQ11 = sqlPs("sql_tpch_q11",
+    """SELECT ps_partkey,
+         CAST(SUM(ps_supplycost * ps_availqty) AS DECIMAL(38,2)) AS value
+       FROM partsupp, supplier, nation
+       WHERE ps_suppkey = s_suppkey
+         AND s_nationkey = n_nationkey
+         AND n_name = 'NATION_7'
+       GROUP BY ps_partkey
+       HAVING CAST(SUM(ps_supplycost * ps_availqty) AS DOUBLE) >
+         (SELECT CAST(SUM(ps_supplycost * ps_availqty) AS DOUBLE) * 0.0001
+          FROM partsupp, supplier, nation
+          WHERE ps_suppkey = s_suppkey
+            AND s_nationkey = n_nationkey
+            AND n_name = 'NATION_7')
+       ORDER BY value DESC, ps_partkey""")
+
+  private val tpchQ16 = sqlPs("sql_tpch_q16",
+    """SELECT p_brand, p_type, p_size, COUNT(DISTINCT ps_suppkey) AS supplier_cnt
+       FROM partsupp, part
+       WHERE p_partkey = ps_partkey
+         AND p_brand <> 'Brand#13'
+         AND p_type <> 'MEDIUM'
+         AND p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+         AND ps_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                                WHERE s_acctbal < 0)
+       GROUP BY p_brand, p_type, p_size
+       ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""")
+
+  private val tpchQ20 = sqlPs("sql_tpch_q20",
+    """SELECT s_name, s_suppkey
+       FROM supplier, nation
+       WHERE s_suppkey IN (
+           SELECT ps_suppkey FROM partsupp
+           WHERE ps_partkey IN (SELECT p_partkey FROM part
+                                WHERE p_name LIKE 'red%')
+             AND ps_availqty > (SELECT 0.5 * SUM(CAST(l_quantity AS BIGINT))
+                                FROM lineitem
+                                WHERE l_partkey = ps_partkey
+                                  AND l_suppkey = ps_suppkey
+                                  AND l_shipdate >= DATE '1996-01-01'
+                                  AND l_shipdate < DATE '1997-01-01'))
+         AND s_nationkey = n_nationkey
+         AND n_name = 'NATION_3'
+       ORDER BY s_name, s_suppkey""")
+
   val all: Seq[Q] = Seq(pricing, topOrders, orderPriority, volume, yearly,
     corr, custDist, antiJoin, inSub,
-    tpchQ6, tpchQ7, tpchQ8, tpchQ10, tpchQ14, tpchQ15, tpchQ18, tpchQ19,
-    tpchQ22)
+    tpchQ2, tpchQ6, tpchQ7, tpchQ8, tpchQ9, tpchQ10, tpchQ11, tpchQ14,
+    tpchQ15, tpchQ16, tpchQ18, tpchQ19, tpchQ20, tpchQ22)
 }

@@ -31,7 +31,10 @@ class CatalogSpec extends AnyFunSuite {
   private val mayBeEmpty = Set("q21_string_funcs", "q08_not_exists_anti",
     "q04_shipping_priority", "q07_exists_semi", "q11_having", "q12_in_subquery",
     "p08_minhash_lsh_pairs", "p12_ann_lsh", "nx_q2_selection",
-    "p16_ngram_jaccard", "p17_dedup_clusters", "p18_ann_ivf")
+    "p16_ngram_jaccard", "p17_dedup_clusters", "p18_ann_ivf",
+    // single-nation / single-size filters can land on an empty slice of
+    // the ~10-supplier sf0.001 tables; the sf0.01 oracle checks them.
+    "sql_tpch_q02", "sql_tpch_q11", "sql_tpch_q20")
 
   for ((name, q) <- Catalog.byName.toSeq.sortBy(_._1)) {
     test(s"$name runs on sf0.001") {

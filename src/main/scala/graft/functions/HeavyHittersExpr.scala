@@ -33,20 +33,26 @@ import org.apache.spark.sql.types._
 final class SpaceSavingSketch(val capacity: Int) {
   import scala.collection.mutable
   val counters: mutable.HashMap[Long, (Long, Long)] = mutable.HashMap.empty
+  /** Total keys streamed in (exact, survives serialization/merge). */
+  var nSeen: Long = 0L
 
   private def minEntry: (Long, (Long, Long)) =
     counters.minBy { case (v, (c, _)) => (c, -v) }
 
-  def add(v: Long): Unit = counters.get(v) match {
-    case Some((c, e)) => counters(v) = (c + 1, e)
-    case None if counters.size < capacity => counters(v) = (1L, 0L)
-    case None =>
-      val (mv, (mc, _)) = minEntry
-      counters.remove(mv)
-      counters(v) = (mc + 1, mc)
+  def add(v: Long): Unit = {
+    nSeen += 1
+    counters.get(v) match {
+      case Some((c, e)) => counters(v) = (c + 1, e)
+      case None if counters.size < capacity => counters(v) = (1L, 0L)
+      case None =>
+        val (mv, (mc, _)) = minEntry
+        counters.remove(mv)
+        counters(v) = (mc + 1, mc)
+    }
   }
 
   def mergeWith(o: SpaceSavingSketch): Unit = {
+    nSeen += o.nSeen
     o.counters.foreach { case (v, (c, e)) =>
       counters.get(v) match {
         case Some((c0, e0)) => counters(v) = (c0 + c, e0 + e)
@@ -60,6 +66,38 @@ final class SpaceSavingSketch(val capacity: Int) {
   def topK(k: Int): Array[(Long, Long, Long)] =
     counters.toArray.map { case (v, (c, e)) => (v, c, e) }
       .sortBy { case (v, c, _) => (-c, v) }.take(k)
+}
+
+object SpaceSavingSketch {
+  /** Byte codec shared by the aggregate buffer and streaming state
+    * (capacity travels with the bytes; sorted dump → byte-stable
+    * regardless of hash-map iteration order).
+    */
+  def serialize(sk: SpaceSavingSketch): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.writeInt(sk.capacity)
+    out.writeLong(sk.nSeen)
+    out.writeInt(sk.counters.size)
+    sk.counters.toArray.sortBy(_._1).foreach { case (v, (c, e)) =>
+      out.writeLong(v); out.writeLong(c); out.writeLong(e)
+    }
+    out.flush()
+    bos.toByteArray
+  }
+
+  def deserialize(bytes: Array[Byte]): SpaceSavingSketch = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    val sk = new SpaceSavingSketch(in.readInt())
+    sk.nSeen = in.readLong()
+    val n = in.readInt()
+    var i = 0
+    while (i < n) {
+      sk.counters(in.readLong()) = (in.readLong(), in.readLong())
+      i += 1
+    }
+    sk
+  }
 }
 
 /** `space_saving_topk(key, k, capacity)` — a TypedImperativeAggregate over
@@ -116,29 +154,11 @@ case class SpaceSavingTopK(
       InternalRow(v, c, e)
     }.toSeq)
 
-  override def serialize(b: SpaceSavingSketch): Array[Byte] = {
-    val bos = new ByteArrayOutputStream()
-    val out = new DataOutputStream(bos)
-    out.writeInt(b.counters.size)
-    // Sorted dump: byte-stable serialization regardless of hash-map order.
-    b.counters.toArray.sortBy(_._1).foreach { case (v, (c, e)) =>
-      out.writeLong(v); out.writeLong(c); out.writeLong(e)
-    }
-    out.flush()
-    bos.toByteArray
-  }
+  override def serialize(b: SpaceSavingSketch): Array[Byte] =
+    SpaceSavingSketch.serialize(b)
 
-  override def deserialize(bytes: Array[Byte]): SpaceSavingSketch = {
-    val in = new DataInputStream(new ByteArrayInputStream(bytes))
-    val sk = new SpaceSavingSketch(capacity)
-    val n = in.readInt()
-    var i = 0
-    while (i < n) {
-      sk.counters(in.readLong()) = (in.readLong(), in.readLong())
-      i += 1
-    }
-    sk
-  }
+  override def deserialize(bytes: Array[Byte]): SpaceSavingSketch =
+    SpaceSavingSketch.deserialize(bytes)
 
   override def withNewMutableAggBufferOffset(offset: Int): SpaceSavingTopK =
     copy(mutableAggBufferOffset = offset)

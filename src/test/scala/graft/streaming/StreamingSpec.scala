@@ -53,6 +53,37 @@ class StreamingSpec extends AnyFunSuite {
     assertSameRows(batchBids, again)
   }
 
+  test("streaming heavy hitters (sketch as mapGroupsWithState state) == batch sketch") {
+    implicit val sqlCtx = spark.sqlContext
+    // Bidder frequencies per auction-parity group, fed in two chunks so the
+    // sketch state must survive a batch boundary via serialization.
+    val rows = batchBids.limit(4000)
+      .selectExpr("CAST(auction % 3 AS STRING) AS group", "CAST(bidder AS BIGINT) AS key")
+      .as[(String, Long)].collect().toSeq
+    val ms = MemoryStream[(String, Long)]
+    val q = StreamSketches
+      .heavyHittersStream(ms.toDF().toDF("group", "key"), k = 5, capacity = 4096)
+      .writeStream.format("memory").queryName("hh_sink").outputMode("update").start()
+    ms.addData(rows.take(2000)); q.processAllAvailable()
+    ms.addData(rows.drop(2000)); q.processAllAvailable()
+    q.stop()
+    // Last emission per group = the rows carrying that group's max nSeen.
+    val emitted = spark.table("hh_sink")
+      .as[(String, Long, Int, Long, Long)].collect()
+    val lastSeen = emitted.groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+    val last = emitted.filter(r => r._2 == lastSeen(r._1))
+      .map(r => (r._1, r._3, r._4, r._5)).toSet
+    // Batch truth via the p19 aggregate over the same rows (exact regime).
+    val batch = rows.toDF("group", "key")
+      .groupBy($"group")
+      .agg(graft.functions.HeavyHitters.space_saving_topk($"key", 5, 4096).as("tk"))
+      .select($"group", posexplode($"tk"))
+      .select($"group", ($"pos" + 1).cast("int").as("rank"),
+        $"col.value", $"col.count")
+      .as[(String, Int, Long, Long)].collect().toSet
+    assert(last == batch)
+  }
+
   test("generator config: custom proportions and generator-count invariance") {
     // 2:3:5 mix over a block of 10; counts must follow the proportions.
     val cfg = Nexmark.Config(personProportion = 2, auctionProportion = 3,

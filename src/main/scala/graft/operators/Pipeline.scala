@@ -836,6 +836,71 @@ object Pipeline {
       SELECT event_type, rank, CAST(user_id AS BIGINT) AS user_id, cnt
       FROM r WHERE rank <= 3 ORDER BY event_type, rank"""))
 
+  /** p20 — the training-data pipeline composed END TO END, as one
+    * declarative plan: quality gate → exact dedup (keep min doc_id per
+    * content hash) → near-dup removal (drop the higher doc_id of every
+    * LSH-candidate pair with exact Jaccard ≥ 0.5 — the one-pass practical
+    * form of p17's full clustering) → per-language corpus stats. This is
+    * the "switch from the reference" showcase: every stage is a stage a
+    * real 100 TB curation run executes, and Catalyst fuses the narrow
+    * stages (hashing, quality, token counts) into the same scans, so the
+    * composition costs two shuffles (dedup groupBy, LSH bucket join) plus
+    * the final tiny aggregate — not one pass per stage.
+    */
+  private val p20 = Q(
+    "p20_pipeline_e2e",
+    (s, d) => {
+      import s.implicits._
+      val docs = T(s, d, "documents")
+      // Stage 1: quality gate (cheap narrow predicates first).
+      val quality = docs.filter($"n_chars" >= 200 &&
+        size(split($"text", " ")) >= 30)
+      // Stage 2: exact dedup — keep the min doc_id of each content hash.
+      val keepExact = quality
+        .withColumn("keep_id",
+          min($"doc_id").over(org.apache.spark.sql.expressions.Window
+            .partitionBy(md5($"text"))))
+        .filter($"doc_id" === $"keep_id")
+        .drop("keep_id")
+      // Stage 3: near-dup removal over the whole corpus — drop id_b of
+      // every verified pair (id_a < id_b), keeping one representative.
+      val removed = minhashLshPairs(s, d)
+        .filter($"jaccard" >= 0.5)
+        .select($"id_b".as("doc_id")).distinct()
+      val kept = keepExact.join(removed, Seq("doc_id"), "left_anti")
+      // Stage 4: per-language corpus stats over the kept set.
+      kept.groupBy($"lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(regexp_count($"text", lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"))
+            .cast(LongType)).as("total_tokens"),
+          dec(sum($"n_chars".cast(LongType)).cast(DoubleType) /
+            count(lit(1)).cast(DoubleType), 18, 4).as("mean_chars"))
+        .orderBy($"lang")
+    },
+    Some(s"""
+      WITH $candCtesDuck,
+      pairs AS (
+        SELECT id_a, id_b,
+          CAST(length(list_filter(sa.sh, x -> list_contains(sb.sh, x))) AS DOUBLE)
+            / (length(sa.sh) + length(sb.sh) - length(list_filter(sa.sh, x -> list_contains(sb.sh, x)))) AS jac
+        FROM cand JOIN sh sa ON sa.doc_id = id_a JOIN sh sb ON sb.doc_id = id_b),
+      removed AS (SELECT DISTINCT id_b AS doc_id FROM pairs WHERE jac >= 0.5),
+      quality AS (
+        SELECT * FROM documents
+        WHERE n_chars >= 200 AND length(string_split(text, ' ')) >= 30),
+      keep_exact AS (
+        SELECT * FROM (
+          SELECT *, MIN(doc_id) OVER (PARTITION BY md5(text)) AS keep_id
+          FROM quality) q
+        WHERE doc_id = keep_id),
+      kept AS (
+        SELECT * FROM keep_exact
+        WHERE doc_id NOT IN (SELECT doc_id FROM removed))
+      SELECT lang, COUNT(*) AS n_docs,
+        CAST(SUM(length(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))) AS BIGINT) AS total_tokens,
+        CAST(CAST(SUM(CAST(n_chars AS BIGINT)) AS DOUBLE) / COUNT(*) AS DECIMAL(18,4)) AS mean_chars
+      FROM kept GROUP BY lang ORDER BY lang"""))
+
   val all: Seq[Q] = Seq(p01, p02, p03, p04, p05, p06, p07, p08, p09, p10,
-    p11, p12, p13, p14, p15, p16, p17, p18, p19)
+    p11, p12, p13, p14, p15, p16, p17, p18, p19, p20)
 }

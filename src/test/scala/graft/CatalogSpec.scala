@@ -167,6 +167,18 @@ class SemanticsSpec extends AnyFunSuite {
     assert(joined.filter(abs($"ivf_sim" - $"bf_sim") > 1e-9).isEmpty)
   }
 
+  test("e2e pipeline output is bounded by its upstream stages") {
+    val d = "/root/testdata/sf0.01"
+    val docs = Tables.load(spark, d, "documents")
+    val total = docs.count()
+    val uniqueHashes = docs.select(md5($"text")).distinct().count()
+    val kept = Catalog.byName("p20_pipeline_e2e").run(spark, d)
+      .agg(sum($"n_docs")).as[Long].head()
+    assert(kept > 0, "pipeline kept nothing")
+    assert(kept <= uniqueHashes && uniqueHashes <= total,
+      s"stage monotonicity violated: kept=$kept unique=$uniqueHashes total=$total")
+  }
+
   test("range-residual join only keeps lineitems within 30 days") {
     val ord = Tables.load(spark, sf, "orders")
     val li = Tables.load(spark, sf, "lineitem")

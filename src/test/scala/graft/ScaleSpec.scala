@@ -71,4 +71,44 @@ class ScaleSpec extends AnyFunSuite {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
     }
   }
+
+  test("AQE splits a skewed join partition at runtime") {
+    // One hot key with ~200k rows against a flat build side: with skew-join
+    // thresholds tuned to this data size, AQE must mark the sort-merge join
+    // skew-handled and split the hot partition into multiple tasks — the
+    // runtime half of the skew story (q30's salting is the static half).
+    val saved = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.enabled",
+      "spark.sql.adaptive.skewJoin.enabled",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes")
+      .map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64KB")
+      val skewed = spark.range(0, 220000)
+        .select(when($"id" % 11 =!= 0, 0L).otherwise($"id" % 1000).as("k"),
+          ($"id" * 7).as("payload"))
+      val flat = spark.range(0, 1000).select($"id".as("k"), $"id".as("v"))
+      val joined = skewed.join(flat, "k")
+      // Execute THIS Dataset's own query execution (count() would plan a
+      // separate query and leave this one un-adapted), then read the final
+      // adaptive plan.
+      assert(joined.collect().length > 0)
+      val finalPlan = joined.queryExecution.executedPlan.toString()
+      assert(finalPlan.contains("skew=true"),
+        s"no skew-handled join in final adaptive plan:\n$finalPlan")
+    } finally {
+      saved.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
+      }
+    }
+  }
 }

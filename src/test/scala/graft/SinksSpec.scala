@@ -105,6 +105,64 @@ class SinksSpec extends AnyFunSuite {
       "restarted sink content differs from batch q1 over the full input")
   }
 
+  test("streaming sketch state survives a checkpoint restart (no reprocess)") {
+    // mapGroupsWithState sketch state lives in the state store under the
+    // checkpoint: a fresh query instance on the same checkpoint must
+    // resume the sketch (counts span both chunks) AND not reprocess chunk
+    // one (nSeen == exact row count per group).
+    val in = tmp("sk_in")
+    val ckpt = tmp("sk_ckpt")
+    val allBids = Nexmark.bids(spark, 4000).cache()
+    val rows = allBids.selectExpr(
+      "CAST(auction % 3 AS STRING) AS group", "CAST(bidder AS BIGINT) AS key")
+    val schema = rows.schema
+    val got = scala.collection.mutable.ArrayBuffer
+      .empty[(String, Long, Int, Long, Long)]
+
+    def runOnce(): Unit = {
+      val src = spark.readStream.schema(schema).parquet(in)
+      val q = graft.streaming.StreamSketches.heavyHittersStream(src, 3, 4096)
+        .toDF()
+        .writeStream.outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          got.synchronized {
+            got ++= df.as[(String, Long, Int, Long, Long)].collect()
+          }; ()
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(60000)
+    }
+
+    val cutoff = timestamp_millis(lit(Nexmark.BaseMs + 2000))
+    allBids.filter($"b_date_time" < cutoff)
+      .selectExpr("CAST(auction % 3 AS STRING) AS group", "CAST(bidder AS BIGINT) AS key")
+      .coalesce(1).write.mode("append").parquet(in)
+    runOnce()
+    allBids.filter($"b_date_time" >= cutoff)
+      .selectExpr("CAST(auction % 3 AS STRING) AS group", "CAST(bidder AS BIGINT) AS key")
+      .coalesce(1).write.mode("append").parquet(in)
+    runOnce()
+
+    val lastSeen = got.groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+    val last = got.filter(r => r._2 == lastSeen(r._1))
+      .map(r => (r._1, r._3, r._4, r._5)).toSet
+    // nSeen must equal the exact per-group row count: restart neither
+    // dropped nor replayed chunk one.
+    val trueCounts = rows.groupBy($"group").count()
+      .as[(String, Long)].collect().toMap
+    assert(lastSeen == trueCounts, s"nSeen $lastSeen != $trueCounts")
+    // And the top-k matches the batch sketch over the full input.
+    val batch = rows
+      .groupBy($"group")
+      .agg(graft.functions.HeavyHitters.space_saving_topk($"key", 3, 4096).as("tk"))
+      .select($"group", posexplode($"tk"))
+      .select($"group", ($"pos" + 1).cast("int").as("rank"),
+        $"col.value", $"col.count")
+      .as[(String, Int, Long, Long)].collect().toSet
+    assert(last == batch)
+  }
+
   test("YSB query: stream == batch") {
     implicit val sqlCtx = spark.sqlContext
     val events = graft.streaming.Ysb.adEvents(spark, 10000)

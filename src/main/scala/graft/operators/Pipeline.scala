@@ -864,6 +864,11 @@ object Pipeline {
         .drop("keep_id")
       // Stage 3: near-dup removal over the whole corpus — drop id_b of
       // every verified pair (id_a < id_b), keeping one representative.
+      // Deliberately NOT broadcast: the remove-set is ids-only but grows
+      // with the corpus's dup rate — at 100 TB it can be billions of ids,
+      // so the shuffled anti-join on doc_id (the plan's one SortMergeJoin)
+      // is the form that survives; Spark still flips it to broadcast on
+      // its own when runtime stats say the set is small.
       val removed = minhashLshPairs(s, d)
         .filter($"jaccard" >= 0.5)
         .select($"id_b".as("doc_id")).distinct()

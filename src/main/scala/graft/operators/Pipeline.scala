@@ -698,10 +698,17 @@ object Pipeline {
       var prevSum = labelSum(cur)
       var jumping = true
       while (jumping) {
-        val j = broadcast(cur.select($"id".as("jid"), $"label".as("jlabel")))
-        val jumped = pin(cur.join(j, cur("label") === j("jid"))
+        // Two chained lookups per materialization: label(label(label(v))).
+        // Each pinned round divides chain depth by 3 — same O(log) bound
+        // as single jumps, half the checkpoint/count jobs (the loop's real
+        // cost locally is fixed job overhead, not data).
+        val j1 = broadcast(cur.select($"id".as("j1id"), $"label".as("j1label")))
+        val j2 = broadcast(cur.select($"id".as("j2id"), $"label".as("j2label")))
+        val jumped = pin(cur
+          .join(j1, cur("label") === col("j1id"))
+          .join(j2, col("j1label") === col("j2id"))
           .select(cur("id").as("id"),
-            least(cur("label"), col("jlabel")).as("label")))
+            least(cur("label"), col("j1label"), col("j2label")).as("label")))
         val s = labelSum(jumped)
         jumping = s < prevSum
         prevSum = s

@@ -198,6 +198,21 @@ class SinksSpec extends AnyFunSuite {
     }
   }
 
+  test("connector decode survives malformed payloads without dropping good rows") {
+    // A poisoned queue is the normal case at scale: corrupt JSON, wrong
+    // schema, empty bodies. PERMISSIVE from_json must null out the bad
+    // rows (routable to a dead-letter sink) and decode the good ones.
+    val goodPayload = to_json(struct($"auction", $"bidder", $"price", $"b_date_time"))
+    val good = Nexmark.bids(spark, 1000).select(goodPayload.as("body"))
+    val bad = Seq("{not json", "", "[1,2,3]", """{"auction":"NaN"}""", "null")
+      .toDF("body")
+    val decoded = graft.streaming.Connectors.decodeBidSqs(good.union(bad))
+    val okRows = decoded.filter($"auction".isNotNull && $"bidder".isNotNull)
+    assert(okRows.count() == good.count(), "good rows were lost")
+    val poisoned = decoded.filter($"auction".isNull)
+    assert(poisoned.count() >= 4, "malformed rows did not surface as nulls")
+  }
+
   test("foreachBatch idempotent keyed upsert sink (DynamoDB-style)") {
     // The reference's DynamoDB/SQS sinks (flock/src/datasink/mod.rs:46-118)
     // are keyed writes; Spark's equivalent is foreachBatch + an idempotent

@@ -913,6 +913,37 @@ object Pipeline {
         CAST(CAST(SUM(CAST(n_chars AS BIGINT)) AS DOUBLE) / COUNT(*) AS DECIMAL(18,4)) AS mean_chars
       FROM kept GROUP BY lang ORDER BY lang"""))
 
+  /** p21 — exponentially time-decayed counts per event type ("trending"
+    * score: recent events count more, half-life 1 h), anchored at the
+    * corpus max timestamp so the result is deterministic. Per-row weight =
+    * exp(-Δt · ln2/halflife), rounded to DECIMAL(18,6) BEFORE summing:
+    * the rounding both makes the sum order-independent (exact decimal
+    * addition) and absorbs the ≤1-ulp divergence allowed between the JVM's
+    * and DuckDB's libm `exp`. Narrow per-row math + one shuffle — the
+    * time-weighted twin of a plain count, and the batch form of a decayed
+    * sketch a stream would keep.
+    */
+  private val p21 = Q(
+    "p21_decayed_counts",
+    (s, d) => {
+      import s.implicits._
+      val ev = T(s, d, "events")
+      val ref = broadcast(ev.agg(max(unix_micros($"ts")).as("tref")))
+      ev.crossJoin(ref)
+        .select($"event_type",
+          dec(exp(-(($"tref" - unix_micros($"ts")).cast(DoubleType) / 3.6e9)
+            * 0.6931471805599453), 18, 6).as("w"))
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n"), dec(sum($"w"), 38, 6).as("decayed"))
+        .orderBy($"event_type")
+    },
+    Some("""
+      WITH r AS (SELECT MAX(epoch_us(ts)) AS tref FROM events)
+      SELECT event_type, COUNT(*) AS n,
+        CAST(SUM(CAST(exp(-((tref - epoch_us(ts)) / 3600000000.0)
+          * 0.6931471805599453) AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS decayed
+      FROM events, r GROUP BY event_type ORDER BY event_type"""))
+
   val all: Seq[Q] = Seq(p01, p02, p03, p04, p05, p06, p07, p08, p09, p10,
-    p11, p12, p13, p14, p15, p16, p17, p18, p19, p20)
+    p11, p12, p13, p14, p15, p16, p17, p18, p19, p20, p21)
 }

@@ -10,9 +10,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *   - operators.Pipeline     — dedup / similarity / text-analysis ops
   */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * p20 is the engine's showcase: the full curation pipeline (quality
+    * gate → exact dedup → LSH near-dup removal → per-language stats) as
+    * one declarative plan.
+    */
   def entry(spark: SparkSession): DataFrame =
-    Catalog.byName("q01_pricing_summary").run(spark, "/root/testdata/sf0.001")
+    Catalog.byName("p20_pipeline_e2e").run(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

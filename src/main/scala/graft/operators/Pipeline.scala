@@ -944,6 +944,46 @@ object Pipeline {
           * 0.6931471805599453) AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS decayed
       FROM events, r GROUP BY event_type ORDER BY event_type"""))
 
+  /** p22 — deterministic stratified sampling + train/valid split: keep a
+    * per-language fraction of documents by hashing the DOC ID (not RNG —
+    * hash-based sampling is reproducible across runs, engines, and
+    * re-partitioning, which is why production corpus pipelines prefer it:
+    * the sample is a pure function of the row). A second, independently
+    * salted hash assigns the 90/10 train/valid split, so membership in
+    * the sample and the split don't correlate. Narrow per-row work + one
+    * tiny aggregate; rates are plan literals so Catalyst folds them.
+    */
+  private val p22 = Q(
+    "p22_stratified_sample",
+    (s, d) => {
+      import s.implicits._
+      def h(salt: String) =
+        conv(substring(md5(concat($"doc_id".cast(StringType), lit(salt))), 1, 15), 16, 10)
+          .cast(LongType)
+      val rate = when($"lang" === "en", 500).when($"lang" === "de", 250)
+        .otherwise(100)
+      T(s, d, "documents")
+        .filter(h("_sample") % 1000 < rate)
+        .select($"lang",
+          when(h("_split") % 10 < 8, "train").otherwise("valid").as("split"),
+          $"doc_id")
+        .groupBy($"lang", $"split")
+        .agg(count(lit(1)).as("n"), min($"doc_id").as("min_id"),
+          max($"doc_id").as("max_id"))
+        .orderBy($"lang", $"split")
+    },
+    Some("""
+      WITH sampled AS (
+        SELECT lang,
+          CASE WHEN ('0x' || substr(md5(CAST(doc_id AS STRING) || '_split'), 1, 15))::BIGINT % 10 < 8
+               THEN 'train' ELSE 'valid' END AS split,
+          doc_id
+        FROM documents
+        WHERE ('0x' || substr(md5(CAST(doc_id AS STRING) || '_sample'), 1, 15))::BIGINT % 1000
+              < CASE WHEN lang = 'en' THEN 500 WHEN lang = 'de' THEN 250 ELSE 100 END)
+      SELECT lang, split, COUNT(*) AS n, MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+      FROM sampled GROUP BY lang, split ORDER BY lang, split"""))
+
   val all: Seq[Q] = Seq(p01, p02, p03, p04, p05, p06, p07, p08, p09, p10,
-    p11, p12, p13, p14, p15, p16, p17, p18, p19, p20, p21)
+    p11, p12, p13, p14, p15, p16, p17, p18, p19, p20, p21, p22)
 }

@@ -179,6 +179,24 @@ class SemanticsSpec extends AnyFunSuite {
       s"stage monotonicity violated: kept=$kept unique=$uniqueHashes total=$total")
   }
 
+  test("stratified sample hits its per-language rates") {
+    val d = "/root/testdata/sf0.01"
+    val totals = Tables.load(spark, d, "documents")
+      .groupBy($"lang").count().as[(String, Long)].collect().toMap
+    val sampled = Catalog.byName("p22_stratified_sample").run(spark, d)
+      .groupBy($"lang").agg(sum($"n").as("n")).as[(String, Long)].collect().toMap
+    for ((lang, n) <- sampled) {
+      val rate = lang match {
+        case "en" => 0.5; case "de" => 0.25; case _ => 0.1
+      }
+      val expect = totals(lang) * rate
+      // Hash-sampling binomial bounds: ±5 sigma.
+      val sigma = math.sqrt(totals(lang) * rate * (1 - rate))
+      assert(math.abs(n - expect) <= 5 * sigma + 1,
+        s"$lang sampled $n of ${totals(lang)}, expected ~$expect")
+    }
+  }
+
   test("range-residual join only keeps lineitems within 30 days") {
     val ord = Tables.load(spark, sf, "orders")
     val li = Tables.load(spark, sf, "lineitem")

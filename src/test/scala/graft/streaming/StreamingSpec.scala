@@ -84,6 +84,44 @@ class StreamingSpec extends AnyFunSuite {
     assert(last == batch)
   }
 
+  test("streaming decayed counts == sequential fold over the ordered events") {
+    implicit val sqlCtx = spark.sqlContext
+    val half = 5000000L // 5 s half-life in µs
+    val rows = batchBids.limit(3000)
+      .selectExpr("CAST(auction % 3 AS STRING) AS group",
+        "unix_micros(b_date_time) AS ts")
+      .as[(String, Long)].collect().toSeq.sortBy(_._2)
+    val ms = MemoryStream[(String, Long)]
+    val q = StreamSketches
+      .decayedCountStream(ms.toDF().toDF("group", "ts"), half)
+      .writeStream.format("memory").queryName("decay_sink")
+      .outputMode("update").start()
+    // Two event-time-ordered chunks: state must carry the fold across the
+    // batch boundary bit-exactly.
+    ms.addData(rows.take(1500)); q.processAllAvailable()
+    ms.addData(rows.drop(1500)); q.processAllAvailable()
+    q.stop()
+    val emitted = spark.table("decay_sink")
+      .as[(String, Long, Long, Double)].collect()
+    val last = emitted.groupBy(_._1).view.mapValues(_.maxBy(_._2)).toMap
+    // Reference: the same fold, sequentially over all rows per group.
+    val lambda = math.log(2.0) / half
+    val expect = rows.groupBy(_._1).view.mapValues { rs =>
+      var lastTs = Long.MinValue; var d = 0.0
+      rs.sortBy(_._2).foreach { case (_, t) =>
+        val dt = if (lastTs == Long.MinValue) 0L else math.max(0L, t - lastTs)
+        d = d * math.exp(-lambda * dt) + 1.0
+        lastTs = t
+      }
+      (rs.size.toLong, lastTs, d)
+    }.toMap
+    for ((g, (n, lastTs, d)) <- expect) {
+      val got = last(g)
+      assert(got._2 == n && got._3 == lastTs, s"group $g n/ts mismatch: $got")
+      assert(got._4 == d, s"group $g decayed ${got._4} != $d (must be bit-exact)")
+    }
+  }
+
   test("generator config: custom proportions and generator-count invariance") {
     // 2:3:5 mix over a block of 10; counts must follow the proportions.
     val cfg = Nexmark.Config(personProportion = 2, auctionProportion = 3,

@@ -984,6 +984,49 @@ object Pipeline {
       SELECT lang, split, COUNT(*) AS n, MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
       FROM sampled GROUP BY lang, split ORDER BY lang, split"""))
 
+  /** p23 — repetition-based quality rules (the Gopher-style filters real
+    * corpus pipelines apply): per-document duplicate-token fraction and
+    * most-frequent-token fraction, plus the reject verdict. Narrow per-row
+    * array work; the top-token scan is O(tokens × distinct) per row, which
+    * is the honest cost of an exact repetition measure (the sketch escape
+    * hatch at extreme doc lengths is p19's heavy-hitters per doc).
+    */
+  private val p23 = Q(
+    "p23_repetition",
+    (s, d) => {
+      import s.implicits._
+      // Ratios stay RAW double (one division of identical ints — identical
+      // bits in both engines, nothing to round); the verdict uses integer
+      // cross-multiplication, so no threshold ever meets a rounding tie
+      // (dyadic token counts like 128 put a 6-decimal cast exactly on the
+      // half-up/half-even divergence).
+      val toks = split($"text", " ")
+      val n = size(toks)
+      val nDistinct = size(array_distinct(toks))
+      val topCount = expr(
+        """array_max(transform(array_distinct(split(text, ' ')),
+             d -> size(filter(split(text, ' '), t -> t = d))))""")
+      T(s, d, "documents")
+        .select($"doc_id", n.as("n_tokens"),
+          ((n - nDistinct).cast(DoubleType) / n.cast(DoubleType)).as("dup_ratio"),
+          (topCount.cast(DoubleType) / n.cast(DoubleType)).as("top_tok_ratio"),
+          ((n - nDistinct) * 2 >= n || topCount * 5 >= n).as("rejected"))
+        .orderBy($"doc_id")
+    },
+    Some("""
+      WITH m AS (
+        SELECT doc_id,
+          CAST(length(string_split(text, ' ')) AS INT) AS n_tokens,
+          CAST(length(string_split(text, ' ')) - length(list_distinct(string_split(text, ' '))) AS INT) AS n_dup,
+          CAST(list_max(list_transform(list_distinct(string_split(text, ' ')),
+                 d -> length(list_filter(string_split(text, ' '), t -> t = d)))) AS INT) AS top_cnt
+        FROM documents)
+      SELECT doc_id, n_tokens,
+        CAST(n_dup AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS dup_ratio,
+        CAST(top_cnt AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS top_tok_ratio,
+        (n_dup * 2 >= n_tokens OR top_cnt * 5 >= n_tokens) AS rejected
+      FROM m ORDER BY doc_id"""))
+
   val all: Seq[Q] = Seq(p01, p02, p03, p04, p05, p06, p07, p08, p09, p10,
-    p11, p12, p13, p14, p15, p16, p17, p18, p19, p20, p21, p22)
+    p11, p12, p13, p14, p15, p16, p17, p18, p19, p20, p21, p22, p23)
 }

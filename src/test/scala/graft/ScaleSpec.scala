@@ -72,6 +72,38 @@ class ScaleSpec extends AnyFunSuite {
     }
   }
 
+  test("runtime bloom filter prunes the fact side of a selective join") {
+    // Row-level runtime filtering: a selective filter on the build side
+    // injects a bloom_filter_might_contain predicate into the fact scan,
+    // cutting shuffle input before the join — the third pruning layer
+    // after static pushdown and partition pruning.
+    val saved = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+      "spark.sql.autoBroadcastJoinThreshold")
+      .map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "1GB")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val li = Tables.load(spark, sf, "lineitem")
+      val ord = Tables.load(spark, sf, "orders")
+        .filter($"o_orderpriority" === "1-URGENT")
+      val joined = li.join(ord, $"l_orderkey" === $"o_orderkey")
+      val plan = joined.queryExecution.executedPlan.toString()
+      assert(plan.contains("might_contain"),
+        s"no runtime bloom filter in plan:\n$plan")
+      assert(joined.count() > 0)
+    } finally {
+      saved.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
+      }
+    }
+  }
+
   test("AQE splits a skewed join partition at runtime") {
     // One hot key with ~200k rows against a flat build side: with skew-join
     // thresholds tuned to this data size, AQE must mark the sort-merge join

@@ -958,7 +958,45 @@ object Relational {
       FROM embeddings, range(1, 4) r(i)
       ORDER BY vec_id, pos"""))
 
+  /** q38 — FULL OUTER JOIN with real unmatched rows on BOTH sides:
+    * per-customer 1996 revenue ⟗ per-customer 1997 revenue. Customers
+    * active in only one of the years surface with a NULL on the other
+    * side — the join shape LEFT/SEMI/ANTI can't express. Two partial
+    * aggregates shrink each side BEFORE the join (aggregate-then-join, not
+    * join-then-aggregate — at 100 TB the join input is per-customer rows,
+    * not the fact table).
+    */
+  private val q38 = Q(
+    "q38_full_outer",
+    (s, d) => {
+      import s.implicits._
+      def revByYear(year: Int) =
+        T(s, d, "orders")
+          .filter(expr(s"EXTRACT(YEAR FROM o_orderdate) = $year"))
+          .groupBy($"o_custkey")
+          .agg(dec(sum(dec($"o_totalprice", 12, 2)), 38, 2).as(s"rev$year"))
+      revByYear(1996).withColumnRenamed("o_custkey", "ck96").as("a")
+        .join(revByYear(1997).withColumnRenamed("o_custkey", "ck97").as("b"),
+          $"ck96" === $"ck97", "full_outer")
+        .select(coalesce($"ck96", $"ck97").as("custkey"),
+          $"rev1996", $"rev1997",
+          ($"ck96".isNull || $"ck97".isNull).as("single_year"))
+        .orderBy($"custkey")
+    },
+    Some("""
+      WITH r96 AS (
+        SELECT o_custkey, CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS rev1996
+        FROM orders WHERE EXTRACT(YEAR FROM o_orderdate) = 1996 GROUP BY o_custkey),
+      r97 AS (
+        SELECT o_custkey, CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS rev1997
+        FROM orders WHERE EXTRACT(YEAR FROM o_orderdate) = 1997 GROUP BY o_custkey)
+      SELECT COALESCE(r96.o_custkey, r97.o_custkey) AS custkey,
+        rev1996, rev1997,
+        (r96.o_custkey IS NULL OR r97.o_custkey IS NULL) AS single_year
+      FROM r96 FULL OUTER JOIN r97 ON r96.o_custkey = r97.o_custkey
+      ORDER BY custkey"""))
+
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
-    q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37)
+    q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38)
 }

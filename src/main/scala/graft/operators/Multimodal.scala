@@ -146,5 +146,46 @@ object Multimodal {
         md5(substr(text, greatest(1, length(text) - 63), 64)) AS tail_fp
       FROM documents ORDER BY doc_id"""))
 
-  val all: Seq[Q] = Seq(m01, m02, m03)
+  /** m04 — modality routing by MAGIC BYTES: payloads get real file-format
+    * signatures (PNG / RIFF-WAV / MP4 ftyp) prepended by the generator
+    * rule, and the query re-derives the modality by sniffing the leading
+    * bytes of the binary column — the first thing a media-lake ingest does
+    * to mixed blobs. The oracle computes modality from the generating rule
+    * instead of the bytes, so the check proves the sniffer reads the right
+    * bytes back. Narrow per-row binary work + one tiny rollup.
+    */
+  private val m04 = Q(
+    "m04_magic_sniff",
+    (s, d) => {
+      import s.implicits._
+      val png = Array[Byte](0x89.toByte, 0x50, 0x4e, 0x47)  // \x89PNG
+      val wav = "RIFF".getBytes("UTF-8")
+      val mp4 = "ftyp".getBytes("UTF-8")
+      val magic = when($"doc_id" % 3 === 0, lit(png))
+        .when($"doc_id" % 3 === 1, lit(wav))
+        .otherwise(lit(mp4))
+      val assets = T(s, d, "documents")
+        .select($"doc_id",
+          concat(magic, encode($"text", "UTF-8")).as("payload"))
+      val sniffed = assets.select($"doc_id", $"payload",
+        when(substring($"payload", 1, 4) === lit(png), "image/png")
+          .when(substring($"payload", 1, 4) === lit(wav), "audio/wav")
+          .when(substring($"payload", 1, 4) === lit(mp4), "video/mp4")
+          .otherwise("unknown").as("modality"))
+      sniffed.groupBy($"modality")
+        .agg(count(lit(1)).as("n_assets"),
+          sum(length($"payload").cast(LongType)).as("total_bytes"))
+        .orderBy($"modality")
+    },
+    Some("""
+      SELECT CASE CAST(doc_id % 3 AS INT)
+               WHEN 0 THEN 'image/png'
+               WHEN 1 THEN 'audio/wav'
+               ELSE 'video/mp4' END AS modality,
+        COUNT(*) AS n_assets,
+        CAST(SUM(octet_length(encode(text)) + 4) AS BIGINT) AS total_bytes
+      FROM documents
+      GROUP BY modality ORDER BY modality"""))
+
+  val all: Seq[Q] = Seq(m01, m02, m03, m04)
 }

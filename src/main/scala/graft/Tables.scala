@@ -60,12 +60,55 @@ object Tables {
   val partsuppDuck: String = partsuppSql(s =>
     s"('0x' || substr(md5($s), 1, 15))::BIGINT")
 
+  /** TESTDATA lineitem also lacks `l_shipmode`, `l_commitdate`, and
+    * `l_receiptdate` (needed by TPC-H q12/q21). Same treatment as
+    * partsupp: derive them deterministically from md5 of the row key
+    * (l_orderkey, l_linenumber), re-derived identically by both engines so
+    * the derivation is itself oracle-checked. Date offsets mirror dbgen's
+    * generation rules relative to shipdate (commitdate within ±45 days,
+    * receiptdate 1–30 days after shipping); arithmetic stays in TIMESTAMP
+    * on both engines so no truncation can skew a predicate.
+    *
+    * Projection pruning means queries that never touch the derived
+    * columns never pay for the md5s — the view is free unless used.
+    */
+  private def lineitemExtSql(from: String, hash60: String => String,
+      dateAdd: (String, String) => String): String = {
+    val key = (salt: String) =>
+      s"CAST(l_orderkey AS STRING) || '_' || CAST(l_linenumber AS STRING) || '_$salt'"
+    s"""SELECT *,
+      CASE CAST(${hash60(key("m"))} % 7 AS INT)
+        WHEN 0 THEN 'REG AIR' WHEN 1 THEN 'AIR' WHEN 2 THEN 'RAIL'
+        WHEN 3 THEN 'SHIP' WHEN 4 THEN 'TRUCK' WHEN 5 THEN 'MAIL'
+        ELSE 'FOB' END AS l_shipmode,
+      ${dateAdd("l_shipdate", s"CAST(${hash60(key("c"))} % 91 AS INT) - 45")} AS l_commitdate,
+      ${dateAdd("l_shipdate", s"1 + CAST(${hash60(key("r"))} % 30 AS INT)")} AS l_receiptdate
+    FROM $from"""
+  }
+
+  val lineitemExtSpark: String = lineitemExtSql(
+    "lineitem",
+    s => s"CAST(conv(substr(md5($s), 1, 15), 16, 10) AS BIGINT)",
+    (d, n) => s"timestampadd(DAY, $n, $d)")
+
+  /** Oracle-side twin: reads the raw parquet directly ({SF} is substituted
+    * with the absolute sf dir by Verify) so it shadows the driver's
+    * `lineitem` registration without a circular CTE reference.
+    */
+  val lineitemExtDuck: String = lineitemExtSql(
+    "read_parquet('{SF}/lineitem.parquet')",
+    s => s"('0x' || substr(md5($s), 1, 15))::BIGINT",
+    (d, n) => s"($d + INTERVAL ($n) DAY)")
+
   /** Register every table in `dir` as a temp view named after the table,
-    * plus the derived `partsupp` view. Idempotent; cheap (schema read
+    * plus the derived `partsupp` view and the extended `lineitem` view
+    * (spark.sql analyzes eagerly, so the extension binds to the raw view
+    * before the name is replaced). Idempotent; cheap (schema read
     * only — scans stay lazy).
     */
   def registerAll(spark: SparkSession, dir: String): Unit = {
     all.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
     spark.sql(partsuppSpark).createOrReplaceTempView("partsupp")
+    spark.sql(lineitemExtSpark).createOrReplaceTempView("lineitem")
   }
 }

@@ -16,8 +16,11 @@ import java.nio.file.{Files, Paths}
   *     trailing-zero values;
   *   - oracle SQL may reference the deterministic NEXMark/YSB generator
   *     tables via the `{NX}` placeholder; Verify materializes those tables
-  *     to parquet under outDir/nx_input and substitutes the absolute path,
-  *     so DuckDB replays the exact same data Spark generated.
+  *     to parquet under a per-run temp dir and substitutes the absolute
+  *     path, so DuckDB replays the exact same data Spark generated;
+  *   - `{SF}` substitutes the absolute sf data dir, letting an oracle
+  *     CTE shadow a base table with derived columns (extended lineitem)
+  *     by reading the raw parquet directly.
   */
 object Verify {
   /** Tables the NEXMark/YSB oracles read; dumped once per Verify run. */
@@ -71,7 +74,12 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     val absOut = Paths.get(outDir).toAbsolutePath.toString
-    val nxDir = s"$absOut/nx_input"
+    // OUTSIDE outDir: the driver scans outDir's children as query results,
+    // so dumping the generator tables there made a phantom "nx_input"
+    // entry with no oracle (rounds 1–2). A per-run temp dir keeps the
+    // dump reachable by the oracle's absolute-path read_parquet without
+    // polluting the result set.
+    val nxDir = Files.createTempDirectory("graft_nx_input").toAbsolutePath.toString
     try dumpNexmarkInputs(spark, nxDir)
     catch { case e: Throwable =>
       System.err.println(s"[verify] nx_input dump failed: ${e.getMessage}")
@@ -81,7 +89,8 @@ object Verify {
     Catalog.byName.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.isEmpty || only(name) }
       .foreach { case (name, q) =>
-      val substituted = q.oracle.map(_.replace("{NX}", nxDir))
+      val substituted = q.oracle.map(_.replace("{NX}", nxDir)
+        .replace("{SF}", Paths.get(sfDir).toAbsolutePath.toString))
       try {
         val raw = q.run(spark, sfDir)
         Catalog.finalizeDoubles(raw).coalesce(1).write.mode("overwrite")

@@ -23,9 +23,11 @@ import org.apache.spark.sql.types._
   * EXACT (no eviction ever happens — the sizing rule the p19 oracle uses).
   * Past capacity a new key inherits the evicted minimum's count as its
   * overestimate (`err`), the classic SpaceSaving bound: true ≤ count ≤
-  * true + err. Cross-sketch merge sums counts/errors and trims back to
-  * capacity, dropping trimmed tails entirely — frequent keys survive (they
-  * are never the minimum), long-tail counts become approximate.
+  * true + err. Cross-sketch merge applies the mergeable-summaries rule
+  * (keys absent from a saturated side inherit that side's minimum as
+  * count+err) and trims back to capacity — frequent keys survive (they
+  * are never the minimum), long-tail counts become approximate, and the
+  * bound holds across any merge tree.
   *
   * Eviction/trim order is a total order (smallest count, ties to the
   * LARGEST key), so results are deterministic for a fixed partitioning.
@@ -51,12 +53,27 @@ final class SpaceSavingSketch(val capacity: Int) {
     }
   }
 
+  /** Mergeable-summaries rule (Agarwal et al., TODS'13): a saturated
+    * sketch may have already evicted a key, undercounting it by up to its
+    * minimum counter. So a key absent from one side inherits that side's
+    * minimum count as both count and error; an unsaturated side has floor
+    * 0 (absence there really means zero), keeping the exact regime exact.
+    * Preserves true <= count <= true + err across any merge tree.
+    */
   def mergeWith(o: SpaceSavingSketch): Unit = {
+    val myFloor = if (counters.size >= capacity) counters.values.map(_._1).min else 0L
+    val oFloor = if (o.counters.size >= o.capacity) o.counters.values.map(_._1).min else 0L
     nSeen += o.nSeen
+    if (oFloor > 0) counters.keys.toArray.foreach { v =>
+      if (!o.counters.contains(v)) {
+        val (c0, e0) = counters(v)
+        counters(v) = (c0 + oFloor, e0 + oFloor)
+      }
+    }
     o.counters.foreach { case (v, (c, e)) =>
       counters.get(v) match {
         case Some((c0, e0)) => counters(v) = (c0 + c, e0 + e)
-        case None => counters(v) = (c, e)
+        case None => counters(v) = (c + myFloor, e + myFloor)
       }
     }
     while (counters.size > capacity) counters.remove(minEntry._1)

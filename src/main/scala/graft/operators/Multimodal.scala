@@ -158,9 +158,15 @@ object Multimodal {
     "m04_magic_sniff",
     (s, d) => {
       import s.implicits._
-      val png = Array[Byte](0x89.toByte, 0x50, 0x4e, 0x47)  // \x89PNG
-      val wav = "RIFF".getBytes("UTF-8")
-      val mp4 = "ftyp".getBytes("UTF-8")
+      // Real container layouts: PNG's full 8-byte signature at offset 0;
+      // WAV is 'RIFF' + chunk size + 'WAVE' (format tag at offset 8); MP4
+      // is a 4-byte big-endian box size, then 'ftyp' at offset 4 and the
+      // brand at 8 — the signature is NOT at offset 0, which is exactly
+      // what naive sniffers get wrong.
+      val png = Array[Byte](0x89.toByte, 'P', 'N', 'G', '\r', '\n', 0x1a, '\n')
+      val wav = "RIFF".getBytes("UTF-8") ++ Array[Byte](0, 0, 0, 0) ++
+        "WAVE".getBytes("UTF-8")
+      val mp4 = Array[Byte](0, 0, 0, 0x18) ++ "ftypisom".getBytes("UTF-8")
       val magic = when($"doc_id" % 3 === 0, lit(png))
         .when($"doc_id" % 3 === 1, lit(wav))
         .otherwise(lit(mp4))
@@ -168,9 +174,10 @@ object Multimodal {
         .select($"doc_id",
           concat(magic, encode($"text", "UTF-8")).as("payload"))
       val sniffed = assets.select($"doc_id", $"payload",
-        when(substring($"payload", 1, 4) === lit(png), "image/png")
-          .when(substring($"payload", 1, 4) === lit(wav), "audio/wav")
-          .when(substring($"payload", 1, 4) === lit(mp4), "video/mp4")
+        when(substring($"payload", 1, 8) === lit(png), "image/png")
+          .when(substring($"payload", 1, 4) === lit("RIFF".getBytes("UTF-8")) &&
+            substring($"payload", 9, 4) === lit("WAVE".getBytes("UTF-8")), "audio/wav")
+          .when(substring($"payload", 5, 4) === lit("ftyp".getBytes("UTF-8")), "video/mp4")
           .otherwise("unknown").as("modality"))
       sniffed.groupBy($"modality")
         .agg(count(lit(1)).as("n_assets"),
@@ -183,7 +190,9 @@ object Multimodal {
                WHEN 1 THEN 'audio/wav'
                ELSE 'video/mp4' END AS modality,
         COUNT(*) AS n_assets,
-        CAST(SUM(octet_length(encode(text)) + 4) AS BIGINT) AS total_bytes
+        CAST(SUM(octet_length(encode(text)) +
+                 CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 8 ELSE 12 END)
+             AS BIGINT) AS total_bytes
       FROM documents
       GROUP BY modality ORDER BY modality"""))
 

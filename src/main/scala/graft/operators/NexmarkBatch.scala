@@ -14,7 +14,7 @@ import org.apache.spark.sql.types.TimestampType
   * local query tests (flock/src/datasource/nexmark/queries/q*.rs).
   *
   * Oracle strategy (round-2): Verify materializes the generator tables to
-  * parquet (outDir/nx_input, substituted for `{NX}` below), so DuckDB
+  * parquet (a temp dir substituted for `{NX}` below), so DuckDB
   * replays the *identical* data and every query here is hash-checked
   * against an independent SQL formulation of the reference semantics —
   * except nx_q12, which is processing-time-windowed by construction.

@@ -1027,6 +1027,107 @@ object Pipeline {
         (n_dup * 2 >= n_tokens OR top_cnt * 5 >= n_tokens) AS rejected
       FROM m ORDER BY doc_id"""))
 
+  /** Benchmark DECONTAMINATION: flag training documents that share any
+    * verbatim k-gram with a held-out benchmark set (the GPT-3 appendix-C
+    * rule, where k=13 makes incidental collisions rare in real text). The
+    * benchmark set is carved deterministically from the corpus
+    * (doc_id % 97 = 0 — stand-in for the eval suites a real pipeline
+    * loads); every other document reports how many of its distinct
+    * k-grams hit the benchmark gram set.
+    *
+    * 100 TB shape: benchmark gram sets are SMALL (eval suites, not
+    * corpora) — build once, broadcast, and the corpus side is narrow
+    * explode → broadcast-hash join → partial-agg groupBy(doc_id). No
+    * corpus shuffle at all before the per-doc rollup, and that rollup's
+    * input is only the HIT grams (near-empty for a clean corpus). At
+    * production vocab sizes, map grams → xxhash64 and broadcast a bloom
+    * of the benchmark hashes first; exact string grams keep this entry
+    * bit-identical to the DuckDB oracle.
+    */
+  def decontaminate(s: SparkSession, d: String, k: Int = 13): DataFrame = {
+    import s.implicits._
+    val docs = T(s, d, "documents")
+      .select($"doc_id",
+        graft.functions.ShingleArray.shingles($"text", k).as("gs"))
+    val benchGrams = docs.filter($"doc_id" % 97 === 0)
+      .select(explode($"gs").as("g")).distinct()
+    docs.filter($"doc_id" % 97 =!= 0)
+      .select($"doc_id", size($"gs").as("n_grams"), explode($"gs").as("g"))
+      .join(broadcast(benchGrams), "g")
+      .groupBy($"doc_id", $"n_grams")
+      .agg(count(lit(1)).as("n_hit_grams"))
+      .select($"doc_id", $"n_grams", $"n_hit_grams",
+        dec($"n_hit_grams".cast(DoubleType) / $"n_grams".cast(DoubleType),
+          18, 6).as("contamination"))
+      .orderBy($"doc_id")
+  }
+
+  /** p24 — [[decontaminate]] at k=3: the synthetic corpus draws random
+    * words from a ~40-word vocabulary, so verbatim 13-grams never recur
+    * across documents and the canonical k would always return zero rows
+    * (proving nothing). k=3 makes benchmark grams genuinely collide here,
+    * exercising the identical plan; real deployments call k=13.
+    */
+  private val p24 = Q(
+    "p24_decontaminate",
+    (s, d) => decontaminate(s, d, 3),
+    Some(s"""
+      WITH g AS (SELECT doc_id, $shinglesSqlDuck AS gs FROM documents),
+           b AS (SELECT DISTINCT unnest(gs) AS g FROM g WHERE doc_id % 97 = 0),
+           t AS (SELECT doc_id, CAST(length(gs) AS INT) AS n_grams,
+                   unnest(gs) AS g
+                 FROM g WHERE doc_id % 97 <> 0)
+      SELECT t.doc_id, t.n_grams, COUNT(*) AS n_hit_grams,
+        CAST(CAST(COUNT(*) AS DOUBLE) / t.n_grams AS DECIMAL(18,6)) AS contamination
+      FROM t JOIN b USING (g)
+      GROUP BY t.doc_id, t.n_grams
+      ORDER BY t.doc_id"""))
+
+  /** p25 — VOCABULARY build + out-of-vocabulary scoring: global token
+    * frequencies, keep the top-30 vocabulary (count desc, word asc — a
+    * total order, so the cut is deterministic), then score every document
+    * by the share of its tokens outside the vocabulary — the standard
+    * cheap filter for gibberish/noise before tokenizer training.
+    *
+    * 100 TB shape: the frequency table is a two-phase (map-side partial)
+    * count over exploded tokens — the one real shuffle, sized by
+    * |distinct words|, not corpus rows; the vocabulary after the top-k cut
+    * is tiny and broadcasts; per-doc scoring is narrow explode + broadcast
+    * lookup + partial-agg rollup on doc_id. A production vocab of a few
+    * million words still broadcasts (tens of MB); past that, bloom the
+    * vocab instead.
+    */
+  private val p25 = Q(
+    "p25_vocab_oov",
+    (s, d) => {
+      import s.implicits._
+      val words = T(s, d, "documents")
+        .select($"doc_id", explode(split($"text", " ")).as("w"))
+      val vocab = words.groupBy($"w").agg(count(lit(1)).as("freq"))
+        .orderBy($"freq".desc, $"w").limit(30)
+        .select($"w", lit(1).as("in_vocab"))
+      words.join(broadcast(vocab), Seq("w"), "left_outer")
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(when($"in_vocab".isNull, 1L).otherwise(0L)).as("n_oov"))
+        .select($"doc_id", $"n_tokens", $"n_oov",
+          dec($"n_oov".cast(DoubleType) / $"n_tokens".cast(DoubleType),
+            18, 6).as("oov_ratio"))
+        .orderBy($"doc_id")
+    },
+    Some("""
+      WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+                 FROM documents),
+           v AS (SELECT w FROM (SELECT w, COUNT(*) AS freq FROM w GROUP BY w
+                 ORDER BY freq DESC, w LIMIT 30))
+      SELECT w.doc_id, COUNT(*) AS n_tokens,
+        CAST(SUM(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+        CAST(CAST(SUM(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*) AS DECIMAL(18,6)) AS oov_ratio
+      FROM w LEFT JOIN v ON w.w = v.w
+      GROUP BY w.doc_id ORDER BY w.doc_id"""))
+
   val all: Seq[Q] = Seq(p01, p02, p03, p04, p05, p06, p07, p08, p09, p10,
-    p11, p12, p13, p14, p15, p16, p17, p18, p19, p20, p21, p22, p23)
+    p11, p12, p13, p14, p15, p16, p17, p18, p19, p20, p21, p22, p23, p24,
+    p25)
 }

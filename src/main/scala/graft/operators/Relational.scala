@@ -445,8 +445,10 @@ object Relational {
       // whenever keys repeat; p14 shows the sketch form when approximate
       // counts suffice.
       val li = T(s, d, "lineitem")
+      // isNotNull matches COUNT(DISTINCT) exactly: SQL excludes NULL keys,
+      // but a distinct-rows count would include one (group, NULL) row.
       def dcount(c: String, out: String) =
-        li.select($"l_returnflag", col(c)).distinct()
+        li.select($"l_returnflag", col(c)).filter(col(c).isNotNull).distinct()
           .groupBy($"l_returnflag").agg(count(lit(1)).as(out))
       li.groupBy($"l_returnflag").agg(count(lit(1)).as("n_rows"))
         .join(dcount("l_orderkey", "n_orders"), "l_returnflag")

@@ -117,11 +117,12 @@ object SqlParity {
   // re-derived independently by BOTH engines so the derivation itself is
   // oracle-checked). Their query text is shared verbatim; only the oracle
   // gets a `WITH partsupp AS (...)` prelude since DuckDB sees raw parquet.
-  // Still data-blocked: q12 (l_shipmode + l_receiptdate) and q21
-  // (l_receiptdate/l_commitdate) — TESTDATA lineitem carries none of those
-  // columns and no reasonable stand-in exists; their SHAPES are covered by
-  // sql_q12_in_parts (IN-subquery grouped agg) and q21's
-  // EXISTS/NOT-EXISTS twin q07/q08.
+  // q12 and q21 need l_shipmode/l_commitdate/l_receiptdate, which TESTDATA
+  // lineitem doesn't carry: they run against the EXTENDED lineitem view
+  // (Tables.lineitemExtSpark / lineitemExtDuck — md5-derived shipmode and
+  // dbgen-shaped commit/receipt offsets from shipdate, re-derived
+  // independently by BOTH engines). With that, all 22 reference query
+  // texts are oracle-checked.
 
   private val tpchQ6 = sql("sql_tpch_q06",
     """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(4,2))) AS DECIMAL(38,4)) AS revenue
@@ -274,6 +275,54 @@ object SqlParity {
       (s, d) => { Tables.registerAll(s, d); s.sql(text) },
       Some(s"WITH partsupp AS (${Tables.partsuppDuck})\n$text"))
 
+  /** Same-text entry over the extended lineitem (shipmode + commit/receipt
+    * dates): Spark reads the registered view; the oracle re-derives it in
+    * a CTE prelude over the raw parquet ({SF} substituted by Verify).
+    */
+  private def sqlLi(name: String, text: String): Q =
+    Q(name,
+      (s, d) => { Tables.registerAll(s, d); s.sql(text) },
+      Some(s"WITH lineitem AS (${Tables.lineitemExtDuck})\n$text"))
+
+  // Reference flock/src/datasource/tpch/queries/q12.sql — date window
+  // shifted into the data's range; derived-column provenance above.
+  private val tpchQ12 = sqlLi("sql_tpch_q12",
+    """SELECT l_shipmode,
+         SUM(CASE WHEN o_orderpriority = '1-URGENT' OR o_orderpriority = '2-HIGH'
+                  THEN 1 ELSE 0 END) AS high_line_count,
+         SUM(CASE WHEN o_orderpriority <> '1-URGENT' AND o_orderpriority <> '2-HIGH'
+                  THEN 1 ELSE 0 END) AS low_line_count
+       FROM orders, lineitem
+       WHERE o_orderkey = l_orderkey
+         AND l_shipmode IN ('MAIL', 'SHIP')
+         AND l_commitdate < l_receiptdate
+         AND l_shipdate < l_commitdate
+         AND l_receiptdate >= DATE '1996-01-01'
+         AND l_receiptdate < DATE '1997-01-01'
+       GROUP BY l_shipmode
+       ORDER BY l_shipmode""")
+
+  // Reference q21.sql — nation adapted to the NATION_x naming; the
+  // multi-supplier EXISTS pair runs unchanged over the derived dates.
+  private val tpchQ21 = sqlLi("sql_tpch_q21",
+    """SELECT s_name, COUNT(*) AS numwait
+       FROM supplier, lineitem l1, orders, nation
+       WHERE s_suppkey = l1.l_suppkey
+         AND o_orderkey = l1.l_orderkey
+         AND o_orderstatus = 'F'
+         AND l1.l_receiptdate > l1.l_commitdate
+         AND EXISTS (SELECT * FROM lineitem l2
+                     WHERE l2.l_orderkey = l1.l_orderkey
+                       AND l2.l_suppkey <> l1.l_suppkey)
+         AND NOT EXISTS (SELECT * FROM lineitem l3
+                         WHERE l3.l_orderkey = l1.l_orderkey
+                           AND l3.l_suppkey <> l1.l_suppkey
+                           AND l3.l_receiptdate > l3.l_commitdate)
+         AND s_nationkey = n_nationkey
+         AND n_name = 'NATION_3'
+       GROUP BY s_name
+       ORDER BY numwait DESC, s_name LIMIT 100""")
+
   // Adaptations beyond the shared list: p_type is a single word (= /<>
   // instead of LIKE '%BRASS' / NOT LIKE 'MEDIUM POLISHED%'), p_name colors
   // ('red%' for q9/q20's '%green%'), and q16's s_comment
@@ -364,6 +413,6 @@ object SqlParity {
 
   val all: Seq[Q] = Seq(pricing, topOrders, orderPriority, volume, yearly,
     corr, custDist, antiJoin, inSub,
-    tpchQ2, tpchQ6, tpchQ7, tpchQ8, tpchQ9, tpchQ10, tpchQ11, tpchQ14,
-    tpchQ15, tpchQ16, tpchQ18, tpchQ19, tpchQ20, tpchQ22)
+    tpchQ2, tpchQ6, tpchQ7, tpchQ8, tpchQ9, tpchQ10, tpchQ11, tpchQ12,
+    tpchQ14, tpchQ15, tpchQ16, tpchQ18, tpchQ19, tpchQ20, tpchQ21, tpchQ22)
 }

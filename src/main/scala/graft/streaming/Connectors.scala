@@ -56,6 +56,7 @@ object Connectors {
   def sqsBackedFileReader(spark: SparkSession, schema: StructType,
       path: String): DataStreamReader =
     spark.readStream.schema(schema).format("json")
+      .option("path", path) // picked up by the no-arg `.load()`
       .option("maxFilesPerTrigger", 64) // bounded micro-batches at scale
 
   val bidJsonSchema: StructType = StructType(Seq(

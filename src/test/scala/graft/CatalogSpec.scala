@@ -32,6 +32,8 @@ class CatalogSpec extends AnyFunSuite {
     "q04_shipping_priority", "q07_exists_semi", "q11_having", "q12_in_subquery",
     "p08_minhash_lsh_pairs", "p12_ann_lsh", "nx_q2_selection",
     "p16_ngram_jaccard", "p17_dedup_clusters", "p18_ann_ivf",
+    // one benchmark doc at sf0.001 — contamination needs a near-copy of it
+    "p24_decontaminate",
     // single-nation / single-size filters can land on an empty slice of
     // the ~10-supplier sf0.001 tables; the sf0.01 oracle checks them.
     "sql_tpch_q02", "sql_tpch_q11", "sql_tpch_q20")
@@ -195,6 +197,46 @@ class SemanticsSpec extends AnyFunSuite {
       assert(math.abs(n - expect) <= 5 * sigma + 1,
         s"$lang sampled $n of ${totals(lang)}, expected ~$expect")
     }
+  }
+
+  test("decontamination matches a naive gram-set intersection") {
+    val d = "/root/testdata/sf0.01"
+    import spark.implicits._
+    val docs = Tables.load(spark, d, "documents")
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    // k=3 mirrors the catalog entry (see p24's scaladoc for why not 13).
+    def grams(t: String): Set[String] = {
+      val w = t.split(" ", -1)
+      if (w.length < 3) Set.empty
+      else w.sliding(3).map(_.mkString(" ")).toSet
+    }
+    val bench = docs.filter(_._1 % 97 == 0).flatMap(x => grams(x._2)).toSet
+    val expect = docs.filter(_._1 % 97 != 0)
+      .map { case (id, t) => id -> grams(t).count(bench) }
+      .filter(_._2 > 0).toMap
+    val got = Catalog.byName("p24_decontaminate").run(spark, d)
+      .select($"doc_id", $"n_hit_grams").as[(Long, Long)].collect().toMap
+    assert(got.view.mapValues(_.toInt).toMap == expect,
+      s"hit-gram counts diverge from the naive recompute")
+  }
+
+  test("OOV scoring matches a naive top-30 vocabulary recompute") {
+    val d = "/root/testdata/sf0.01"
+    import spark.implicits._
+    val docs = Tables.load(spark, d, "documents")
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    val freq = docs.flatMap(_._2.split(" ", -1))
+      .groupBy(identity).view.mapValues(_.length).toSeq
+    val vocab = freq.sortBy { case (w, c) => (-c, w) }.take(30).map(_._1).toSet
+    val expect = docs.map { case (id, t) =>
+      val ws = t.split(" ", -1)
+      (id, (ws.length.toLong, ws.count(w => !vocab(w)).toLong))
+    }.toMap
+    val got = Catalog.byName("p25_vocab_oov").run(spark, d)
+      .select($"doc_id", $"n_tokens", $"n_oov")
+      .as[(Long, Long, Long)].collect()
+      .map { case (id, nt, no) => id -> (nt, no) }.toMap
+    assert(got == expect, "token/OOV counts diverge from the naive recompute")
   }
 
   test("range-residual join only keeps lineitems within 30 days") {

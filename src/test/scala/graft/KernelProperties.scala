@@ -82,6 +82,26 @@ object KernelProperties extends Properties("graft.kernels") {
       merged.nSeen == single.nSeen && merged.counters == single.counters
     }
 
+  property("merged sketch keeps the bound in the APPROXIMATE regime") =
+    // Small capacities force evictions on both sides before the merge —
+    // the regime where the pre-fix merge undercounted keys evicted from
+    // one shard but surviving the other (round-2 advice). The mergeable-
+    // summaries floor rule must keep true <= count <= count - err + err,
+    // i.e. c >= t and c - e <= t, for every surviving key.
+    forAll(stream, stream, Gen.chooseNum(1, 6)) { (a, b, cap) =>
+      val sa = new SpaceSavingSketch(cap)
+      val sb = new SpaceSavingSketch(cap)
+      a.foreach(sa.add)
+      b.foreach(sb.add)
+      sa.mergeWith(sb)
+      val truth = naiveCounts(a ++ b)
+      sa.nSeen == (a.length + b.length) &&
+        sa.counters.forall { case (v, (c, e)) =>
+          val t = truth.getOrElse(v, 0L)
+          c >= t && c - e <= t
+        }
+    }
+
   property("sketch byte codec round-trips") =
     forAll(stream, Gen.chooseNum(1, 8)) { (xs, cap) =>
       val sk = new SpaceSavingSketch(cap)

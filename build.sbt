@@ -23,8 +23,30 @@ val jdk17AddOpens = Seq(
   "java.base/sun.nio.ch", "java.base/sun.nio.cs",
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+// Heap: honor SPARK_DRIVER_MEM but clamp to 32g. Round-3 forensics: the
+// driver ran the bench with a ~90g heap on a 128 GiB box and a handful of
+// entries stalled for 100+ s (q01 106s, sql_tpch_q21 209s); the identical
+// commit re-run at 8g finished the whole catalog in 119s with no entry
+// over 9s. A heap sized near physical RAM leaves nothing for the OS page
+// cache holding the parquet inputs, and direct-reclaim stalls show up as
+// random multi-minute pauses. sf0.1 needs well under 8g; 32g is 4× proven
+// headroom.
+val driverMem: String = {
+  val raw = sys.env.getOrElse("SPARK_DRIVER_MEM", "8g").trim.toLowerCase
+  def num(s: String): Option[Double] =
+    try Some(s.toDouble) catch { case _: NumberFormatException => None }
+  val gigs =
+    if (raw.endsWith("g")) num(raw.dropRight(1))
+    else if (raw.endsWith("m")) num(raw.dropRight(1)).map(_ / 1024)
+    else num(raw).map(_ / (1024.0 * 1024 * 1024))
+  gigs match {
+    case Some(g) if g > 32 => "32g"
+    case Some(_) => raw
+    case None => "8g"
+  }
+}
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  s"-Xmx$driverMem",
 )

@@ -36,7 +36,11 @@ object Bench {
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable => System.err.println(s"[bench] $name: ${e.getMessage}") }
-      name -> (System.nanoTime() - t0) / 1e9
+      val sec = (System.nanoTime() - t0) / 1e9
+      // Per-query line as we go: if the run stalls (r03: environmental
+      // 100s pauses), the driver's captured log tail shows exactly where.
+      System.err.println(f"[bench] $name%-28s $sec%8.3f s")
+      name -> sec
     }
     def toJson(rs: Seq[(String, Double)]): String =
       rs.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
@@ -56,8 +60,12 @@ object Bench {
       "p17_dedup_clusters", "p20_pipeline_e2e")
     val qs = toJson(results.filter { case (k, _) => headline(k) })
     val n = results.size
-    java.nio.file.Files.write(java.nio.file.Paths.get("bench_full.json"),
-      toJson(results).getBytes("UTF-8"))
+    // Absolute path (r03 advice: a CWD-relative path lands wherever the
+    // driver launched the JVM); overridable for dev loops.
+    val fullPath = java.nio.file.Paths.get(sys.env.getOrElse(
+      "SPARK_GRAFT_BENCH_FULL", "/root/repo/bench_full.json")).toAbsolutePath
+    java.nio.file.Files.write(fullPath, toJson(results).getBytes("UTF-8"))
+    System.err.println(s"[bench] full per-query map: $fullPath")
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_entries":$n,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -62,9 +62,15 @@ object Tables {
 
   /** TESTDATA lineitem also lacks `l_shipmode`, `l_commitdate`, and
     * `l_receiptdate` (needed by TPC-H q12/q21). Same treatment as
-    * partsupp: derive them deterministically from md5 of the row key
-    * (l_orderkey, l_linenumber), re-derived identically by both engines so
-    * the derivation is itself oracle-checked. Date offsets mirror dbgen's
+    * partsupp: derive them deterministically from md5 of
+    * (l_orderkey, l_linenumber) — a deterministic salt, NOT a unique row
+    * key (TESTDATA draws l_linenumber independently, so ~¼ of sf0.01 rows
+    * share the pair with a twin and get identical derived values; parity
+    * is unaffected since both engines derive per-row from the same
+    * columns, but q12/q21 selectivity is shaped by that collision rate
+    * rather than by dbgen's unique keys). Re-derived identically by both
+    * engines, so the derivation is itself oracle-checked. Date offsets
+    * mirror dbgen's
     * generation rules relative to shipdate (commitdate within ±45 days,
     * receiptdate 1–30 days after shipping); arithmetic stays in TIMESTAMP
     * on both engines so no truncation can skew a predicate.

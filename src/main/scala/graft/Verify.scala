@@ -76,10 +76,14 @@ object Verify {
     val absOut = Paths.get(outDir).toAbsolutePath.toString
     // OUTSIDE outDir: the driver scans outDir's children as query results,
     // so dumping the generator tables there made a phantom "nx_input"
-    // entry with no oracle (rounds 1–2). A per-run temp dir keeps the
-    // dump reachable by the oracle's absolute-path read_parquet without
-    // polluting the result set.
-    val nxDir = Files.createTempDirectory("graft_nx_input").toAbsolutePath.toString
+    // entry with no oracle (rounds 1–2). A FIXED temp path (overwritten by
+    // each run, not accumulated — r03 advice: createTempDirectory leaked a
+    // fresh tree per run) keeps the dump reachable by the oracle's
+    // absolute-path read_parquet without polluting the result set. It must
+    // OUTLIVE this JVM: the driver's DuckDB compare reads it after Verify
+    // exits, so no deleteOnExit.
+    val nxDir = Paths.get(sys.props("java.io.tmpdir"), "graft_nx_input")
+      .toAbsolutePath.toString
     try dumpNexmarkInputs(spark, nxDir)
     catch { case e: Throwable =>
       System.err.println(s"[verify] nx_input dump failed: ${e.getMessage}")

@@ -37,6 +37,15 @@ final class SpaceSavingSketch(val capacity: Int) {
   val counters: mutable.HashMap[Long, (Long, Long)] = mutable.HashMap.empty
   /** Total keys streamed in (exact, survives serialization/merge). */
   var nSeen: Long = 0L
+  /** True once any key has actually been evicted (by add or merge-trim).
+    * Saturation must be tracked explicitly, not inferred from
+    * `size >= capacity`: a sketch that saw exactly `capacity` distinct
+    * keys with NO eviction is still exact, and giving it a nonzero merge
+    * floor would inject error where absence truly means zero — breaking
+    * the documented "capacity >= distinct keys => EXACT" guarantee at the
+    * distinct == capacity boundary.
+    */
+  var evicted: Boolean = false
 
   private def minEntry: (Long, (Long, Long)) =
     counters.minBy { case (v, (c, _)) => (c, -v) }
@@ -50,6 +59,7 @@ final class SpaceSavingSketch(val capacity: Int) {
         val (mv, (mc, _)) = minEntry
         counters.remove(mv)
         counters(v) = (mc + 1, mc)
+        evicted = true
     }
   }
 
@@ -61,9 +71,10 @@ final class SpaceSavingSketch(val capacity: Int) {
     * Preserves true <= count <= true + err across any merge tree.
     */
   def mergeWith(o: SpaceSavingSketch): Unit = {
-    val myFloor = if (counters.size >= capacity) counters.values.map(_._1).min else 0L
-    val oFloor = if (o.counters.size >= o.capacity) o.counters.values.map(_._1).min else 0L
+    val myFloor = if (evicted) counters.values.map(_._1).min else 0L
+    val oFloor = if (o.evicted) o.counters.values.map(_._1).min else 0L
     nSeen += o.nSeen
+    evicted ||= o.evicted
     if (oFloor > 0) counters.keys.toArray.foreach { v =>
       if (!o.counters.contains(v)) {
         val (c0, e0) = counters(v)
@@ -76,7 +87,7 @@ final class SpaceSavingSketch(val capacity: Int) {
         case None => counters(v) = (c + myFloor, e + myFloor)
       }
     }
-    while (counters.size > capacity) counters.remove(minEntry._1)
+    while (counters.size > capacity) { counters.remove(minEntry._1); evicted = true }
   }
 
   /** Top-k entries by (count desc, key asc) as (key, count, err). */
@@ -94,6 +105,7 @@ object SpaceSavingSketch {
     val bos = new ByteArrayOutputStream()
     val out = new DataOutputStream(bos)
     out.writeInt(sk.capacity)
+    out.writeBoolean(sk.evicted)
     out.writeLong(sk.nSeen)
     out.writeInt(sk.counters.size)
     sk.counters.toArray.sortBy(_._1).foreach { case (v, (c, e)) =>
@@ -106,6 +118,7 @@ object SpaceSavingSketch {
   def deserialize(bytes: Array[Byte]): SpaceSavingSketch = {
     val in = new DataInputStream(new ByteArrayInputStream(bytes))
     val sk = new SpaceSavingSketch(in.readInt())
+    sk.evicted = in.readBoolean()
     sk.nSeen = in.readLong()
     val n = in.readInt()
     var i = 0

@@ -122,7 +122,9 @@ object SqlParity {
   // (Tables.lineitemExtSpark / lineitemExtDuck — md5-derived shipmode and
   // dbgen-shaped commit/receipt offsets from shipdate, re-derived
   // independently by BOTH engines). With that, all 22 reference query
-  // texts are oracle-checked.
+  // texts carry oracles (q12's sums are CAST to BIGINT in the shared text
+  // because DuckDB's SUM over an INTEGER CASE yields HUGEINT → float64 in
+  // the driver's reader while Spark yields int64 — r03's one hash miss).
 
   private val tpchQ6 = sql("sql_tpch_q06",
     """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(4,2))) AS DECIMAL(38,4)) AS revenue
@@ -286,12 +288,15 @@ object SqlParity {
 
   // Reference flock/src/datasource/tpch/queries/q12.sql — date window
   // shifted into the data's range; derived-column provenance above.
+  // CAST(... AS BIGINT) on both sums: DuckDB's SUM over an INTEGER CASE
+  // returns HUGEINT (rendered float64 by the driver's fetchdf) while Spark
+  // returns int64 — a no-op on Spark that aligns the oracle's dtype.
   private val tpchQ12 = sqlLi("sql_tpch_q12",
     """SELECT l_shipmode,
-         SUM(CASE WHEN o_orderpriority = '1-URGENT' OR o_orderpriority = '2-HIGH'
-                  THEN 1 ELSE 0 END) AS high_line_count,
-         SUM(CASE WHEN o_orderpriority <> '1-URGENT' AND o_orderpriority <> '2-HIGH'
-                  THEN 1 ELSE 0 END) AS low_line_count
+         CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' OR o_orderpriority = '2-HIGH'
+                  THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+         CAST(SUM(CASE WHEN o_orderpriority <> '1-URGENT' AND o_orderpriority <> '2-HIGH'
+                  THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
        FROM orders, lineitem
        WHERE o_orderkey = l_orderkey
          AND l_shipmode IN ('MAIL', 'SHIP')

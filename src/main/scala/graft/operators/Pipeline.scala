@@ -1127,7 +1127,244 @@ object Pipeline {
       FROM w LEFT JOIN v ON w.w = v.w
       GROUP BY w.doc_id ORDER BY w.doc_id"""))
 
+  /** p26 — SEQUENCE PACKING: concatenate each source's token stream in
+    * doc_id order and chunk it into fixed-budget training sequences (the
+    * standard pretraining "pack then split at context length" step).
+    * A document's sequence id is the bin its FIRST token lands in:
+    * seq = floor(tokens_before / budget), where tokens_before is the
+    * running sum of earlier docs' token counts — contiguous packing, no
+    * reordering, deterministic.
+    *
+    * 100 TB shape: one window per source shard — a range-partitioned
+    * prefix sum, the canonical distributed cumsum (partition by the shard
+    * key; NO global sort). The per-sequence rollup shuffles only
+    * (source, seq) keys. Long docs that straddle a boundary keep their
+    * start bin, exactly like a packed token stream split at context
+    * length; real pipelines then slice the flattened stream, which stays
+    * narrow.
+    */
+  private val p26 = Q(
+    "p26_sequence_packing",
+    (s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val budget = 256
+      val w = Window.partitionBy($"source").orderBy($"doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      T(s, d, "documents")
+        .select($"source", $"doc_id",
+          size(split($"text", " ")).cast(LongType).as("n_tokens"))
+        .withColumn("tokens_before",
+          coalesce(sum($"n_tokens").over(w), lit(0L)))
+        .withColumn("seq_id", expr(s"tokens_before div $budget"))
+        .groupBy($"source", $"seq_id")
+        .agg(count(lit(1)).as("n_docs"),
+          sum($"n_tokens").as("seq_tokens"),
+          min($"doc_id").as("first_doc"),
+          max($"doc_id").as("last_doc"))
+        .withColumn("fill_ratio",
+          dec($"seq_tokens".cast(DoubleType) / lit(budget.toDouble), 18, 6))
+        .orderBy($"source", $"seq_id")
+    },
+    Some("""
+      WITH t AS (
+        SELECT source, doc_id,
+          CAST(length(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+          CAST(COALESCE(SUM(CAST(length(string_split(text, ' ')) AS BIGINT))
+            OVER (PARTITION BY source ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            AS BIGINT) AS tokens_before
+        FROM documents)
+      SELECT source, CAST(tokens_before // 256 AS BIGINT) AS seq_id,
+        COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS seq_tokens,
+        MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc,
+        CAST(CAST(SUM(n_tokens) AS DOUBLE) / 256.0 AS DECIMAL(18,6)) AS fill_ratio
+      FROM t GROUP BY source, tokens_before // 256
+      ORDER BY source, seq_id"""))
+
+  /** p27 — PII SCRUBBING: detect and redact emails/phone numbers with
+    * anchored regexes, reporting per-doc hit counts and the digest of the
+    * redacted text. The synthetic corpus contains no organic PII (a
+    * ~40-word vocabulary), so every 5th document gets a deterministic
+    * contact line appended BY BOTH ENGINES before scanning — the same
+    * derived-input pattern as the partsupp/lineitem extensions: the
+    * injection is re-derived independently on each side, so the scrubbing
+    * operator itself (not the injection) is what the oracle checks.
+    *
+    * 100 TB shape: pure narrow codegen'd regex work — no shuffle, no UDF;
+    * scrubbing runs as a map-only pass before dedup so redacted twins
+    * still collapse. Real deployments swap in bigger pattern banks
+    * (IBAN/SSN/addresses) — same plan shape, more regexes.
+    */
+  private val p27 = Q(
+    "p27_pii_scrub",
+    (s, d) => {
+      import s.implicits._
+      val emailRe = "[A-Za-z0-9._]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val phoneRe = "\\+1-555-[0-9]{4}"
+      T(s, d, "documents")
+        .withColumn("injected",
+          when($"doc_id" % 5 === 0,
+            concat($"text", lit(" contact user"), $"doc_id".cast(StringType),
+              lit("@example.com or call +1-555-"),
+              lpad(($"doc_id" % 10000).cast(StringType), 4, "0")))
+            .otherwise($"text"))
+        .select($"doc_id",
+          regexp_count($"injected", lit(emailRe)).cast(LongType).as("n_emails"),
+          regexp_count($"injected", lit(phoneRe)).cast(LongType).as("n_phones"),
+          md5(regexp_replace(regexp_replace($"injected", emailRe, "<EMAIL>"),
+            phoneRe, "<PHONE>")).as("redacted_md5"))
+        .withColumn("has_pii", ($"n_emails" + $"n_phones") > 0)
+        .orderBy($"doc_id")
+    },
+    Some("""
+      WITH inj AS (
+        SELECT doc_id,
+          CASE WHEN doc_id % 5 = 0
+            THEN text || ' contact user' || CAST(doc_id AS VARCHAR)
+              || '@example.com or call +1-555-'
+              || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+            ELSE text END AS injected
+        FROM documents)
+      SELECT doc_id,
+        CAST(length(regexp_extract_all(injected,
+          '[A-Za-z0-9._]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+        CAST(length(regexp_extract_all(injected,
+          '\+1-555-[0-9]{4}')) AS BIGINT) AS n_phones,
+        md5(regexp_replace(regexp_replace(injected,
+          '[A-Za-z0-9._]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+          '\+1-555-[0-9]{4}', '<PHONE>', 'g')) AS redacted_md5,
+        (length(regexp_extract_all(injected,
+          '[A-Za-z0-9._]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+         + length(regexp_extract_all(injected, '\+1-555-[0-9]{4}'))) > 0 AS has_pii
+      FROM inj ORDER BY doc_id"""))
+
+  /** p28 — URL/DOMAIN FILTERING: derive each document's canonical URL
+    * (deterministically from source/lang/doc_id — both engines re-derive
+    * it, same pattern as p27's injection), regex-parse the host and the
+    * path language segment, strip the `www.` prefix to the registrable
+    * domain, and roll up per-domain stats with a blocklist flag
+    * (every 7th source index is blocked — the stand-in for a real
+    * domain blocklist a crawl pipeline loads).
+    *
+    * 100 TB shape: URL parse is narrow codegen'd regex; the blocklist
+    * (real ones run ~10⁶ domains ≈ tens of MB) BROADCASTS — the flag join
+    * costs no corpus shuffle; the only shuffle is the per-domain rollup,
+    * sized by |domains|, not |docs|. At bloom-scale blocklists, swap the
+    * broadcast join for a bloom filter — same plan otherwise.
+    */
+  private val p28 = Q(
+    "p28_url_domain_filter",
+    (s, d) => {
+      import s.implicits._
+      val docs = T(s, d, "documents")
+        .withColumn("url", concat(lit("https://www."), $"source",
+          lit(".example.com/"), $"lang", lit("/"), $"doc_id"))
+        .withColumn("host", regexp_extract($"url", "https?://([^/]+)/", 1))
+        .withColumn("domain", regexp_replace($"host", "^www\\.", ""))
+        .withColumn("path_lang",
+          regexp_extract($"url", "/([a-z]{2})/[0-9]+$", 1))
+      val blocked = T(s, d, "documents")
+        .select(concat($"source", lit(".example.com")).as("domain")).distinct()
+        .filter(expr("CAST(substr(domain, 4, length(domain) - 15) AS INT) % 7 = 0"))
+      docs.join(broadcast(blocked.withColumn("blocked", lit(true))),
+          Seq("domain"), "left_outer")
+        .groupBy($"domain")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct($"path_lang").as("n_langs"),
+          min($"doc_id").as("min_doc"),
+          coalesce(first($"blocked"), lit(false)).as("is_blocked"))
+        .orderBy($"domain")
+    },
+    Some("""
+      WITH docs AS (
+        SELECT doc_id,
+          'https://www.' || source || '.example.com/' || lang || '/'
+            || CAST(doc_id AS VARCHAR) AS url
+        FROM documents),
+      parsed AS (
+        SELECT doc_id,
+          regexp_replace(regexp_extract(url, 'https?://([^/]+)/', 1),
+            '^www\.', '') AS domain,
+          regexp_extract(url, '/([a-z]{2})/[0-9]+$', 1) AS path_lang
+        FROM docs),
+      blocklist AS (
+        SELECT DISTINCT source || '.example.com' AS domain FROM documents
+        WHERE CAST(substr(source, 4) AS INT) % 7 = 0)
+      SELECT p.domain, COUNT(*) AS n_docs,
+        COUNT(DISTINCT p.path_lang) AS n_langs,
+        MIN(p.doc_id) AS min_doc,
+        COALESCE(MAX(b.domain IS NOT NULL), FALSE) AS is_blocked
+      FROM parsed p LEFT JOIN blocklist b ON p.domain = b.domain
+      GROUP BY p.domain ORDER BY p.domain"""))
+
+  /** p29 — MIXTURE (temperature) SAMPLING: reweight sources by
+    * n^α (α = 0.5 — upsample small sources, downsample big ones, the
+    * standard multi-source pretraining mix), turn the weights into
+    * per-source quotas of a 200-doc target, and select each source's docs
+    * deterministically by md5 rank (a seeded uniform draw both engines
+    * replay identically).
+    *
+    * Determinism: per-source sqrt is ONE double op cast to DECIMAL(18,8);
+    * the normalizer S is an exact DECIMAL sum (order-independent — never
+    * sum raw doubles across rows); weight/quota are then a fixed sequence
+    * of scalar double ops on identical inputs.
+    *
+    * 100 TB shape: source histogram = one tiny two-phase count; the quota
+    * table is |sources| rows and BROADCASTS back onto the corpus; the
+    * md5 rank needs a per-source top-quota — a window here, a per-key
+    * heap (TopKPerKey) when quotas are small and sources are few.
+    */
+  private val p29 = Q(
+    "p29_mixture_sample",
+    (s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val target = 200
+      val hist = T(s, d, "documents").groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"))
+        .withColumn("w_raw", sqrt($"n_docs".cast(DoubleType)).cast(DecimalType(18, 8)))
+      val norm = hist.agg(sum($"w_raw").as("w_sum"))
+      val quotas = hist.crossJoin(broadcast(norm))
+        .withColumn("weight",
+          dec($"w_raw".cast(DoubleType) / $"w_sum".cast(DoubleType), 18, 6))
+        .withColumn("quota",
+          floor($"weight".cast(DoubleType) * lit(target.toDouble)).cast(LongType))
+        .select($"source", $"n_docs", $"weight", $"quota")
+      val ranked = T(s, d, "documents")
+        .withColumn("rk", row_number().over(Window.partitionBy($"source")
+          .orderBy(md5($"doc_id".cast(StringType)), $"doc_id")))
+      ranked.join(broadcast(quotas), "source")
+        .filter($"rk" <= $"quota")
+        .select($"source", $"doc_id", $"rk".cast(LongType).as("sel_rank"),
+          $"weight", $"quota")
+        .orderBy($"source", $"doc_id")
+    },
+    Some("""
+      WITH hist AS (
+        SELECT source, COUNT(*) AS n_docs,
+          CAST(sqrt(CAST(COUNT(*) AS DOUBLE)) AS DECIMAL(18,8)) AS w_raw
+        FROM documents GROUP BY source),
+      norm AS (SELECT SUM(w_raw) AS w_sum FROM hist),
+      quotas AS (
+        SELECT source, n_docs, weight,
+          CAST(floor(CAST(weight AS DOUBLE) * 200.0) AS BIGINT) AS quota
+        FROM (SELECT source, n_docs,
+                CAST(CAST(w_raw AS DOUBLE) / CAST(w_sum AS DOUBLE)
+                  AS DECIMAL(18,6)) AS weight
+              FROM hist, norm) q0),
+      ranked AS (
+        SELECT source, doc_id,
+          ROW_NUMBER() OVER (PARTITION BY source
+            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+        FROM documents)
+      SELECT r.source, r.doc_id, CAST(r.rk AS BIGINT) AS sel_rank,
+        q.weight, q.quota
+      FROM ranked r JOIN quotas q ON r.source = q.source
+      WHERE r.rk <= q.quota
+      ORDER BY r.source, r.doc_id"""))
+
   val all: Seq[Q] = Seq(p01, p02, p03, p04, p05, p06, p07, p08, p09, p10,
     p11, p12, p13, p14, p15, p16, p17, p18, p19, p20, p21, p22, p23, p24,
-    p25)
+    p25, p26, p27, p28, p29)
 }

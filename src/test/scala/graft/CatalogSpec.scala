@@ -248,4 +248,73 @@ class SemanticsSpec extends AnyFunSuite {
       .count()
     assert(n == 0)
   }
+
+  test("sequence packing matches a naive per-source prefix-sum recompute") {
+    val d = "/root/testdata/sf0.01"
+    import spark.implicits._
+    val docs = Tables.load(spark, d, "documents")
+      .select($"source", $"doc_id", $"text").as[(String, Long, String)]
+      .collect()
+    val expect = docs.groupBy(_._1).toSeq.flatMap { case (src, rows) =>
+      var cum = 0L
+      rows.sortBy(_._2).map { case (_, id, t) =>
+        val n = t.split(" ", -1).length.toLong
+        val seq = cum / 256
+        cum += n
+        ((src, seq), (id, n))
+      }
+    }.groupBy(_._1).map { case (k, xs) =>
+      k -> (xs.size.toLong, xs.map(_._2._2).sum)
+    }
+    val got = Catalog.byName("p26_sequence_packing").run(spark, d)
+      .select($"source", $"seq_id", $"n_docs", $"seq_tokens")
+      .as[(String, Long, Long, Long)].collect()
+      .map { case (s0, q, nd, st) => (s0, q) -> (nd, st) }.toMap
+    assert(got == expect, "per-sequence doc/token counts diverge")
+    // Every doc lands in exactly one sequence.
+    assert(got.values.map(_._1).sum == docs.length)
+  }
+
+  test("PII scrub finds exactly the injected contacts and nothing else") {
+    val d = "/root/testdata/sf0.01"
+    import spark.implicits._
+    val got = Catalog.byName("p27_pii_scrub").run(spark, d)
+      .select($"doc_id", $"n_emails", $"n_phones", $"has_pii")
+      .as[(Long, Long, Long, Boolean)].collect()
+    assert(got.nonEmpty)
+    got.foreach { case (id, ne, np, hp) =>
+      if (id % 5 == 0) assert(ne == 1 && np == 1 && hp, s"doc $id: $ne/$np")
+      else assert(ne == 0 && np == 0 && !hp, s"doc $id: organic PII? $ne/$np")
+    }
+  }
+
+  test("domain filter blocks exactly the %7==0 sources and covers all docs") {
+    val d = "/root/testdata/sf0.01"
+    import spark.implicits._
+    val got = Catalog.byName("p28_url_domain_filter").run(spark, d)
+      .select($"domain", $"n_docs", $"is_blocked")
+      .as[(String, Long, Boolean)].collect()
+    val total = Tables.load(spark, d, "documents").count()
+    assert(got.map(_._2).sum == total, "per-domain doc counts must cover corpus")
+    got.foreach { case (dom, _, blocked) =>
+      val srcNum = dom.stripSuffix(".example.com").stripPrefix("src").toInt
+      assert(blocked == (srcNum % 7 == 0), s"$dom blocked=$blocked")
+    }
+  }
+
+  test("mixture sampling fills each source quota exactly") {
+    val d = "/root/testdata/sf0.01"
+    import spark.implicits._
+    val got = Catalog.byName("p29_mixture_sample").run(spark, d)
+      .select($"source", $"doc_id", $"quota")
+      .as[(String, Long, Long)].collect()
+    val bySrc = got.groupBy(_._1)
+    bySrc.foreach { case (src, rows) =>
+      val quota = rows.head._3
+      assert(rows.length.toLong == quota, s"$src selected ${rows.length} of quota $quota")
+      assert(rows.map(_._2).distinct.length == rows.length, s"$src duplicate docs")
+    }
+    // Quota flooring keeps the mix at-or-under the 200-doc target.
+    assert(bySrc.values.map(_.head._3).sum <= 200L)
+  }
 }

@@ -998,7 +998,50 @@ object Relational {
       FROM r96 FULL OUTER JOIN r97 ON r96.o_custkey = r97.o_custkey
       ORDER BY custkey"""))
 
+  /** q39 — distribution + value window functions (SURVEY §2.A row 15
+    * completing q28's ranking suite): ntile, percent_rank, cume_dist,
+    * first/last/nth value. Determinism: the window's ORDER BY carries a
+    * unique tiebreak (o_orderdate, o_orderkey), so RANGE and ROWS framing
+    * coincide and every value column is single-valued; percent_rank and
+    * cume_dist stay DOUBLE on both engines — one division of identical
+    * exact integers is IEEE-identical, no decimal rounding in the path.
+    * last/nth need the explicit full-partition frame on both sides (the
+    * default frame stops at CURRENT ROW).
+    */
+  private val q39 = Q(
+    "q39_window_distribution",
+    (s, d) => {
+      import s.implicits._
+      val w = Window.partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
+      val full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      T(s, d, "orders")
+        .select($"o_custkey", $"o_orderkey",
+          ntile(4).over(w).cast(LongType).as("quartile"),
+          percent_rank().over(w).as("pct_rank"),
+          cume_dist().over(w).as("cdist"),
+          first_value($"o_orderkey").over(w).as("first_order"),
+          last_value($"o_orderkey").over(full).as("last_order"),
+          nth_value($"o_orderkey", 2).over(full).as("second_order"))
+        .orderBy($"o_custkey", $"o_orderkey")
+    },
+    Some("""
+      SELECT o_custkey, o_orderkey,
+        CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+        percent_rank() OVER w AS pct_rank,
+        cume_dist() OVER w AS cdist,
+        first_value(o_orderkey) OVER w AS first_order,
+        last_value(o_orderkey) OVER
+          (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+           ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_order,
+        nth_value(o_orderkey, 2) OVER
+          (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+           ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS second_order
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+      ORDER BY o_custkey, o_orderkey"""))
+
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
-    q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38)
+    q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38,
+    q39)
 }

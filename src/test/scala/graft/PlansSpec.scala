@@ -68,4 +68,18 @@ class PlansSpec extends AnyFunSuite {
       .select($"o_orderkey").as[Int].collect().toSeq
     assert(top1 == Seq(11, 20))
   }
+
+  test("no catalog plan contains a Python UDF or an unbroadcast cartesian") {
+    // Institutionalizes the per-round plan audit (graft.Explain): every
+    // entry must stay on the codegen path (no serialization boundary) and
+    // every intentional cross join must be a broadcast singleton (a
+    // CartesianProductExec would shuffle |left|x|right| at scale).
+    for ((name, q) <- Catalog.byName.toSeq.sortBy(_._1)) {
+      val plan = q.run(spark, sf).queryExecution.executedPlan.toString()
+      assert(!plan.contains("BatchEvalPython") && !plan.contains("ArrowEvalPython"),
+        s"$name plans a Python UDF node")
+      assert(!plan.contains("CartesianProduct"),
+        s"$name plans a CartesianProduct (use broadcast for singleton sides)")
+    }
+  }
 }

@@ -495,34 +495,58 @@ object Pipeline {
   /** p14 — sketch aggregates: approx_count_distinct (HLL++) and
     * approx_percentile next to their exact counterparts. At 100 TB the
     * sketches are the only viable form (fixed-size state, mergeable across
-    * partitions); the exact columns let the spec bound the error. No
-    * DuckDB oracle — HLL/percentile sketch implementations differ across
-    * engines — so the driver records a rows-only check and SketchSpec
-    * asserts error bounds. The percentiles are three scalar columns (not
-    * one ARRAY column): the driver's pandas-side row sorter can't hash
-    * numpy arrays.
+    * partitions).
+    *
+    * Raw sketch outputs can't be oracle-compared — HLL/percentile sketch
+    * implementations differ across engines — so this entry outputs the
+    * EXACT aggregates plus boolean CONTRACT VERDICTS: the HLL estimate
+    * must land within 5x its configured rsd (+5 absolute slack), and each
+    * percentile sketch value's realized rank must sit within ±0.05 of its
+    * target quantile (accuracy 1000 guarantees ±0.001 rank error; the
+    * slack absorbs value ties). The oracle recomputes the exact columns
+    * and expects literal TRUE for every verdict — a sketch that breaks
+    * its error contract now FAILS the driver's gate instead of hiding
+    * behind a rows-only check. SketchSpec keeps the tighter bounds.
+    *
+    * 100 TB shape: the rank audit joins the tiny per-group sketch row
+    * back to the events scan via broadcast — the standard "audit the
+    * sketch on a sample" pattern, run here over the full input.
     */
   private val p14 = Q(
     "p14_approx_sketches",
     (s, d) => {
       import s.implicits._
-      T(s, d, "events")
-        .groupBy($"event_type")
+      val ev = T(s, d, "events").select($"event_type", $"user_id", $"value")
+      val sk = ev.groupBy($"event_type")
         .agg(
           countDistinct($"user_id").as("exact_users"),
           approx_count_distinct($"user_id", 0.02).as("approx_users"),
-          // ONE percentile sketch per group; the scalars project out of it.
+          // ONE percentile sketch per group; the scalars project out.
           expr("approx_percentile(value, array(0.5, 0.95, 0.99), 1000)")
             .as("pcts"),
           count(lit(1)).as("n"))
-        .select($"event_type", $"exact_users", $"approx_users",
-          element_at($"pcts", 1).as("value_p50"),
-          element_at($"pcts", 2).as("value_p95"),
-          element_at($"pcts", 3).as("value_p99"),
-          $"n")
+      val ranks = ev.join(broadcast(sk.select($"event_type", $"pcts")), "event_type")
+        .groupBy($"event_type")
+        .agg(
+          sum(when($"value" <= element_at($"pcts", 1), 1L).otherwise(0L)).as("le50"),
+          sum(when($"value" <= element_at($"pcts", 2), 1L).otherwise(0L)).as("le95"),
+          sum(when($"value" <= element_at($"pcts", 3), 1L).otherwise(0L)).as("le99"))
+      def rankOk(cnt: Column, n: Column, q: Double) =
+        abs(cnt.cast(DoubleType) / n.cast(DoubleType) - q) <= 0.05
+      sk.join(ranks, "event_type")
+        .select($"event_type", $"exact_users", $"n",
+          (abs($"approx_users" - $"exact_users") <=
+            $"exact_users".cast(DoubleType) * 0.1 + 5).as("hll_ok"),
+          rankOk($"le50", $"n", 0.50).as("p50_ok"),
+          rankOk($"le95", $"n", 0.95).as("p95_ok"),
+          rankOk($"le99", $"n", 0.99).as("p99_ok"))
         .orderBy($"event_type")
     },
-    None)
+    Some("""
+      SELECT event_type, COUNT(DISTINCT user_id) AS exact_users,
+        COUNT(*) AS n,
+        TRUE AS hll_ok, TRUE AS p50_ok, TRUE AS p95_ok, TRUE AS p99_ok
+      FROM events GROUP BY event_type ORDER BY event_type"""))
 
   /** p15 — fuzzy dedup by edit distance: candidate pairs from cheap blocking
     * (same lang, same length bucket), then levenshtein on a fixed prefix —

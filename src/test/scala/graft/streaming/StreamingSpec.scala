@@ -398,19 +398,17 @@ class StreamingSpec extends AnyFunSuite {
   }
 
   test("approx sketches stay within error bounds of exact aggregates") {
+    // p14 itself emits contract verdicts (the oracle expects all-TRUE);
+    // here assert the verdicts hold at the smallest sf too, where group
+    // sizes are tiny and a sloppy bound would wobble.
     val df = graft.Catalog.byName("p14_approx_sketches")
       .run(spark, "/root/testdata/sf0.001")
     val rows = df.collect()
     assert(rows.nonEmpty)
     rows.foreach { r =>
-      val exact = r.getAs[Long]("exact_users").toDouble
-      val approx = r.getAs[Long]("approx_users").toDouble
-      assert(math.abs(approx - exact) / exact < 0.1,
-        s"HLL error too large: $approx vs $exact")
-      val p50 = r.getAs[Double]("value_p50")
-      val p95 = r.getAs[Double]("value_p95")
-      val p99 = r.getAs[Double]("value_p99")
-      assert(p50 <= p95 && p95 <= p99)
+      assert(r.getAs[Long]("exact_users") > 0 && r.getAs[Long]("n") > 0)
+      for (c <- Seq("hll_ok", "p50_ok", "p95_ok", "p99_ok"))
+        assert(r.getAs[Boolean](c), s"$c false for ${r.getAs[String]("event_type")}")
     }
   }
 

@@ -82,6 +82,26 @@ object KernelProperties extends Properties("graft.kernels") {
       merged.nSeen == single.nSeen && merged.counters == single.counters
     }
 
+  property("sketch stays exact at the distinct == capacity boundary") =
+    // r03 advice: inferring saturation from `size >= capacity` gave a
+    // sketch that saw EXACTLY capacity distinct keys (no eviction) a
+    // nonzero merge floor, injecting error where absence means zero. The
+    // explicit `evicted` flag must keep this case exact through merges.
+    forAll(stream, stream) { (a0, b0) =>
+      val cap = 51 // key space is 0..50 — fill it completely on both sides
+      val a = a0 ++ (0L to 50L)
+      val b = b0 ++ (0L to 50L)
+      val sa = new SpaceSavingSketch(cap)
+      val sb = new SpaceSavingSketch(cap)
+      a.foreach(sa.add)
+      b.foreach(sb.add)
+      sa.mergeWith(sb)
+      !sa.evicted &&
+        sa.counters.map { case (v, (c, _)) => v -> c }.toMap ==
+          naiveCounts(a ++ b) &&
+        sa.counters.forall { case (_, (_, e)) => e == 0L }
+    }
+
   property("merged sketch keeps the bound in the APPROXIMATE regime") =
     // Small capacities force evictions on both sides before the merge —
     // the regime where the pre-fix merge undercounted keys evicted from

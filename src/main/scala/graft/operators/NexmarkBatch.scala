@@ -16,8 +16,10 @@ import org.apache.spark.sql.types.TimestampType
   * Oracle strategy (round-2): Verify materializes the generator tables to
   * parquet (a temp dir substituted for `{NX}` below), so DuckDB
   * replays the *identical* data and every query here is hash-checked
-  * against an independent SQL formulation of the reference semantics —
-  * except nx_q12, which is processing-time-windowed by construction.
+  * against an independent SQL formulation of the reference semantics.
+  * Even nx_q12 (processing-time-windowed, so boundaries are
+  * non-deterministic) is checked via its conservation invariant: summed
+  * per-bidder window counts must equal the bidder's total bid count.
   *
   * Output normalization for the cross-engine compare: TIMESTAMP columns
   * become epoch-µs longs on both sides (Spark `unix_micros` == DuckDB
@@ -183,9 +185,15 @@ object NexmarkBatch {
       FROM g GROUP BY bidder, sid"""))(
       s => StreamQueries.q11(bids(s))),
 
-    // q12 — processing-time windows: no oracle by construction (p-time);
-    // aggregated to deterministic per-bidder counts for the rows-only check.
-    entry("nx_q12_ptime_windows")(s =>
+    // q12 — processing-time windows (query/q12.sql). The window BOUNDARIES
+    // depend on wall-clock by construction, but every bid lands in exactly
+    // one gap window, so the per-bidder SUM of window counts is invariant:
+    // it must equal the bidder's total bid count no matter how the clock
+    // sliced the stream. That invariant IS the oracle — DuckDB recomputes
+    // the totals directly, and a q12 that drops, duplicates, or misroutes a
+    // bid across windows now fails the hash gate.
+    entry("nx_q12_ptime_windows", Some(s"""
+      SELECT bidder, COUNT(*) AS n_bids FROM $B GROUP BY bidder"""))(s =>
       StreamQueries.q12(bids(s)).toDF()
         .groupBy(col("bidder")).agg(sum(col("nBids")).as("n_bids"))
         .orderBy(col("bidder"))),

@@ -1388,7 +1388,169 @@ object Pipeline {
       WHERE r.rk <= q.quota
       ORDER BY r.source, r.doc_id"""))
 
+  /** p30 — corpus-level duplicated-PASSAGE detection (the cross-document
+    * complement of p23's within-document repetition rules, and the exact
+    * n-gram-granularity form of Lee et al.'s exact-substring dedup,
+    * arXiv:2107.06499): post every distinct shingle to an inverted index,
+    * call a shingle "duplicated" when >= 2 distinct documents contain it,
+    * and score each document by the fraction of its shingles that are
+    * duplicated. Unlike p24 (contamination against a FIXED benchmark set,
+    * broadcast-joined), here the dup set is corpus-sized and unknowable in
+    * advance — the defining workload of web-scale dedup.
+    *
+    * Shingle width: real deployments use ~50-token windows; the synthetic
+    * corpus draws from a ~40-word vocabulary, so 3-grams are the widest
+    * window that genuinely recurs across documents (same reasoning as
+    * p24's k=3).
+    *
+    * 100 TB shape: ONE logical shuffle keyed on the shingle. ShingleArray
+    * emits DISTINCT shingles per doc, so count(*) per shingle == distinct
+    * docs — a pure partial-aggregable count (no posting lists, no
+    * count-distinct expand), which is what absorbs the hot-shingle skew a
+    * web corpus shows (boilerplate shingles appear in millions of docs
+    * but still travel as partial counts). The dup set then rejoins the
+    * exploded grams on the same key, so the exchange is computed once and
+    * reused; per-doc fractions are a partial-agg rollup on doc_id.
+    */
+  private val p30 = Q(
+    "p30_dup_passages",
+    (s, d) => {
+      import s.implicits._
+      val grams = T(s, d, "documents")
+        .select($"doc_id", shinglesCol.as("gs"))
+        .select($"doc_id", size($"gs").as("n_grams"), explode($"gs").as("g"))
+      val dup = grams.groupBy($"g")
+        .agg(count(lit(1)).as("n_docs_with"))
+        .filter($"n_docs_with" >= 2)
+      grams.join(dup, "g")
+        .groupBy($"doc_id", $"n_grams")
+        .agg(count(lit(1)).as("n_dup_grams"),
+          sum($"n_docs_with").as("dup_mass"))
+        .select($"doc_id", $"n_grams", $"n_dup_grams", $"dup_mass",
+          dec($"n_dup_grams".cast(DoubleType) / $"n_grams".cast(DoubleType),
+            18, 6).as("dup_fraction"))
+        .orderBy($"doc_id")
+    },
+    Some(s"""
+      WITH g AS (SELECT doc_id, CAST(length(gs) AS INT) AS n_grams,
+                   unnest(gs) AS g
+                 FROM (SELECT doc_id, $shinglesSqlDuck AS gs FROM documents)),
+      dup AS (SELECT g, COUNT(*) AS n_docs_with FROM g
+              GROUP BY g HAVING COUNT(*) >= 2)
+      SELECT g.doc_id, g.n_grams, COUNT(*) AS n_dup_grams,
+        CAST(SUM(dup.n_docs_with) AS BIGINT) AS dup_mass,
+        CAST(CAST(COUNT(*) AS DOUBLE) / g.n_grams AS DECIMAL(18,6))
+          AS dup_fraction
+      FROM g JOIN dup USING (g)
+      GROUP BY g.doc_id, g.n_grams
+      ORDER BY g.doc_id"""))
+
+  /** p31 — semantic clustering: k-means over the embedding column with
+    * EXACT integer arithmetic, reported as a cluster×label contingency
+    * table (how well unsupervised clusters recover the generator's
+    * labels). This is the standard curation move for topic balancing /
+    * semantic dedup at corpus scale (cluster, then sample per cluster).
+    *
+    * Cross-engine determinism is the hard part of making k-means
+    * oracle-checkable, and it is solved by construction:
+    *   - embeddings quantize to integers once: q = floor(x * 1e6) (float
+    *     → double is exact; one IEEE multiply + floor is bit-identical
+    *     everywhere), and ALL distance math is then exact BIGINT
+    *     (64 dims × (2e6)² ≈ 2.6e14 per distance — no overflow);
+    *   - centroid update is floor(sum/count) with the division as the
+    *     single IEEE double op (sums stay < 2^53 up to ~10^9 rows/cluster
+    *     at this quantization, so the double division itself is
+    *     deterministic);
+    *   - seeds are the k lowest vec_ids; argmin ties break to the lowest
+    *     cluster id via min(struct(dist, cid)).
+    *
+    * 100 TB shape: assignment is a BROADCAST cross join (k×64 longs) —
+    * pure map-side, codegen'd zip_with/aggregate HOFs, no shuffle; the
+    * update shuffles only (cid, pos) partial sums — k×64 groups
+    * regardless of corpus size — and the loop is a fixed small iteration
+    * count. Nothing driver-side ever materializes beyond the k-row
+    * centroid table. This is exactly how MLlib's k-means distributes,
+    * minus sketchy fp nondeterminism.
+    */
+  def kmeansContingency(s: SparkSession, d: String, k: Int = 4,
+      iters: Int = 2): DataFrame = {
+    import s.implicits._
+    val q = T(s, d, "embeddings")
+      .select($"vec_id", $"label",
+        transform($"embedding",
+          x => floor(x.cast(DoubleType) * lit(1000000.0)).cast(LongType))
+          .as("q"))
+    def assign(centroids: DataFrame): DataFrame = {
+      val dist = aggregate(
+        zip_with($"q", $"c", (a, b) => (a - b) * (a - b)),
+        lit(0L), (acc, x) => acc + x)
+      q.crossJoin(broadcast(centroids))
+        .withColumn("dist", dist)
+        .groupBy($"vec_id")
+        .agg(min(struct($"dist", $"cid", $"label", $"q")).as("m"))
+        .select($"vec_id", $"m.label".as("label"), $"m.cid".as("cid"),
+          $"m.q".as("q"))
+    }
+    var centroids = q.filter($"vec_id" < k)
+      .select($"vec_id".cast(IntegerType).as("cid"), $"q".as("c"))
+    var assigned = assign(centroids)
+    for (_ <- 1 to iters) {
+      centroids = assigned
+        .select($"cid", posexplode($"q").as(Seq("pos", "v")))
+        .groupBy($"cid", $"pos")
+        .agg(sum($"v").as("sv"), count(lit(1)).as("n"))
+        .withColumn("cv",
+          floor($"sv".cast(DoubleType) / $"n".cast(DoubleType)).cast(LongType))
+        .groupBy($"cid")
+        .agg(array_sort(collect_list(struct($"pos", $"cv"))).as("pcs"))
+        .select($"cid", transform($"pcs", p => p.getField("cv")).as("c"))
+      assigned = assign(centroids)
+    }
+    assigned.groupBy($"cid", $"label").agg(count(lit(1)).as("n_vecs"))
+      .orderBy($"cid", $"label")
+  }
+
+  private def kmeansOracleDuck(k: Int = 4, iters: Int = 2): String = {
+    // The same fixed-point iteration unrolled as CTEs: aN = assignment
+    // against centroids c(N-1); cN = floor-mean centroid update from aN.
+    val dist = (c: String) =>
+      s"CAST(list_sum(list_transform(range(1, 65), i -> (q.q[i] - $c.c[i]) * (q.q[i] - $c.c[i]))) AS BIGINT)"
+    def assignCte(n: Int, cSrc: String) = s"""
+      a$n AS (
+        SELECT vec_id, label, q, cid FROM (
+          SELECT q.vec_id, q.label, q.q, c.cid,
+            ROW_NUMBER() OVER (PARTITION BY q.vec_id
+              ORDER BY ${dist("c")}, c.cid) AS rk
+          FROM q, $cSrc c) WHERE rk = 1)"""
+    def updateCte(n: Int) = s"""
+      c$n AS (
+        SELECT cid, list(cv ORDER BY pos) AS c FROM (
+          SELECT cid, pos,
+            CAST(FLOOR(CAST(SUM(v) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cv
+          FROM (SELECT cid, unnest(q) AS v, generate_subscripts(q, 1) AS pos
+                FROM a$n)
+          GROUP BY cid, pos) GROUP BY cid)"""
+    val rounds = (1 to iters).map(i => assignCte(i, s"c${i - 1}") +
+      "," + updateCte(i)).mkString(",")
+    s"""
+      WITH q AS (
+        SELECT vec_id, label,
+          list_transform(embedding,
+            x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS q
+        FROM embeddings),
+      c0 AS (SELECT CAST(vec_id AS INT) AS cid, q AS c FROM q
+             WHERE vec_id < $k),
+      $rounds,${assignCte(iters + 1, s"c$iters")}
+      SELECT cid, label, COUNT(*) AS n_vecs FROM a${iters + 1}
+      GROUP BY cid, label ORDER BY cid, label"""
+  }
+
+  private val p31 = Q(
+    "p31_kmeans_clusters",
+    (s, d) => kmeansContingency(s, d),
+    Some(kmeansOracleDuck()))
+
   val all: Seq[Q] = Seq(p01, p02, p03, p04, p05, p06, p07, p08, p09, p10,
     p11, p12, p13, p14, p15, p16, p17, p18, p19, p20, p21, p22, p23, p24,
-    p25, p26, p27, p28, p29)
+    p25, p26, p27, p28, p29, p30, p31)
 }

@@ -317,4 +317,63 @@ class SemanticsSpec extends AnyFunSuite {
     // Quota flooring keeps the mix at-or-under the 200-doc target.
     assert(bySrc.values.map(_.head._3).sum <= 200L)
   }
+
+  test("duplicated-passage fractions match a naive inverted-index recompute") {
+    val d = "/root/testdata/sf0.01"
+    import spark.implicits._
+    val docs = Tables.load(spark, d, "documents")
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    def grams(t: String): Set[String] = {
+      val w = t.split(" ", -1)
+      if (w.length < 3) Set.empty else w.sliding(3).map(_.mkString(" ")).toSet
+    }
+    val byDoc = docs.map { case (id, t) => id -> grams(t) }.toMap
+    val docCount = byDoc.values.flatten.groupBy(identity).view
+      .mapValues(_.size).toMap
+    val expect = byDoc.collect { case (id, gs) =>
+      val dup = gs.count(g => docCount(g) >= 2)
+      id -> ((gs.size.toLong, dup.toLong))
+    }.filter(_._2._2 > 0)
+    val got = Catalog.byName("p30_dup_passages").run(spark, d)
+      .select($"doc_id", $"n_grams", $"n_dup_grams")
+      .as[(Long, Long, Long)].collect()
+      .map { case (id, n, nd) => id -> ((n, nd)) }.toMap
+    assert(got == expect, "dup-gram counts diverge from the naive recompute")
+  }
+
+  test("k-means contingency matches an exact-integer driver recompute") {
+    val d = "/root/testdata/sf0.001"
+    import spark.implicits._
+    val vecs = Tables.load(spark, d, "embeddings")
+      .select($"vec_id", $"label", $"embedding")
+      .as[(Long, Int, Array[Float])].collect()
+      .map { case (id, l, e) =>
+        (id, l, e.map(x => math.floor(x.toDouble * 1000000.0).toLong))
+      }.sortBy(_._1)
+    val k = 4; val iters = 2
+    def nearest(q: Array[Long], cs: Seq[(Int, Array[Long])]): Int =
+      cs.map { case (cid, c) =>
+        (q.zip(c).map { case (a, b) => (a - b) * (a - b) }.sum, cid)
+      }.min._2
+    var cents: Seq[(Int, Array[Long])] =
+      vecs.filter(_._1 < k).map(v => (v._1.toInt, v._3)).toSeq
+    var asg = vecs.map(v => (v, nearest(v._3, cents)))
+    for (_ <- 1 to iters) {
+      cents = asg.groupBy(_._2).toSeq.map { case (cid, vs) =>
+        val n = vs.length
+        val c = (0 until 64).map { p =>
+          math.floor(vs.map(_._1._3(p)).sum.toDouble / n).toLong
+        }.toArray
+        (cid, c)
+      }
+      asg = vecs.map(v => (v, nearest(v._3, cents)))
+    }
+    val expect = asg.groupBy { case (v, cid) => (cid, v._2) }.view
+      .mapValues(_.length.toLong).toMap
+    val got = Catalog.byName("p31_kmeans_clusters").run(spark, d)
+      .select($"cid", $"label", $"n_vecs").as[(Int, Int, Long)].collect()
+      .map { case (cid, l, n) => (cid, l) -> n }.toMap
+    assert(got == expect, "cluster contingency diverges from the driver recompute")
+    assert(got.values.sum == vecs.length.toLong)
+  }
 }

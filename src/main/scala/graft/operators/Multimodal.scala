@@ -196,5 +196,68 @@ object Multimodal {
       FROM documents
       GROUP BY modality ORDER BY modality"""))
 
-  val all: Seq[Q] = Seq(m01, m02, m03, m04)
+  /** m05 — SHARD PACKING (webdataset/tar-shard export): assign each
+    * asset, in deterministic doc_id order within its modality, to a
+    * fixed-byte-budget shard — shard = floor(bytes_before / budget), the
+    * byte-level twin of p26's token-level sequence packing. The output is
+    * the shard manifest a tar-writer consumes: per shard, the asset
+    * count, payload bytes, id range, and fill ratio. Training loaders
+    * (webdataset et al.) want shards of near-equal BYTES, not equal
+    * counts — media sizes vary by orders of magnitude, so count-balanced
+    * shards starve loader workers.
+    *
+    * 100 TB shape: one window per modality — a range-partitioned prefix
+    * sum over asset sizes (partition by the shard key; no global sort),
+    * then a rollup on (modality, shard_id). The actual tar write is the
+    * partition-batch m02 shape: repartition by shard_id, write each
+    * partition's members sequentially. Straddling assets keep their
+    * start shard (same contract as p26).
+    */
+  private val m05 = Q(
+    "m05_shard_packing",
+    (s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val budget = 4096L
+      val w = Window.partitionBy($"modality").orderBy($"doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      T(s, d, "documents")
+        .select($"doc_id",
+          element_at(array(lit("image/png"), lit("audio/wav"), lit("video/mp4")),
+            ($"doc_id" % 3 + 1).cast(IntegerType)).as("modality"),
+          length(encode($"text", "UTF-8")).cast(LongType).as("n_bytes"))
+        .withColumn("bytes_before",
+          coalesce(sum($"n_bytes").over(w), lit(0L)))
+        .withColumn("shard_id", expr(s"bytes_before div $budget"))
+        .groupBy($"modality", $"shard_id")
+        .agg(count(lit(1)).as("n_assets"),
+          sum($"n_bytes").as("shard_bytes"),
+          min($"doc_id").as("first_doc"),
+          max($"doc_id").as("last_doc"))
+        .withColumn("fill_ratio",
+          dec($"shard_bytes".cast(DoubleType) / lit(budget.toDouble), 18, 6))
+        .orderBy($"modality", $"shard_id")
+    },
+    Some("""
+      WITH a AS (
+        SELECT doc_id,
+          CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image/png'
+            WHEN 1 THEN 'audio/wav' ELSE 'video/mp4' END AS modality,
+          CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+        FROM documents),
+      t AS (
+        SELECT modality, doc_id, n_bytes,
+          CAST(COALESCE(SUM(n_bytes) OVER (PARTITION BY modality
+            ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+            0) AS BIGINT) AS bytes_before
+        FROM a)
+      SELECT modality, CAST(bytes_before // 4096 AS BIGINT) AS shard_id,
+        COUNT(*) AS n_assets, CAST(SUM(n_bytes) AS BIGINT) AS shard_bytes,
+        MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc,
+        CAST(CAST(SUM(n_bytes) AS DOUBLE) / 4096.0 AS DECIMAL(18,6))
+          AS fill_ratio
+      FROM t GROUP BY modality, bytes_before // 4096
+      ORDER BY modality, shard_id"""))
+
+  val all: Seq[Q] = Seq(m01, m02, m03, m04, m05)
 }

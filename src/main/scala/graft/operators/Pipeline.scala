@@ -1550,7 +1550,108 @@ object Pipeline {
     (s, d) => kmeansContingency(s, d),
     Some(kmeansOracleDuck()))
 
+  /** p32 — BPE PAIR STATISTICS: the inner loop of byte-pair-encoding
+    * tokenizer training. Build the corpus word-frequency table, explode
+    * each distinct word into its adjacent character pairs, and rank pairs
+    * by frequency-weighted count — the top pair is what a BPE trainer
+    * would merge next. One full iteration of the real algorithm (the
+    * merge-and-repeat loop just reruns this plan on rewritten words).
+    *
+    * 100 TB shape: the corpus-sized work is ONE shuffle to the distinct-
+    * word frequency table (vocabulary-sized, not corpus-sized); the pair
+    * explode then runs over the VOCABULARY (millions of rows, not
+    * billions), so each BPE iteration after the first costs vocab-scale,
+    * exactly like production tokenizer trainers that pre-aggregate word
+    * counts once.
+    */
+  private val p32 = Q(
+    "p32_bpe_pair_stats",
+    (s, d) => {
+      import s.implicits._
+      val wf = T(s, d, "documents")
+        .select(explode(split($"text", " ")).as("w"))
+        .groupBy($"w").agg(count(lit(1)).as("freq"))
+        .filter(length($"w") >= 2)
+      wf.select($"w", $"freq",
+          explode(transform(sequence(lit(1), length($"w") - 1),
+            i => $"w".substr(i, lit(2)))).as("pair"))
+        .groupBy($"pair")
+        .agg(sum($"freq").as("pair_count"), countDistinct($"w").as("n_words"))
+        .orderBy($"pair_count".desc, $"pair")
+        .limit(20)
+    },
+    Some("""
+      WITH wf AS (
+        SELECT w, COUNT(*) AS freq FROM (
+          SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        GROUP BY w HAVING length(w) >= 2),
+      p AS (
+        SELECT unnest(list_transform(range(1, length(w)),
+                 i -> substr(w, CAST(i AS INT), 2))) AS pair, w, freq
+        FROM wf)
+      SELECT pair, CAST(SUM(freq) AS BIGINT) AS pair_count,
+        COUNT(DISTINCT w) AS n_words
+      FROM p GROUP BY pair
+      ORDER BY pair_count DESC, pair LIMIT 20"""))
+
+  /** p33 — SNAPSHOT DIFF: content-addressed delta between two corpus
+    * snapshots (the nightly question for a continuously-crawled corpus:
+    * what was added, removed, changed?). Full outer join on doc_id, hash
+    * compare for change detection, per-status rollup. The two snapshots
+    * are derived deterministically from `documents` by BOTH engines
+    * (prev = doc_id % 5 != 0 with %11 docs at an older text version;
+    * cur = doc_id % 7 != 0 at the current text), so the diff operator —
+    * not the derivation — is what the oracle checks.
+    *
+    * 100 TB shape: one shuffle per side on doc_id (or zero with both
+    * snapshots bucketed by doc_id — the production layout for nightly
+    * diffs); hashes travel instead of text, so the join rows are ~50
+    * bytes regardless of document size.
+    */
+  private val p33 = Q(
+    "p33_snapshot_diff",
+    (s, d) => {
+      import s.implicits._
+      val docs = T(s, d, "documents")
+      val prev = docs.filter($"doc_id" % 5 =!= 0)
+        .select($"doc_id".as("p_id"),
+          md5(when($"doc_id" % 11 === 0, concat($"text", lit(" v2")))
+            .otherwise($"text")).as("p_hash"))
+      val cur = docs.filter($"doc_id" % 7 =!= 0)
+        .select($"doc_id".as("c_id"), md5($"text").as("c_hash"))
+      prev.join(cur, $"p_id" === $"c_id", "full_outer")
+        .select(
+          when($"p_id".isNull, "added")
+            .when($"c_id".isNull, "removed")
+            .when($"p_hash" =!= $"c_hash", "changed")
+            .otherwise("unchanged").as("status"),
+          coalesce($"p_id", $"c_id").as("doc_id"))
+        .groupBy($"status")
+        .agg(count(lit(1)).as("n_docs"),
+          min($"doc_id").as("first_doc"), max($"doc_id").as("last_doc"))
+        .orderBy($"status")
+    },
+    Some("""
+      WITH prev AS (
+        SELECT doc_id AS p_id,
+          md5(CASE WHEN doc_id % 11 = 0 THEN text || ' v2' ELSE text END)
+            AS p_hash
+        FROM documents WHERE doc_id % 5 <> 0),
+      cur AS (
+        SELECT doc_id AS c_id, md5(text) AS c_hash
+        FROM documents WHERE doc_id % 7 <> 0),
+      j AS (
+        SELECT CASE WHEN p_id IS NULL THEN 'added'
+                    WHEN c_id IS NULL THEN 'removed'
+                    WHEN p_hash <> c_hash THEN 'changed'
+                    ELSE 'unchanged' END AS status,
+          COALESCE(p_id, c_id) AS doc_id
+        FROM prev FULL OUTER JOIN cur ON p_id = c_id)
+      SELECT status, COUNT(*) AS n_docs,
+        MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+      FROM j GROUP BY status ORDER BY status"""))
+
   val all: Seq[Q] = Seq(p01, p02, p03, p04, p05, p06, p07, p08, p09, p10,
     p11, p12, p13, p14, p15, p16, p17, p18, p19, p20, p21, p22, p23, p24,
-    p25, p26, p27, p28, p29, p30, p31)
+    p25, p26, p27, p28, p29, p30, p31, p32, p33)
 }

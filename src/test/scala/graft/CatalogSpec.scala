@@ -366,6 +366,44 @@ class SemanticsSpec extends AnyFunSuite {
     }
   }
 
+  test("BPE pair stats match a naive word-frequency recompute") {
+    val d = "/root/testdata/sf0.01"
+    import spark.implicits._
+    val words = Tables.load(spark, d, "documents")
+      .select($"text").as[String].collect()
+      .flatMap(_.split(" ", -1)).filter(_.length >= 2)
+    val wf = words.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val pairAgg = wf.toSeq.flatMap { case (w, f) =>
+      (0 until w.length - 1).map(i => (w.substring(i, i + 2), w, f))
+    }.groupBy(_._1).view.mapValues { xs =>
+      (xs.map(_._3).sum, xs.map(_._2).distinct.size.toLong)
+    }.toMap
+    val expect = pairAgg.toSeq
+      .sortBy { case (p, (c, _)) => (-c, p) }.take(20)
+    val got = Catalog.byName("p32_bpe_pair_stats").run(spark, d)
+      .select($"pair", $"pair_count", $"n_words")
+      .as[(String, Long, Long)].collect().toSeq
+    assert(got.map(_._1) == expect.map(_._1), "top-20 pair ranking diverges")
+    got.foreach { case (p, c, nw) =>
+      assert((c, nw) == pairAgg(p), s"pair $p counts diverge")
+    }
+  }
+
+  test("snapshot diff statuses follow the derivation rules exactly") {
+    val d = "/root/testdata/sf0.01"
+    import spark.implicits._
+    val ids = Tables.load(spark, d, "documents")
+      .select($"doc_id").as[Long].collect()
+    val expect = Map(
+      "added" -> ids.count(i => i % 5 == 0 && i % 7 != 0).toLong,
+      "removed" -> ids.count(i => i % 5 != 0 && i % 7 == 0).toLong,
+      "changed" -> ids.count(i => i % 5 != 0 && i % 7 != 0 && i % 11 == 0).toLong,
+      "unchanged" -> ids.count(i => i % 5 != 0 && i % 7 != 0 && i % 11 != 0).toLong)
+    val got = Catalog.byName("p33_snapshot_diff").run(spark, d)
+      .select($"status", $"n_docs").as[(String, Long)].collect().toMap
+    assert(got == expect.filter(_._2 > 0), "diff status counts diverge")
+  }
+
   test("k-means contingency matches an exact-integer driver recompute") {
     val d = "/root/testdata/sf0.001"
     import spark.implicits._

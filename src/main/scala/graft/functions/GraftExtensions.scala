@@ -21,6 +21,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         new ExpressionInfo("graft.functions", name), builder))
     }
     e.injectPlannerStrategy(_ => graft.plans.GraftStrategies)
+    e.injectOptimizerRule(_ => graft.plans.TopKRewrite)
   }
 }
 

@@ -122,6 +122,18 @@ object TopK {
 
   import org.apache.spark.sql.graft.shims
 
+  /** Install the window-rank → TopKPerKey rewrite ([[TopKRewrite]]) on a
+    * live session (new sessions get it from GraftExtensions'
+    * injectOptimizerRule). Also installs the planner strategy the
+    * rewritten node needs. Idempotent.
+    */
+  def installRewrite(spark: SparkSession): Unit = {
+    shims.addStrategy(spark, GraftStrategies)
+    if (!spark.experimental.extraOptimizations.contains(TopKRewrite))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ TopKRewrite
+  }
+
   def perKey(df: DataFrame, keys: Seq[Column], order: Seq[Column], k: Int,
       maxKeysPerPartition: Int = DefaultMaxKeysPerPartition): DataFrame = {
     val spark = df.sparkSession

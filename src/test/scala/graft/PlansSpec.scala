@@ -69,6 +69,38 @@ class PlansSpec extends AnyFunSuite {
     assert(top1 == Seq(11, 20))
   }
 
+  test("TopKRewrite turns dropped-rank window filters into TopKPerKey") {
+    TopK.installRewrite(spark)
+    try {
+      val w = Window.partitionBy($"o_custkey")
+        .orderBy($"o_totalprice".desc, $"o_orderkey".asc)
+      val idiom = base.withColumn("rn", row_number().over(w))
+        .filter($"rn" <= 3).drop("rn")
+      val s = idiom.queryExecution.executedPlan.toString()
+      assert(s.contains("TopKPerKey"), s"rewrite did not fire:\n$s")
+      assert(!s.contains("Window"), s"window survived the rewrite:\n$s")
+      // Value equality against the un-rewritten formulation.
+      val noRewrite = base.withColumn("rn", row_number().over(w))
+        .filter($"rn" <= 3)
+      assert(idiom.count() == noRewrite.count())
+      assert(idiom.exceptAll(noRewrite.drop("rn")).isEmpty)
+
+      // The rank column escaping the projection must VETO the rewrite...
+      val kept = base.withColumn("rn", row_number().over(w)).filter($"rn" <= 3)
+      val sKept = kept.queryExecution.executedPlan.toString()
+      assert(!sKept.contains("TopKPerKey"), s"rewrite misfired:\n$sKept")
+      // ...as must rank() (ties overflow a k-heap) and a global window.
+      val ranked = base.withColumn("rn", rank().over(w))
+        .filter($"rn" <= 3).drop("rn")
+      assert(!ranked.queryExecution.executedPlan.toString()
+        .contains("TopKPerKey"), "rank() must not rewrite")
+    } finally {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations
+          .filterNot(_ == graft.plans.TopKRewrite)
+    }
+  }
+
   test("no catalog plan contains a Python UDF or an unbroadcast cartesian") {
     // Institutionalizes the per-round plan audit (graft.Explain): every
     // entry must stay on the codegen path (no serialization boundary) and

@@ -1651,7 +1651,44 @@ object Pipeline {
         MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
       FROM j GROUP BY status ORDER BY status"""))
 
+  /** p34 — BOOLEAN SEARCH over the corpus (conjunctive term query +
+    * term-frequency ranking): the curation-time tool for "find every
+    * document mentioning all of X, Y, Z" — audit queries, targeted
+    * takedowns, topical sub-corpus extraction. Documents must contain ALL
+    * query terms (distinct-term count == |query|), ranked by total term
+    * frequency with doc_id as the tiebreak.
+    *
+    * 100 TB shape: the query term set is a broadcast-resident filter
+    * applied directly after the token explode — the scan side never
+    * shuffles non-matching tokens; the one real shuffle is the per-doc
+    * rollup on doc_id, sized by MATCHING tokens only. This is the
+    * inverted-index probe topology without materializing the index (p30
+    * materializes the index side when the whole corpus needs posting
+    * counts).
+    */
+  private val p34 = Q(
+    "p34_boolean_search",
+    (s, d) => {
+      import s.implicits._
+      val terms = Seq("spark", "window", "agg")
+      val toks = T(s, d, "documents")
+        .select($"doc_id", explode(split($"text", " ")).as("w"))
+        .filter($"w".isin(terms: _*))
+      toks.groupBy($"doc_id")
+        .agg(countDistinct($"w").as("n_terms"),
+          count(lit(1)).as("tf"))
+        .filter($"n_terms" === terms.length)
+        .select($"doc_id", $"tf")
+        .orderBy($"tf".desc, $"doc_id")
+    },
+    Some("""
+      SELECT doc_id, COUNT(*) AS tf FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+      WHERE w IN ('spark', 'window', 'agg')
+      GROUP BY doc_id HAVING COUNT(DISTINCT w) = 3
+      ORDER BY tf DESC, doc_id"""))
+
   val all: Seq[Q] = Seq(p01, p02, p03, p04, p05, p06, p07, p08, p09, p10,
     p11, p12, p13, p14, p15, p16, p17, p18, p19, p20, p21, p22, p23, p24,
-    p25, p26, p27, p28, p29, p30, p31, p32, p33)
+    p25, p26, p27, p28, p29, p30, p31, p32, p33, p34)
 }

@@ -404,6 +404,22 @@ class SemanticsSpec extends AnyFunSuite {
     assert(got == expect.filter(_._2 > 0), "diff status counts diverge")
   }
 
+  test("boolean search matches a naive all-terms scan") {
+    val d = "/root/testdata/sf0.01"
+    import spark.implicits._
+    val terms = Set("spark", "window", "agg")
+    val docs = Tables.load(spark, d, "documents")
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    val expect = docs.flatMap { case (id, t) =>
+      val ws = t.split(" ", -1)
+      val hit = ws.filter(terms)
+      if (hit.toSet.size == terms.size) Some(id -> hit.length.toLong) else None
+    }.toMap
+    val got = Catalog.byName("p34_boolean_search").run(spark, d)
+      .select($"doc_id", $"tf").as[(Long, Long)].collect().toMap
+    assert(got == expect, "conjunctive match set or tf diverges")
+  }
+
   test("k-means contingency matches an exact-integer driver recompute") {
     val d = "/root/testdata/sf0.001"
     import spark.implicits._

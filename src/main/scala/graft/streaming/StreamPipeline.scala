@@ -1,0 +1,52 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The batch curation pipeline (catalog p20) as a STREAMING ingest: the
+  * shape a 100 TB corpus actually arrives in — a continuous crawl feed —
+  * where dedup state cannot grow with the stream. Stages:
+  *
+  *   1. quality gate — narrow, codegen'd (same rules as p20's batch form);
+  *   2. content digest — md5, the exact-dedup key (p01);
+  *   3. `dropDuplicatesWithinWatermark(digest)` — the bounded-state form
+  *      of streaming dedup: plain `dropDuplicates` on a stream keeps EVERY
+  *      key forever (state grows with the corpus — a 100 TB non-starter);
+  *      the within-watermark variant evicts keys once the watermark
+  *      passes, so state is bounded by the dedup horizon × arrival rate.
+  *      The contract weakens accordingly — only near-in-time duplicates
+  *      (crawl re-fetches, mirror bursts — the dominant dup mode in a
+  *      live feed) are guaranteed dropped; a re-crawl months later needs
+  *      the batch dedup pass anyway;
+  *   4. per-(window, lang) rollup — the monitoring surface.
+  */
+object StreamPipeline {
+
+  /** Quality gate matching p20's batch rules: length floor + all-caps and
+    * digit-ratio guards (documents here are lowercase word soup, so the
+    * gate's selectivity comes from the length floor).
+    */
+  def qualityGate(docs: DataFrame): DataFrame =
+    docs.withColumn("n_tokens", size(split(col("text"), " ")))
+      .filter(col("n_tokens") >= 8)
+
+  /** Full ingest pipeline over a streaming frame of
+    * (doc_id, text, lang, event_time). Returns per-(window, lang) counts
+    * of accepted, deduplicated documents.
+    */
+  def curationStream(docs: DataFrame, horizon: String = "10 seconds",
+      window_ : String = "10 seconds"): DataFrame =
+    qualityGate(docs)
+      .withColumn("digest", md5(col("text")))
+      .withWatermark("event_time", horizon)
+      .dropDuplicatesWithinWatermark("digest")
+      .groupBy(window(col("event_time"), window_), col("lang"))
+      .agg(count(lit(1)).as("n_docs"))
+      .select(col("window.start").as("win_start"), col("lang"), col("n_docs"))
+
+  /** The dedup stage alone (what the bounded-state test exercises). */
+  def dedupStream(docs: DataFrame, horizon: String = "10 seconds"): DataFrame =
+    docs.withColumn("digest", md5(col("text")))
+      .withWatermark("event_time", horizon)
+      .dropDuplicatesWithinWatermark("digest")
+}

@@ -9,6 +9,9 @@ import org.scalatest.funsuite.AnyFunSuite
 case class BidCC(auction: Int, bidder: Int, price: Int,
     b_date_time: java.sql.Timestamp)
 
+case class DocCC(doc_id: Long, text: String, lang: String,
+    event_time: java.sql.Timestamp)
+
 /** Streaming correctness: the same transform applied to a batch frame and
   * to a MemoryStream of the same rows must agree — mirroring the
   * reference's per-query local replays
@@ -482,6 +485,55 @@ class StreamingSpec extends AnyFunSuite {
         assert(n > 0 && n <= totals(b), s"bidder $b emitted $n of ${totals(b)}")
       }
     }
+  }
+
+  test("dropDuplicatesWithinWatermark dedups near-in-time twins with bounded state") {
+    implicit val sqlCtx = spark.sqlContext
+    val t0 = 1700000000000L
+    def doc(id: Long, text: String, offMs: Long) =
+      DocCC(id, text, "en", new java.sql.Timestamp(t0 + offMs))
+    val ms = MemoryStream[DocCC]
+    // 3 distinct texts; "alpha beta" arrives 3 times within the horizon.
+    ms.addData(Seq(
+      doc(1, "alpha beta", 0), doc(2, "alpha beta", 1000),
+      doc(3, "gamma delta", 2000), doc(4, "alpha beta", 3000),
+      doc(5, "epsilon zeta", 4000)))
+    val q = StreamPipeline.dedupStream(ms.toDF(), horizon = "10 seconds")
+      .writeStream.format("memory").queryName("wmdedup_sink")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("wmdedup_sink")
+      .select($"doc_id").as[Long].collect().toSet
+    // First arrival per digest survives; within-horizon twins are dropped.
+    assert(got == Set(1L, 3L, 5L), s"unexpected survivors: $got")
+  }
+
+  test("streaming curation pipeline matches the batch recompute") {
+    implicit val sqlCtx = spark.sqlContext
+    val t0 = 1700000000000L
+    val texts = Seq(
+      ("one two three four five six seven eight", "en"), // passes gate
+      ("short text", "en"), // fails length floor
+      ("uno dos tres cuatro cinco seis siete ocho", "es"),
+      ("one two three four five six seven eight", "en")) // dup of #1
+    val rows = texts.zipWithIndex.map { case ((t, l), i) =>
+      DocCC(i + 1L, t, l, new java.sql.Timestamp(t0 + i * 1000L))
+    } :+ DocCC(99L, "closer " * 8, "en",
+      new java.sql.Timestamp(t0 + 3600L * 1000)) // advances the watermark
+    val ms = MemoryStream[DocCC]
+    ms.addData(rows)
+    val q = StreamPipeline.curationStream(ms.toDF())
+      .writeStream.format("memory").queryName("curation_sink")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("curation_sink")
+      .select($"lang", $"n_docs").as[(String, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    // en: doc 1 passes, doc 2 fails the gate, doc 4 dedups away; es: 1.
+    assert(got.getOrElse("en", 0L) == 1L, s"en counts: $got")
+    assert(got.getOrElse("es", 0L) == 1L, s"es counts: $got")
   }
 
   test("rate-source bid stream produces rows") {

@@ -163,6 +163,78 @@ class SinksSpec extends AnyFunSuite {
     assert(last == batch)
   }
 
+  test("transformWithState leaderboard state survives a checkpoint restart") {
+    // The TWS ValueState lives in the (RocksDB) state store under the
+    // checkpoint: a fresh query on the same checkpoint must resume the
+    // per-auction leaderboards (run-2 emissions fold chunk-1 bids) without
+    // reprocessing chunk one (run 2 emits only for auctions chunk 2 touches).
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val saved = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val in = tmp("tws_in")
+      val ckpt = tmp("tws_ckpt")
+      val allBids = Nexmark.bids(spark, 4000).cache()
+      val schema = allBids.schema
+      val run1 = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Int, Int)]
+      val run2 = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Int, Int)]
+
+      def runOnce(sink: scala.collection.mutable.ArrayBuffer[(Int, Int, Int, Int)]): Unit = {
+        val src = spark.readStream.schema(schema).parquet(in)
+        val q = graft.streaming.StatefulProcessors.auctionTopK(src, 3).toDF()
+          .writeStream.outputMode("update")
+          .option("checkpointLocation", ckpt)
+          .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+            sink.synchronized {
+              sink ++= df.select($"auction", $"rank", $"price", $"bidder")
+                .as[(Int, Int, Int, Int)].collect()
+            }; ()
+          }
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination(60000)
+      }
+
+      val cutoff = timestamp_millis(lit(Nexmark.BaseMs + 2000))
+      allBids.filter($"b_date_time" < cutoff)
+        .coalesce(1).write.mode("append").parquet(in)
+      runOnce(run1)
+      allBids.filter($"b_date_time" >= cutoff)
+        .coalesce(1).write.mode("append").parquet(in)
+      runOnce(run2)
+
+      // No reprocessing: run 2 emits exactly the auctions chunk 2 touched.
+      val chunk2Auctions = allBids.filter($"b_date_time" >= cutoff)
+        .select($"auction").distinct().as[Int].collect().toSet
+      assert(run2.map(_._1).toSet == chunk2Auctions,
+        "run 2 re-emitted auctions chunk 2 never touched (chunk 1 was replayed)")
+
+      // State carried: the last emission per auction equals the batch
+      // top-3 over BOTH chunks.
+      val lastLb = (run1.map((_, 1)) ++ run2.map((_, 2)))
+        .groupBy(_._1._1).view.mapValues { xs =>
+          val lastRun = xs.map(_._2).max
+          xs.filter(_._2 == lastRun).map(_._1)
+            .sortBy(_._2).map(t => (t._3, t._4)).toSeq
+        }.toMap
+      val expect = allBids
+        .select($"auction", $"price", $"bidder", unix_micros($"b_date_time").as("ts"))
+        .as[(Int, Int, Int, Long)].collect()
+        .groupBy(_._1).view.mapValues { bs =>
+          bs.map(b => (b._2, b._3, b._4))
+            .sortBy(t => (-t._1, t._3, t._2)).take(3).map(t => (t._1, t._2)).toSeq
+        }.toMap
+      assert(lastLb.keySet == expect.keySet)
+      for ((a, lb) <- expect)
+        assert(lastLb(a) == lb, s"auction $a leaderboard diverges after restart")
+    } finally {
+      saved match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("YSB query: stream == batch") {
     implicit val sqlCtx = spark.sqlContext
     val events = graft.streaming.Ysb.adEvents(spark, 10000)

@@ -1688,7 +1688,130 @@ object Pipeline {
       GROUP BY doc_id HAVING COUNT(DISTINCT w) = 3
       ORDER BY tf DESC, doc_id"""))
 
+  /** p35 — COLUMN PROFILING (the Deequ/Great-Expectations "profile" pass
+    * every ingest runs first): per categorical column — row count, null
+    * count, distinct count, and the modal value with its frequency
+    * (count desc, value asc — a total order, so the mode is
+    * deterministic). Built by unpivoting the audited columns into
+    * (column, value) pairs so ONE aggregation topology profiles any
+    * number of columns.
+    *
+    * 100 TB shape: the unpivot is a narrow row-expansion (×|columns|);
+    * the one shuffle is on (column, value) — bounded by total distinct
+    * values across audited columns, not corpus rows, thanks to partial
+    * aggregation. The mode extraction is a tiny per-column argmax over
+    * that already-aggregated table.
+    */
+  private val p35 = Q(
+    "p35_profile",
+    (s, d) => {
+      import s.implicits._
+      val cols = Seq("lang", "source")
+      val pairs = T(s, d, "documents").select(
+        explode(map(cols.flatMap(c =>
+          Seq(lit(c), col(c).cast(StringType))): _*)).as(Seq("col_name", "value")))
+      val freq = pairs.groupBy($"col_name", $"value")
+        .agg(count(lit(1)).as("n"))
+      freq.groupBy($"col_name")
+        .agg(sum($"n").as("n_rows"),
+          sum(when($"value".isNull, $"n").otherwise(lit(0L))).as("n_nulls"),
+          count(lit(1)).as("n_distinct"),
+          max(struct($"n", $"value")).as("m"))
+        .select($"col_name", $"n_rows", $"n_nulls", $"n_distinct",
+          $"m.value".as("mode_value"), $"m.n".as("mode_n"))
+        .orderBy($"col_name")
+    },
+    Some("""
+      WITH pairs AS (
+        SELECT 'lang' AS col_name, lang AS value FROM documents
+        UNION ALL
+        SELECT 'source' AS col_name, source AS value FROM documents),
+      freq AS (
+        SELECT col_name, value, COUNT(*) AS n FROM pairs
+        GROUP BY col_name, value),
+      ranked AS (
+        SELECT col_name, value, n,
+          ROW_NUMBER() OVER (PARTITION BY col_name
+            ORDER BY n DESC, value DESC) AS rk
+        FROM freq)
+      SELECT f.col_name,
+        CAST(SUM(f.n) AS BIGINT) AS n_rows,
+        CAST(SUM(CASE WHEN f.value IS NULL THEN f.n ELSE 0 END) AS BIGINT)
+          AS n_nulls,
+        COUNT(*) AS n_distinct,
+        MAX(r.value) AS mode_value,
+        CAST(MAX(r.n) AS BIGINT) AS mode_n
+      FROM freq f JOIN ranked r ON f.col_name = r.col_name AND r.rk = 1
+      GROUP BY f.col_name ORDER BY f.col_name"""))
+
+  /** p36 — CONSTRAINT AUDIT (the Deequ-style "verify" pass): declarative
+    * data-quality rules evaluated in ONE aggregation over the corpus, each
+    * reported as (constraint, n_violations, passed). Rules here:
+    * doc_id uniqueness, text non-null/non-empty, n_chars == length(text),
+    * lang in the allowed set, doc_id non-negative. A failed audit gates
+    * the pipeline run — which is why violations are COUNTED, not just
+    * flagged: the on-call needs the blast radius.
+    *
+    * 100 TB shape: all row-level rules fold into one partial-aggregable
+    * pass (sums of codegen'd indicator columns — no shuffle beyond the
+    * final scalar merge); the uniqueness rule is the only keyed
+    * aggregation, sized by |distinct doc_id|. The unpivot to one row per
+    * constraint happens on a 1-row frame.
+    */
+  def constraintAudit(docs: DataFrame): DataFrame = {
+      val s = docs.sparkSession
+      import s.implicits._
+      val rowRules = docs.agg(
+        sum(when($"text".isNull || length($"text") === 0, 1L)
+          .otherwise(0L)).as("text_nonempty"),
+        sum(when($"n_chars" =!= length($"text"), 1L)
+          .otherwise(0L)).as("n_chars_consistent"),
+        sum(when(!$"lang".isin("en", "de", "es", "fr", "zh"), 1L)
+          .otherwise(0L)).as("lang_in_domain"),
+        sum(when($"doc_id" < 0, 1L).otherwise(0L)).as("doc_id_nonnegative"))
+      val dupIds = docs.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+        .filter($"n" > 1)
+        .agg(coalesce(sum($"n" - 1), lit(0L)).as("doc_id_unique"))
+      rowRules.crossJoin(dupIds)
+        .select(explode(map(
+          Seq("text_nonempty", "n_chars_consistent", "lang_in_domain",
+            "doc_id_nonnegative", "doc_id_unique").flatMap(c =>
+            Seq(lit(c), col(c))): _*)).as(Seq("rule", "n_violations")))
+        .select($"rule", $"n_violations",
+          ($"n_violations" === 0L).as("passed"))
+        .orderBy($"rule")
+  }
+
+  private val p36 = Q(
+    "p36_constraints",
+    (s, d) => constraintAudit(T(s, d, "documents")),
+    Some("""
+      WITH row_rules AS (
+        SELECT
+          CAST(SUM(CASE WHEN text IS NULL OR length(text) = 0
+            THEN 1 ELSE 0 END) AS BIGINT) AS text_nonempty,
+          CAST(SUM(CASE WHEN n_chars <> length(text)
+            THEN 1 ELSE 0 END) AS BIGINT) AS n_chars_consistent,
+          CAST(SUM(CASE WHEN lang NOT IN ('en','de','es','fr','zh')
+            THEN 1 ELSE 0 END) AS BIGINT) AS lang_in_domain,
+          CAST(SUM(CASE WHEN doc_id < 0 THEN 1 ELSE 0 END) AS BIGINT)
+            AS doc_id_nonnegative
+        FROM documents),
+      dup AS (
+        SELECT CAST(COALESCE(SUM(n - 1), 0) AS BIGINT) AS doc_id_unique
+        FROM (SELECT doc_id, COUNT(*) AS n FROM documents
+              GROUP BY doc_id HAVING COUNT(*) > 1)),
+      m AS (
+        SELECT 'text_nonempty' AS rule, text_nonempty AS n_violations
+          FROM row_rules
+        UNION ALL SELECT 'n_chars_consistent', n_chars_consistent FROM row_rules
+        UNION ALL SELECT 'lang_in_domain', lang_in_domain FROM row_rules
+        UNION ALL SELECT 'doc_id_nonnegative', doc_id_nonnegative FROM row_rules
+        UNION ALL SELECT 'doc_id_unique', doc_id_unique FROM dup)
+      SELECT rule, n_violations, n_violations = 0 AS passed
+      FROM m ORDER BY rule"""))
+
   val all: Seq[Q] = Seq(p01, p02, p03, p04, p05, p06, p07, p08, p09, p10,
     p11, p12, p13, p14, p15, p16, p17, p18, p19, p20, p21, p22, p23, p24,
-    p25, p26, p27, p28, p29, p30, p31, p32, p33, p34)
+    p25, p26, p27, p28, p29, p30, p31, p32, p33, p34, p35, p36)
 }

@@ -420,6 +420,49 @@ class SemanticsSpec extends AnyFunSuite {
     assert(got == expect, "conjunctive match set or tf diverges")
   }
 
+  test("profile mode/distinct/counts match a naive recompute") {
+    val d = "/root/testdata/sf0.01"
+    import spark.implicits._
+    val docs = Tables.load(spark, d, "documents")
+      .select($"lang", $"source").as[(String, String)].collect()
+    def prof(vals: Seq[String]): (Long, Long, Long, String, Long) = {
+      val freq = vals.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val (mv, mn) = freq.toSeq.maxBy { case (v, n) => (n, v) }
+      (vals.size.toLong, 0L, freq.size.toLong, mv, mn)
+    }
+    val expect = Map(
+      "lang" -> prof(docs.map(_._1).toSeq),
+      "source" -> prof(docs.map(_._2).toSeq))
+    val got = Catalog.byName("p35_profile").run(spark, d)
+      .as[(String, Long, Long, Long, String, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6))).toMap
+    assert(got == expect, "profile diverges from the naive recompute")
+  }
+
+  test("constraint audit counts injected violations exactly") {
+    import spark.implicits._
+    // Clean corpus: every rule passes.
+    val clean = Catalog.byName("p36_constraints")
+      .run(spark, "/root/testdata/sf0.01")
+      .as[(String, Long, Boolean)].collect()
+    assert(clean.length == 5 && clean.forall(r => r._2 == 0L && r._3))
+    // Corrupted frame: known violation counts per rule.
+    val bad = Seq(
+      (1L, "ok text", "en", 7L),     // clean row
+      (1L, "dup id", "en", 6L),      // duplicate doc_id
+      (-2L, "", "xx", 0L),           // negative id + empty text + bad lang
+      (3L, "fine", "de", 4L))        // clean row
+      .toDF("doc_id", "text", "lang", "n_chars")
+    val audit = graft.operators.Pipeline.constraintAudit(bad)
+      .as[(String, Long, Boolean)].collect()
+      .map(r => r._1 -> r._2).toMap
+    assert(audit("doc_id_unique") == 1L, s"audit: $audit")
+    assert(audit("doc_id_nonnegative") == 1L)
+    assert(audit("text_nonempty") == 1L)
+    assert(audit("lang_in_domain") == 1L)
+    assert(audit("n_chars_consistent") == 0L)
+  }
+
   test("k-means contingency matches an exact-integer driver recompute") {
     val d = "/root/testdata/sf0.001"
     import spark.implicits._

@@ -163,6 +163,25 @@ class SinksSpec extends AnyFunSuite {
     assert(last == batch)
   }
 
+  test("orc sink and zstd/snappy/lz4 parquet codecs round-trip") {
+    // The reference compresses every payload hop (Zstd level 3 default,
+    // Snappy/LZ4 options — flock/src/encoding.rs:51-74); the Spark
+    // analogue is columnar-file codec choice at the sink.
+    val df = Tables.load(spark, "/root/testdata/sf0.001", "lineitem")
+      .select($"l_orderkey", $"l_partkey", $"l_quantity", $"l_returnflag")
+    val n = df.count()
+    val orcDir = tmp("sink_orc")
+    df.write.format("orc").mode("overwrite").save(orcDir)
+    assert(spark.read.format("orc").load(orcDir).count() == n)
+    for (codec <- Seq("zstd", "snappy", "lz4")) {
+      val dir = tmp(s"sink_pq_$codec")
+      df.write.option("compression", codec).mode("overwrite").parquet(dir)
+      val back = spark.read.parquet(dir)
+      assert(back.count() == n, s"$codec round-trip lost rows")
+      assert(back.exceptAll(df).isEmpty, s"$codec round-trip changed values")
+    }
+  }
+
   test("transformWithState leaderboard state survives a checkpoint restart") {
     // The TWS ValueState lives in the (RocksDB) state store under the
     // checkpoint: a fresh query on the same checkpoint must resume the

@@ -463,6 +463,47 @@ class SemanticsSpec extends AnyFunSuite {
     assert(audit("n_chars_consistent") == 0L)
   }
 
+  test("pipeline transforms survive adversarial documents") {
+    import spark.implicits._
+    // Degenerate shapes a crawl feed produces: empty text, single word,
+    // repeated spaces (empty tokens), unicode/CJK/emoji, 10k-char word,
+    // leading/trailing whitespace.
+    val adversarial = Seq(
+      (1L, "", "en", "src0"),
+      (2L, "solo", "en", "src0"),
+      (3L, "a  b   c", "en", "src1"),
+      (4L, "中文 文字 処理 テスト 🎉 emoji", "zh", "src1"),
+      (5L, "x" * 10000, "en", "src2"),
+      (6L, "  padded  ", "de", "src2"),
+      (7L, "ß é ö combininǵ mark", "de", "src3"))
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length($"text"))
+    import graft.functions.{MinHashShingleSig, ShingleArray}
+    val derived = adversarial.select(
+      $"doc_id",
+      size(ShingleArray.shingles($"text")).as("n_shingles"),
+      MinHashShingleSig.minhash_sig($"text", 4).as("sig"),
+      graft.functions.VectorFunctions.simhash60(expr(
+        """transform(array_distinct(split(text, ' ')),
+                     t -> CAST(conv(substr(md5(t), 1, 15), 16, 10) AS BIGINT))"""))
+        .as("sh"),
+      size(split($"text", " ")).as("n_tokens"),
+      md5($"text").as("digest")).collect()
+    assert(derived.length == 7)
+    derived.foreach { r =>
+      val nSh = r.getAs[Int]("n_shingles")
+      val nTok = r.getAs[Int]("n_tokens")
+      assert(nSh >= 0 && nSh <= math.max(0, nTok - 2),
+        s"doc ${r.getAs[Long]("doc_id")}: $nSh shingles from $nTok tokens")
+      // sig is null only when the doc has < 3 tokens.
+      assert((r.getAs[Seq[Long]]("sig") == null) == (nTok < 3))
+      assert(r.getAs[String]("digest").length == 32)
+    }
+    // The audit pass runs clean over the same frame (no crash, 5 rules).
+    val audit = graft.operators.Pipeline.constraintAudit(adversarial)
+    assert(audit.count() == 5)
+  }
+
   test("k-means contingency matches an exact-integer driver recompute") {
     val d = "/root/testdata/sf0.001"
     import spark.implicits._

@@ -47,6 +47,43 @@ object KernelProperties extends Properties("graft.kernels") {
       }
     }
 
+  // Adversarial text: unicode words (CJK, emoji, combining marks), empty
+  // tokens from repeated/leading/trailing spaces, and long words — the
+  // shapes a real web corpus throws at the dedup kernels.
+  private val unicodeWord = Gen.oneOf(
+    Gen.chooseNum(1, 4).flatMap(n =>
+      Gen.listOfN(n,
+        Gen.oneOf("中", "文", "語", "ß", "é", "ö", "🎉", "x"))
+        .map(_.mkString)),
+    Gen.const(""), // empty token (double space in the joined text)
+    Gen.listOfN(64, Gen.alphaChar).map(_.mkString))
+  private val unicodeText =
+    Gen.chooseNum(0, 12).flatMap(n => Gen.listOfN(n, unicodeWord)).map(_.mkString(" "))
+
+  property("shingles handle unicode and empty tokens like the naive form") =
+    forAll(unicodeText) { t =>
+      val got = ShingleArray.compute(UTF8String.fromString(t), 3)
+      (0 until got.numElements()).map(got.getUTF8String(_).toString) == naiveShingles(t)
+    }
+
+  property("minhash handles unicode and empty tokens like the naive form") =
+    forAll(unicodeText) { t =>
+      val got = MinHashShingleSig.compute(UTF8String.fromString(t), 4)
+      val w = t.split(" ", -1).toSeq
+      if (w.length < 3) got == null
+      else {
+        val hashes = w.sliding(3).map(_.mkString(" ")).map { s =>
+          val hex = java.security.MessageDigest.getInstance("MD5")
+            .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+          (java.lang.Long.parseLong(hex.substring(0, 15), 16),
+            java.lang.Long.parseLong(hex.substring(16, 31), 16))
+        }.toSeq
+        (0 until 4).forall { i =>
+          got.getLong(i) == hashes.map { case (h1, h2) => h1 ^ (i.toLong * h2) }.min
+        }
+      }
+    }
+
   private val stream = Gen.listOf(Gen.chooseNum(0L, 50L))
   private def naiveCounts(xs: List[Long]): Map[Long, Long] =
     xs.groupBy(identity).view.mapValues(_.size.toLong).toMap

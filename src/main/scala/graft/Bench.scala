@@ -21,6 +21,9 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Same optimizer surface as Verify: the custom top-k rewrite is part
+    // of the measured engine, not a test-only toy.
+    graft.plans.TopK.installRewrite(spark)
 
     // Warm the JVM/codegen once on the smallest sf so the measured pass
     // reflects steady-state execution, not first-query classloading.

@@ -72,6 +72,10 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Run the gate WITH the custom optimizer rule active: every oracle
+    // compare then doubles as proof that TopKRewrite never changes a
+    // result anywhere in the catalog (a misfire would hash-fail here).
+    graft.plans.TopK.installRewrite(spark)
     new java.io.File(outDir).mkdirs()
     val absOut = Paths.get(outDir).toAbsolutePath.toString
     // OUTSIDE outDir: the driver scans outDir's children as query results,

@@ -3,6 +3,7 @@ package graft.operators
 import graft.{Catalog, Q, Tables}
 import graft.functions.VectorFunctions
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -548,34 +549,85 @@ object Pipeline {
         TRUE AS hll_ok, TRUE AS p50_ok, TRUE AS p95_ok, TRUE AS p99_ok
       FROM events GROUP BY event_type ORDER BY event_type"""))
 
+  /** Hard cap on block membership for the blocked all-pairs joins (p15/p16).
+    * Blocked self-joins are near-linear only while blocks stay small; a real
+    * corpus concentrates mass in few blocks (boilerplate first words,
+    * templated pages), and one block of 10^6 members is 10^12 candidate
+    * pairs regardless of corpus size. So: count block membership first (one
+    * window pass on the block key the join shuffles on anyway), take the
+    * exact all-pairs path only for blocks at or under the cap, and route
+    * oversized blocks through an LSH refinement — a 1-row MinHash band over
+    * the full text sub-buckets the block, and each sub-bucket is
+    * star-compared against its min-id representative, bounding the pair
+    * count to < n per block. Recall inside an oversized block degrades to
+    * the LSH S-curve, and member↔member near-dups still connect
+    * transitively through the shared representative in p17's connected
+    * components. Same skew instinct as the reference's per-key HashDiff
+    * partitioning (flock/src/transmute.rs:77-109): route hot keys, never
+    * enumerate them.
+    */
+  val DefaultBlockCap = 256
+
+  /** Candidate pairs for a blocked self-join with the block-size cap applied.
+    * `docs` must carry `doc_id`, `text`, the block columns, and the payload
+    * columns; output is (id_a, id_b, <payload>_a, <payload>_b) with
+    * id_a < id_b within the exact path and rep_id < member_id on the capped
+    * path.
+    */
+  private[graft] def cappedBlockPairs(docs: DataFrame, blockCols: Seq[String],
+      payload: Seq[String], cap: Int): DataFrame = {
+    def pairSel(j: DataFrame) = j.select(
+      (col("a.doc_id").as("id_a") +: col("b.doc_id").as("id_b") +:
+        payload.flatMap(p =>
+          Seq(col(s"a.$p").as(s"${p}_a"), col(s"b.$p").as(s"${p}_b")))): _*)
+    val sized = docs.withColumn("blk_n",
+      count(lit(1)).over(Window.partitionBy(blockCols.map(col): _*)))
+    val blockEq = blockCols.map(c => col(s"a.$c") === col(s"b.$c")).reduce(_ && _)
+    val small = sized.filter(col("blk_n") <= cap)
+    val smallPairs = pairSel(small.as("a").join(small.as("b"),
+      blockEq && col("a.doc_id") < col("b.doc_id")))
+    val big = sized.filter(col("blk_n") > cap).withColumn("sub",
+      element_at(graft.functions.MinHashShingleSig.minhash_sig(col("text"), 1), 1))
+    val withRep = big.withColumn("rep_id", min(col("doc_id"))
+      .over(Window.partitionBy(blockCols.map(col) :+ col("sub"): _*)))
+    val bigPairs = pairSel(withRep.filter(col("doc_id") === col("rep_id")).as("a")
+      .join(withRep.filter(col("doc_id") > col("rep_id")).as("b"),
+        col("a.doc_id") === col("b.rep_id")))
+    smallPairs.union(bigPairs)
+  }
+
+  /** Shared blocking projection for p15/p16: block key =
+    * (lang, first word, length bucket) — blocks stay small as the corpus
+    * grows (coarse lang+length blocking went quadratic at sf0.1), and the
+    * cap above handles the adversarial case where they don't.
+    */
+  private def blockedDocs(docs: DataFrame, payload: Column*): DataFrame =
+    docs.select((Seq(col("doc_id"), col("lang"),
+      element_at(split(col("text"), " "), 1).as("w0"),
+      floor(col("n_chars") / 200.0).cast(IntegerType).as("len_bucket"),
+      col("text")) ++ payload): _*)
+
+  /** p15 body — blocked fuzzy dedup by edit distance on a fixed prefix;
+    * exposed with a tunable cap so tests can drive the oversized-block path.
+    */
+  def fuzzyDedupPairs(docs: DataFrame, cap: Int = DefaultBlockCap): DataFrame =
+    cappedBlockPairs(
+        blockedDocs(docs, substring(col("text"), 1, 30).as("prefix")),
+        Seq("lang", "w0", "len_bucket"), Seq("prefix"), cap)
+      .select(col("id_a"), col("id_b"),
+        levenshtein(col("prefix_a"), col("prefix_b")).as("edit_dist"))
+      .filter(col("edit_dist") <= 15)
+      .orderBy(col("id_a"), col("id_b"))
+
   /** p15 — fuzzy dedup by edit distance: candidate pairs from cheap blocking
     * (same lang, same length bucket), then levenshtein on a fixed prefix —
     * the classic blocked-fuzzy-matching topology (block key join, bounded
-    * per-pair work). levenshtein is the identical DP distance in both
-    * engines.
+    * per-pair work, oversized blocks capped via LSH + representative).
+    * levenshtein is the identical DP distance in both engines.
     */
   private val p15 = Q(
     "p15_fuzzy_dedup",
-    (s, d) => {
-      import s.implicits._
-      // Block key = (lang, first word, length bucket): blocks stay small
-      // as the corpus grows, keeping the pair count near-linear — coarse
-      // blocking (lang+length only) went quadratic at sf0.1.
-      val docs = T(s, d, "documents")
-        .select($"doc_id", $"lang",
-          element_at(split($"text", " "), 1).as("w0"),
-          (floor($"n_chars" / 200.0)).cast(IntegerType).as("len_bucket"),
-          substring($"text", 1, 30).as("prefix"))
-      docs.as("a").join(docs.as("b"),
-          col("a.lang") === col("b.lang") &&
-            col("a.w0") === col("b.w0") &&
-            col("a.len_bucket") === col("b.len_bucket") &&
-            col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
-          levenshtein(col("a.prefix"), col("b.prefix")).as("edit_dist"))
-        .filter($"edit_dist" <= 15)
-        .orderBy($"id_a", $"id_b")
-    },
+    (s, d) => fuzzyDedupPairs(T(s, d, "documents")),
     Some("""
       WITH d AS (SELECT doc_id, lang,
                    string_split(text, ' ')[1] AS w0,
@@ -597,30 +649,27 @@ object Pipeline {
     * same similarity definition, no sketch; the blocking key bounds the
     * pair count the way p15's does for edit distance. At 100 TB: blocks
     * stay small as the corpus grows (more blocks, not bigger ones), so the
-    * self-join stays near-linear; the shingle sets travel with the rows,
-    * so the verify work is one narrow array pass per candidate pair.
+    * self-join stays near-linear — and any block that doesn't stay small is
+    * routed through the LSH cap above instead of enumerated. The shingle
+    * sets travel with the rows, so the verify work is one narrow array pass
+    * per candidate pair.
     */
+  /** p16 body — blocked exact n-gram Jaccard pairs with the same cap. */
+  def ngramJaccardPairs(docs: DataFrame, cap: Int = DefaultBlockCap): DataFrame = {
+    val inter = size(array_intersect(col("sh_a"), col("sh_b")))
+    cappedBlockPairs(blockedDocs(docs, shinglesCol.as("sh")),
+        Seq("lang", "w0", "len_bucket"), Seq("sh"), cap)
+      .select(col("id_a"), col("id_b"),
+        dec(inter.cast(DoubleType) /
+          (size(col("sh_a")) + size(col("sh_b")) - inter).cast(DoubleType),
+          18, 6).as("jaccard"))
+      .filter(col("jaccard") >= 0.10)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   private val p16 = Q(
     "p16_ngram_jaccard",
-    (s, d) => {
-      import s.implicits._
-      val docs = T(s, d, "documents")
-        .select($"doc_id", $"lang",
-          element_at(split($"text", " "), 1).as("w0"),
-          (floor($"n_chars" / 200.0)).cast(IntegerType).as("len_bucket"),
-          shinglesCol.as("sh"))
-      val inter = size(array_intersect(col("a.sh"), col("b.sh")))
-      docs.as("a").join(docs.as("b"),
-          col("a.lang") === col("b.lang") && col("a.w0") === col("b.w0") &&
-            col("a.len_bucket") === col("b.len_bucket") &&
-            col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
-          dec(inter.cast(DoubleType) /
-            (size(col("a.sh")) + size(col("b.sh")) - inter).cast(DoubleType),
-            18, 6).as("jaccard"))
-        .filter($"jaccard" >= 0.10)
-        .orderBy($"id_a", $"id_b")
-    },
+    (s, d) => ngramJaccardPairs(T(s, d, "documents")),
     Some(s"""
       WITH d AS (SELECT doc_id, lang, string_split(text, ' ')[1] AS w0,
                    CAST(FLOOR(n_chars / 200.0) AS INT) AS len_bucket,

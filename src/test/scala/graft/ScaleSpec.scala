@@ -104,6 +104,45 @@ class ScaleSpec extends AnyFunSuite {
     }
   }
 
+  test("blocked dedup caps an adversarial single-block corpus") {
+    // Every doc shares (lang, first word, length bucket): one block of n.
+    // Naive all-pairs would enumerate n*(n-1)/2 ≈ 180k candidates; the
+    // capped path must stay under n (LSH sub-buckets + one representative
+    // star per bucket), and its candidates must be a subset of the exact
+    // all-pairs set.
+    val n = 600
+    val docs = spark.range(n).select(
+      $"id".as("doc_id"),
+      concat(lit("the common boilerplate page number "), $"id",
+        lit(" body "), md5($"id".cast("string"))).as("text"),
+      lit("en").as("lang"),
+      lit(240L).as("n_chars"))
+    val blocked = docs.select($"doc_id", $"lang",
+      element_at(split($"text", " "), 1).as("w0"),
+      floor($"n_chars" / 200.0).cast("int").as("len_bucket"),
+      $"text", substring($"text", 1, 30).as("prefix"))
+    def pairs(cap: Int) = operators.Pipeline.cappedBlockPairs(
+      blocked, Seq("lang", "w0", "len_bucket"), Seq("prefix"), cap)
+    val capped = pairs(64)
+    val cnt = capped.count()
+    assert(cnt < n, s"capped path produced $cnt candidate pairs, expected < $n")
+    assert(capped.select($"id_a", $"id_b")
+      .except(pairs(Int.MaxValue).select($"id_a", $"id_b")).isEmpty,
+      "capped candidates are not a subset of the exact all-pairs set")
+    // The full p15 query completes on the adversarial corpus too.
+    assert(operators.Pipeline.fuzzyDedupPairs(docs, cap = 64).count() >= 0)
+  }
+
+  test("capped blocked dedup is identical to exact all-pairs under the cap") {
+    val docs = Tables.load(spark, sf, "documents")
+    val f1 = operators.Pipeline.fuzzyDedupPairs(docs)
+    val f2 = operators.Pipeline.fuzzyDedupPairs(docs, cap = Int.MaxValue)
+    assert(f1.exceptAll(f2).isEmpty && f2.exceptAll(f1).isEmpty)
+    val j1 = operators.Pipeline.ngramJaccardPairs(docs)
+    val j2 = operators.Pipeline.ngramJaccardPairs(docs, cap = Int.MaxValue)
+    assert(j1.exceptAll(j2).isEmpty && j2.exceptAll(j1).isEmpty)
+  }
+
   test("AQE splits a skewed join partition at runtime") {
     // One hot key with ~200k rows against a flat build side: with skew-join
     // thresholds tuned to this data size, AQE must mark the sort-merge join

@@ -57,7 +57,8 @@ object Bench {
     val headline = Set(
       "q01_pricing_summary", "q04_shipping_priority", "q05_local_supplier_volume",
       "q16_count_distinct", "q27_asof_join", "q28_window_suite",
-      "sql_tpch_q09", "sql_tpch_q18", "nx_q5_hot_items", "nx_q8_monitor_new_users",
+      "sql_tpch_q09", "sql_tpch_q12", "sql_tpch_q18", "sql_tpch_q21",
+      "nx_q5_hot_items", "nx_q8_monitor_new_users",
       "w02_hopping_agg", "w03_session_agg",
       "p01_dedup_exact", "p08_minhash_lsh_pairs", "p16_ngram_jaccard",
       "p17_dedup_clusters", "p20_pipeline_e2e")

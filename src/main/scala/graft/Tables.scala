@@ -115,15 +115,38 @@ object Tables {
     (d, n) => s"($d + INTERVAL ($n) DAY)",
     (vals, idx) => s"([$vals])[($idx) + 1]")
 
+  /** Materialized derived views, keyed by sf dir: the md5 derivations are
+    * deterministic per-row, but queries like TPC-H q21 scan lineitem three
+    * times (l1/l2/l3), recomputing the whole md5 chain per scan replica —
+    * measured as the two slowest TPC-H entries at sf0.1. Materializing the
+    * derived tables ONCE per (dir, JVM) to session-local temp parquet keeps
+    * column pruning and filter pushdown (which a localCheckpoint'd RDD
+    * would lose) and turns each replica scan into a plain parquet read. On
+    * a cluster the durable form is a warehouse table or a cached view; the
+    * oracle side is untouched — DuckDB still re-derives from the raw
+    * parquet, so the derivation itself stays oracle-checked.
+    */
+  private val derivedCache = scala.collection.concurrent.TrieMap.empty[String, String]
+
+  private def materializedDir(spark: SparkSession, dir: String): String =
+    derivedCache.getOrElseUpdate(dir, {
+      val base = java.nio.file.Files.createTempDirectory("graft_derived_").toString
+      // partsupp derives from the RAW lineitem view; register raw first.
+      load(spark, dir, "lineitem").createOrReplaceTempView("lineitem")
+      spark.sql(partsuppSpark).write.parquet(s"$base/partsupp")
+      spark.sql(lineitemExtSpark).write.parquet(s"$base/lineitem_ext")
+      base
+    })
+
   /** Register every table in `dir` as a temp view named after the table,
     * plus the derived `partsupp` view and the extended `lineitem` view
-    * (spark.sql analyzes eagerly, so the extension binds to the raw view
-    * before the name is replaced). Idempotent; cheap (schema read
-    * only — scans stay lazy).
+    * (materialized once per dir — see `materializedDir`). Idempotent; cheap
+    * after the first call per dir (schema read only — scans stay lazy).
     */
   def registerAll(spark: SparkSession, dir: String): Unit = {
     all.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
-    spark.sql(partsuppSpark).createOrReplaceTempView("partsupp")
-    spark.sql(lineitemExtSpark).createOrReplaceTempView("lineitem")
+    val base = materializedDir(spark, dir)
+    spark.read.parquet(s"$base/partsupp").createOrReplaceTempView("partsupp")
+    spark.read.parquet(s"$base/lineitem_ext").createOrReplaceTempView("lineitem")
   }
 }

@@ -712,7 +712,26 @@ object Pipeline {
     cp.sparkSession.createDataFrame(cp.rdd, cp.schema)
   }
 
-  def dedupClusters(s: SparkSession, d: String, maxIter: Int = 25): DataFrame = {
+  /** One hook step on the quotient graph: for each current label-group,
+    * find the min label adjacent to any member and move the whole group
+    * there. `hint` wraps the small side of each join — `broadcast` while
+    * the endpoint set fits, identity past the guard (the joins then fall
+    * back to size-based planning / sort-merge, same topology).
+    */
+  private[graft] def hookRound(edges: DataFrame, labels: DataFrame,
+      hint: DataFrame => DataFrame): DataFrame = {
+    val withRoots = edges
+      .join(hint(labels.select(col("id").as("src"), col("label").as("rsrc"))), "src")
+      .join(hint(labels.select(col("id").as("dst"), col("label").as("rdst"))), "dst")
+    val rootMin = withRoots.groupBy(col("rsrc")).agg(min(col("rdst")).as("rmin"))
+    labels
+      .join(hint(rootMin.withColumnRenamed("rsrc", "label")), Seq("label"), "left")
+      .select(col("id"),
+        least(col("label"), coalesce(col("rmin"), col("label"))).as("label"))
+  }
+
+  def dedupClusters(s: SparkSession, d: String, maxIter: Int = 25,
+      maxBroadcastLabels: Long = 1L << 21): DataFrame = {
     import s.implicits._
     val dbg = sys.env.contains("GRAFT_CC_DEBUG")
     def now = System.nanoTime()
@@ -731,6 +750,16 @@ object Pipeline {
     edges = pin(edges.repartition(parts))
     var labels = pin(edges.select($"src".as("id")).distinct()
       .select($"id", $"id".as("label")).repartition(parts))
+    // Broadcast guard: the loop's `broadcast()` hints are only correct
+    // while the endpoint set is small. Count it ONCE (labels only ever
+    // shrink in distinctness, never grow) and pick hint-vs-plain for the
+    // whole loop — an adversarial dup-graph then degrades to sort-merge
+    // joins instead of OOMing the driver on an oversized broadcast.
+    val nLabels = labels.count()
+    val hint: DataFrame => DataFrame =
+      if (nLabels <= maxBroadcastLabels) broadcast else identity
+    if (dbg) System.err.println(
+      s"[cc] endpoints=$nLabels broadcast=${nLabels <= maxBroadcastLabels}")
     // Labels only ever decrease, so "anything changed?" ≡ "did sum(label)
     // drop?" — a narrow partial-aggregate scan over the pinned table, far
     // cheaper than the join-on-id diff it replaces (one shuffle job per
@@ -744,25 +773,15 @@ object Pipeline {
     var changed = true
     var iter = 0
     while (changed && iter < maxIter) {
-      // Hook step, on the QUOTIENT graph: for each current label-group
-      // (star), find the min label adjacent to ANY member, and move the
-      // whole group there. Hooking members individually instead (the naive
-      // nbr-min) strands star-mates one member-hop per round — chained LSH
-      // buckets then converge linearly, not logarithmically.
-      // The label table is the edge-ENDPOINT set — orders of magnitude
-      // smaller than the corpus (only docs in ≥1 candidate pair), so it
-      // broadcasts; each round is then narrow except the one rootMin
-      // shuffle. On a graph where even the endpoint set outgrows broadcast,
-      // drop the hints and these become sort-merge joins — same topology.
-      val withRoots = edges
-        .join(broadcast(labels.select($"id".as("src"), $"label".as("rsrc"))), "src")
-        .join(broadcast(labels.select($"id".as("dst"), $"label".as("rdst"))), "dst")
-      val rootMin = withRoots.groupBy($"rsrc").agg(min($"rdst").as("rmin"))
-      var cur = pin(labels
-        .join(broadcast(rootMin.withColumnRenamed("rsrc", "label")),
-          Seq("label"), "left")
-        .select($"id",
-          least($"label", coalesce($"rmin", $"label")).as("label")))
+      // Hook step, on the QUOTIENT graph (see hookRound). Hooking members
+      // individually instead (the naive nbr-min) strands star-mates one
+      // member-hop per round — chained LSH buckets then converge linearly,
+      // not logarithmically. The label table is the edge-ENDPOINT set —
+      // orders of magnitude smaller than the corpus (only docs in ≥1
+      // candidate pair), so it normally broadcasts; the nLabels guard above
+      // drops the hints past the threshold and each round becomes
+      // sort-merge joins — same topology, no driver OOM.
+      var cur = pin(hookRound(edges, labels, hint))
       // Compression step (Shiloach–Vishkin): jump label(v) <- label(label(v))
       // until fixpoint, so every tree is a depth-1 star before the next hook.
       // Labels are always vertex ids, so the self-join is total. One jump per
@@ -775,8 +794,8 @@ object Pipeline {
         // Each pinned round divides chain depth by 3 — same O(log) bound
         // as single jumps, half the checkpoint/count jobs (the loop's real
         // cost locally is fixed job overhead, not data).
-        val j1 = broadcast(cur.select($"id".as("j1id"), $"label".as("j1label")))
-        val j2 = broadcast(cur.select($"id".as("j2id"), $"label".as("j2label")))
+        val j1 = hint(cur.select($"id".as("j1id"), $"label".as("j1label")))
+        val j2 = hint(cur.select($"id".as("j2id"), $"label".as("j2label")))
         val jumped = pin(cur
           .join(j1, cur("label") === col("j1id"))
           .join(j2, col("j1label") === col("j2id"))
@@ -1740,8 +1759,10 @@ object Pipeline {
   /** p35 — COLUMN PROFILING (the Deequ/Great-Expectations "profile" pass
     * every ingest runs first): per categorical column — row count, null
     * count, distinct count, and the modal value with its frequency
-    * (count desc, value asc — a total order, so the mode is
-    * deterministic). Built by unpivoting the audited columns into
+    * (count desc, then value DESC on a count tie — max(struct(n, value))
+    * takes the largest value, and the oracle orders the same way; a total
+    * order, so the mode is deterministic). Built by unpivoting the audited
+    * columns into
     * (column, value) pairs so ONE aggregation topology profiles any
     * number of columns.
     *

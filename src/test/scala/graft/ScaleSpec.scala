@@ -143,6 +143,30 @@ class ScaleSpec extends AnyFunSuite {
     assert(j1.exceptAll(j2).isEmpty && j2.exceptAll(j1).isEmpty)
   }
 
+  test("CC hook round drops broadcast hints past the endpoint guard") {
+    val edges = spark.range(100)
+      .select(($"id" % 50).as("src"), (($"id" % 50) + 1).as("dst"))
+    val labels = spark.range(51).select($"id", $"id".as("label"))
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    // Disable size-based broadcast so the plan shape reflects the hint
+    // decision alone (at scale, an over-guard endpoint set is exactly the
+    // case where size-based planning would not broadcast either).
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val hinted = operators.Pipeline.hookRound(edges, labels, broadcast)
+      assert(hinted.queryExecution.executedPlan.toString.contains("BroadcastExchange"),
+        "hinted hook round lost its broadcast")
+      val plain = operators.Pipeline.hookRound(edges, labels, identity)
+      assert(!plain.queryExecution.executedPlan.toString.contains("BroadcastExchange"),
+        "unhinted hook round still broadcasts")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+    // End-to-end: an over-threshold graph (guard forced to 0) completes
+    // without hints and produces identical clusters.
+    val a = operators.Pipeline.dedupClusters(spark, sf)
+    val b = operators.Pipeline.dedupClusters(spark, sf, maxBroadcastLabels = 0)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+  }
+
   test("AQE splits a skewed join partition at runtime") {
     // One hot key with ~200k rows against a flat build side: with skew-join
     // thresholds tuned to this data size, AQE must mark the sort-merge join

@@ -126,6 +126,11 @@ object TopK {
     * live session (new sessions get it from GraftExtensions'
     * injectOptimizerRule). Also installs the planner strategy the
     * rewritten node needs. Idempotent.
+    *
+    * NOTE the rewrite trades a spill-capable window sort for fail-fast
+    * bounded heap state (see [[TopKRewrite]] scaladoc); it honors the
+    * runtime confs `spark.graft.topk.rewrite.enabled` and
+    * `spark.graft.topk.maxKeysPerPartition` per query.
     */
   def installRewrite(spark: SparkSession): Unit = {
     shims.addStrategy(spark, GraftStrategies)

@@ -1,8 +1,9 @@
 package graft.plans
 
 import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute,
-  AttributeReference, EqualTo, Expression, IntegerLiteral, LessThan,
-  LessThanOrEqual, NamedExpression, RowNumber, WindowExpression}
+  AttributeReference, EqualTo, Expression, GreaterThan, GreaterThanOrEqual,
+  IntegerLiteral, LessThan, LessThanOrEqual, NamedExpression, RowNumber,
+  WindowExpression}
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan,
   Project, Window, WindowGroupLimit}
 import org.apache.spark.sql.catalyst.rules.Rule
@@ -32,22 +33,49 @@ import org.apache.spark.sql.catalyst.rules.Rule
   *
   * Registered via GraftExtensions (injectOptimizerRule) for configured
   * sessions, or `TopK.installRewrite(spark)` on a live one.
+  *
+  * FAILURE-MODE TRADE the rewrite makes: the window-rank formulation sorts
+  * and therefore SPILLS on any key cardinality; TopKPerKey holds bounded
+  * heap state and fails fast past `maxKeysPerPartition` distinct keys.
+  * A previously-completing ultra-high-cardinality query can therefore
+  * start throwing once the rewrite is active. Both knobs are runtime
+  * SQLConfs: disable with `spark.graft.topk.rewrite.enabled=false`, or
+  * raise `spark.graft.topk.maxKeysPerPartition` (threaded through to the
+  * rewritten operator).
   */
 object TopKRewrite extends Rule[LogicalPlan] {
 
-  /** rk <= 5 / rk < 6 / rk = 1 → Some(k), on the given attribute only. */
+  val EnabledKey = "spark.graft.topk.rewrite.enabled"
+  val MaxKeysKey = "spark.graft.topk.maxKeysPerPartition"
+
+  /** rk <= 5 / rk < 6 / rk = 1 → Some(k), on the given attribute only —
+    * plus the commuted forms (5 >= rk / 6 > rk / 1 = rk) some frontends
+    * normalize to.
+    */
   private def rankBound(cond: Expression, rank: Attribute): Option[Int] =
     cond match {
       case LessThanOrEqual(r: AttributeReference, IntegerLiteral(k))
           if r.semanticEquals(rank) => Some(k)
+      case GreaterThanOrEqual(IntegerLiteral(k), r: AttributeReference)
+          if r.semanticEquals(rank) => Some(k)
       case LessThan(r: AttributeReference, IntegerLiteral(k))
           if r.semanticEquals(rank) => Some(k - 1)
+      case GreaterThan(IntegerLiteral(k), r: AttributeReference)
+          if r.semanticEquals(rank) => Some(k - 1)
       case EqualTo(r: AttributeReference, IntegerLiteral(1))
+          if r.semanticEquals(rank) => Some(1)
+      case EqualTo(IntegerLiteral(1), r: AttributeReference)
           if r.semanticEquals(rank) => Some(1)
       case _ => None
     }
 
-  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    if (!conf.getConfString(EnabledKey, "true").toBoolean) plan
+    else applyEnabled(plan,
+      conf.getConfString(MaxKeysKey, TopK.DefaultMaxKeysPerPartition.toString).toInt)
+
+  private def applyEnabled(plan: LogicalPlan, maxKeys: Int): LogicalPlan =
+    plan.transformUp {
     case p @ Project(projList,
         Filter(cond,
           Window(Seq(a @ Alias(WindowExpression(RowNumber(), spec), _)),
@@ -68,8 +96,9 @@ object TopKRewrite extends Rule[LogicalPlan] {
               grandchild
             case other => other
           }
-          Project(projList, TopKPerKey(partitionSpec, orderSpec, k, source))
+          Project(projList,
+            TopKPerKey(partitionSpec, orderSpec, k, source, maxKeys))
         case _ => p
       }
-  }
+    }
 }

@@ -108,6 +108,14 @@ object StatefulProcessors {
         expiredTimerInfo: ExpiredTimerInfo): Iterator[GapWindowOut] = {
       if (!st.exists()) return Iterator.empty
       val s = st.get()
+      // Stale-expiry guard: when handleInputRows closes a window inline,
+      // its deleteTimer may race a timer already in this batch's expired
+      // set — acting on that stale expiry would close the FRESHLY opened
+      // window with a partial count and wrong boundaries. Only the timer
+      // registered for the CURRENT window (expiry == startMs + sizeMs)
+      // may close it.
+      if (expiredTimerInfo.getExpiryTimeInMs() != s.startMs + sizeMs)
+        return Iterator.empty
       st.clear()
       Iterator.single(
         GapWindowOut(bidder, s.startMs, s.startMs + sizeMs, s.n))

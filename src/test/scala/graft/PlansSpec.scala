@@ -101,6 +101,40 @@ class PlansSpec extends AnyFunSuite {
     }
   }
 
+  test("TopKRewrite honors the kill switch, maxKeys conf, and commuted bounds") {
+    TopK.installRewrite(spark)
+    val w = Window.partitionBy($"o_custkey")
+      .orderBy($"o_totalprice".desc, $"o_orderkey".asc)
+    def idiom(cond: org.apache.spark.sql.Column) =
+      base.withColumn("rn", row_number().over(w)).filter(cond).drop("rn")
+    try {
+      // Commuted filter forms some frontends normalize to: lit OP rank.
+      for (cond <- Seq(lit(3) >= $"rn", lit(4) > $"rn", lit(1) === $"rn")) {
+        val s = idiom(cond).queryExecution.executedPlan.toString()
+        assert(s.contains("TopKPerKey"), s"commuted form did not rewrite:\n$s")
+      }
+      // Kill switch: a session that disables the rewrite keeps the
+      // spill-capable window sort.
+      spark.conf.set(graft.plans.TopKRewrite.EnabledKey, "false")
+      try assert(!idiom($"rn" <= 3).queryExecution.executedPlan.toString()
+        .contains("TopKPerKey"), "kill switch ignored")
+      finally spark.conf.unset(graft.plans.TopKRewrite.EnabledKey)
+      // maxKeysPerPartition threads through the rule into the operator.
+      spark.conf.set(graft.plans.TopKRewrite.MaxKeysKey, "1")
+      try {
+        val ex = intercept[Exception](idiom($"rn" <= 3).count())
+        def messages(t: Throwable): Seq[String] =
+          if (t == null) Nil else t.getMessage +: messages(t.getCause)
+        assert(messages(ex).exists(m => m != null && m.contains("maxKeysPerPartition")),
+          s"conf-threaded guard missing: ${ex.getMessage}")
+      } finally spark.conf.unset(graft.plans.TopKRewrite.MaxKeysKey)
+    } finally {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations
+          .filterNot(_ == graft.plans.TopKRewrite)
+    }
+  }
+
   test("no catalog plan contains a Python UDF or an unbroadcast cartesian") {
     // Institutionalizes the per-round plan audit (graft.Explain): every
     // entry must stay on the codegen path (no serialization boundary) and

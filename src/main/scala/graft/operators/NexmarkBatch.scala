@@ -58,6 +58,45 @@ object NexmarkBatch {
       f: SparkSession => DataFrame): Q =
     Q(name, (s, _) => usNormalize(f(s)), oracle)
 
+  /** q10 — "log to file system" (reference forces the S3 file sink for q10:
+    * benchmarks/src/nexmark/main.rs:125-128; query/q10.sql partitions by
+    * date/hour). The ROUND TRIP is the operator: bids replayed through a
+    * file source → checkpointed, date/hour-PARTITIONED streaming parquet
+    * sink → sink re-read; the re-read frame is what the DuckDB oracle
+    * hashes against the generator dump, so a schema/partition/commit bug
+    * anywhere in the sink path fails the gate. Dirs are wiped per call so
+    * a stale checkpoint can never serve a previous code version's output.
+    */
+  def q10FileSink(s: SparkSession): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val base = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), "graft_q10_sink").toAbsolutePath.toString
+    def rmrf(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rmrf))
+      f.delete()
+    }
+    rmrf(new java.io.File(base))
+    val (inDir, outDir, ckpt) = (s"$base/in", s"$base/out", s"$base/ckpt")
+    bids(s).write.mode("overwrite").parquet(inDir)
+    val shaped = s.readStream.schema(s.read.parquet(inDir).schema)
+      .parquet(inDir)
+      .select(col("auction"), col("bidder"), col("price"), col("b_date_time"),
+        to_date(col("b_date_time")).as("b_date"),
+        hour(col("b_date_time")).as("b_hour"))
+    val q = shaped.writeStream.format("parquet")
+      .partitionBy("b_date", "b_hour")
+      .option("path", outDir)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    require(q.awaitTermination(120000), "q10 file sink did not drain in 120s")
+    // Explicit casts pin the output schema against partition-type inference.
+    s.read.parquet(outDir).select(
+      col("auction"), col("bidder"), col("price"),
+      unix_micros(col("b_date_time")).as("b_date_time"),
+      col("b_date").cast("string").as("b_date"),
+      col("b_hour").cast("long").as("b_hour"))
+  }
+
   val all: Seq[Q] = Seq(
     // q0 — passthrough (query/q0.sql).
     entry("nx_q0_passthrough", Some(s"""
@@ -165,6 +204,13 @@ object NexmarkBatch {
       SELECT a_id, category, bidder, price, epoch_us(b_date_time) AS b_date_time
       FROM j WHERE rk = 1"""))(
       s => StreamQueries.q9(bids(s), auctions(s))),
+
+    // q10 — file-sink round trip (see q10FileSink above).
+    entry("nx_q10_file_sink", Some(s"""
+      SELECT auction, bidder, price, epoch_us(b_date_time) AS b_date_time,
+        strftime(b_date_time, '%Y-%m-%d') AS b_date,
+        hour(b_date_time) AS b_hour
+      FROM $B"""))(q10FileSink),
 
     // q11 — bids per bidder per Session(10 s) (query/q11.sql). Session
     // islands use >= gap (Spark session_window semantics; see w03).

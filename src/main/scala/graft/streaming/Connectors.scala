@@ -12,6 +12,16 @@ import org.apache.spark.sql.types._
   * clusters add `spark-sql-kafka-0-10` / `spark-streaming-sql-kinesis`
   * to the classpath and call `.load()` on the returned reader.
   *
+  * ENVIRONMENT BLOCKER, verified round 5: no kafka/kinesis connector
+  * artifact exists in `/opt/spark/jars` or the offline coursier/ivy
+  * caches, so offline resolution cannot supply one. What IS executable is
+  * covered: SinksSpec drives the SQS file transport through this exact
+  * builder INCLUDING `.load()` end-to-end, asserts via reflection that the
+  * kafka/kinesis builders set format and every option verbatim (a typo
+  * here would otherwise ship silently), and pins the kafka `.load()`
+  * failure to the data-source-lookup error — i.e. the first thing a
+  * deploying cluster's classpath fixes.
+  *
   * The decode chains are transport-independent pure-column transforms
   * (tested in SinksSpec over synthesized payload frames): every transport
   * lands on the same `bid` schema, mirroring how the reference funnels all

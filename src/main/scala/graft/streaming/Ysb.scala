@@ -18,19 +18,42 @@ object Ysb {
   private def u(id: org.apache.spark.sql.Column, salt: String) =
     abs(xxhash64(id, lit(salt)))
 
-  /** ad_events: ad_id, event_type (view/click/purchase, 1:1:1 like the
-    * reference), event_time spread over 1 s epochs.
+  /** Pure-column ad-event projection over an `id` column — shared by the
+    * batch replay and the live stream so both emit the bit-identical
+    * event for a given id at any parallelism.
     */
-  def adEvents(spark: SparkSession, nEvents: Long,
-      eventsPerSecond: Long = 1000): DataFrame = {
+  private def adEventsFromIds(ids: DataFrame,
+      eventsPerSecond: Long): DataFrame = {
     val id = col("id")
-    spark.range(0, nEvents).select(
+    ids.select(
       (u(id, "ad") % NumAds).cast(IntegerType).as("ad_id"),
       element_at(array(lit("view"), lit("click"), lit("purchase")),
         (id % 3 + 1).cast(IntegerType)).as("event_type"),
       timestamp_millis(lit(BaseMs) + (id / eventsPerSecond).cast(LongType) * 1000L +
         ((id % eventsPerSecond) * 1000L / eventsPerSecond).cast(LongType))
         .as("event_time"))
+  }
+
+  /** ad_events: ad_id, event_type (view/click/purchase, 1:1:1 like the
+    * reference), event_time spread over 1 s epochs.
+    */
+  def adEvents(spark: SparkSession, nEvents: Long,
+      eventsPerSecond: Long = 1000): DataFrame =
+    adEventsFromIds(spark.range(0, nEvents).select(col("id")), eventsPerSecond)
+
+  /** Streaming ad_events via the rate source: `rowsPerSecond` ids/sec over
+    * `generators` source partitions (the reference CLI's generator count,
+    * ysb/main.rs:41-50), each id mapped through the same projection as the
+    * batch replay. Event time is the deterministic generator time, so
+    * windows are reproducible.
+    */
+  def adEventStream(spark: SparkSession, rowsPerSecond: Int = 1000,
+      eventsPerSecond: Long = 1000, generators: Int = 8): DataFrame = {
+    val rate = spark.readStream.format("rate")
+      .option("rowsPerSecond", rowsPerSecond)
+      .option("numPartitions", generators)
+      .load()
+    adEventsFromIds(rate.select(col("value").as("id")), eventsPerSecond)
   }
 
   /** Static campaigns dimension: ad_id → campaign_id (10 ads per campaign). */

@@ -1,0 +1,59 @@
+package graft.streaming
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.streaming.Trigger
+
+/** CLI mirror of the reference's YSB driver (reference
+  * benchmarks/src/ysb/main.rs:41-50: events-per-second and seconds knobs,
+  * 1,000 eps x 20 s defaults; query ysb.sql): runs the YSB campaign-count
+  * query over a live generated ad-event stream and prints a one-line JSON
+  * summary with measured input throughput.
+  *
+  * Usage: sbt "runMain graft.streaming.YsbRun -e 1000 -s 20 -g 8
+  *   --window 10"
+  */
+object YsbRun {
+  def main(args: Array[String]): Unit = {
+    val opts = args.sliding(2, 2).collect {
+      case Array(k, v) => k -> v
+    }.toMap
+    val eps = opts.getOrElse("-e", "1000").toInt
+    val secs = opts.getOrElse("-s", "20").toInt
+    val generators = opts.getOrElse("-g", "8").toInt
+    val windowSec = opts.getOrElse("--window", "10").toInt
+
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .appName("ysb")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val events = Ysb.adEventStream(spark, rowsPerSecond = eps,
+      eventsPerSecond = eps, generators = generators)
+    val result = Ysb.query(events, Ysb.campaigns(spark), s"$windowSec seconds")
+
+    val t0 = System.nanoTime()
+    // Complete mode: the windowed count has no watermark (the reference
+    // emits every window's running count), so the sink holds the current
+    // totals per (window, campaign).
+    val q = result.writeStream.format("memory").queryName("ysb_run")
+      .outputMode("complete").trigger(Trigger.ProcessingTime("1 second"))
+      .start()
+    Thread.sleep(secs * 1000L)
+    // Measured INPUT rows from the stream's own progress log — out_rows is
+    // bounded by windows x campaigns, so it cannot measure throughput.
+    val inputRows = q.recentProgress.map(_.numInputRows).sum
+    q.stop()
+    val rows = spark.table("ysb_run").count()
+    val wall = (System.nanoTime() - t0) / 1e9
+    val measuredEps = if (wall > 0) inputRows / wall else 0.0
+    println(s"""{"benchmark":"ysb","seconds":$secs,"events_per_sec":$eps,""" +
+      s""""generators":$generators,"window_sec":$windowSec,""" +
+      s""""campaign_windows":$rows,"input_rows":$inputRows,""" +
+      s""""wall_sec":${f"$wall%.2f"},"measured_eps":${f"$measuredEps%.0f"}}""")
+    spark.stop()
+  }
+}

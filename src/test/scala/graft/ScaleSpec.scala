@@ -167,6 +167,33 @@ class ScaleSpec extends AnyFunSuite {
     assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
   }
 
+  test("AQE coalesces undersized shuffle partitions at runtime") {
+    // 32 shuffle partitions over a few-KB aggregate: the final adaptive
+    // plan must read the shuffle through AQEShuffleRead with coalesced
+    // partitions — the runtime half of shuffle sizing (static
+    // spark.sql.shuffle.partitions is the other half).
+    val saved = Seq("spark.sql.adaptive.enabled",
+      "spark.sql.adaptive.coalescePartitions.enabled",
+      "spark.sql.shuffle.partitions")
+      .map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      spark.conf.set("spark.sql.shuffle.partitions", "32")
+      val agg = Tables.load(spark, sf, "events")
+        .groupBy($"event_type").agg(count(lit(1)).as("n"))
+      agg.collect()
+      val finalPlan = agg.queryExecution.executedPlan.toString()
+      assert(finalPlan.contains("AQEShuffleRead") && finalPlan.contains("coalesced"),
+        s"no runtime partition coalescing in final adaptive plan:\n$finalPlan")
+    } finally {
+      saved.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
+      }
+    }
+  }
+
   test("AQE splits a skewed join partition at runtime") {
     // One hot key with ~200k rows against a flat build side: with skew-join
     // thresholds tuned to this data size, AQE must mark the sort-merge join

@@ -89,12 +89,16 @@ object NexmarkBatch {
       .option("checkpointLocation", ckpt)
       .trigger(Trigger.AvailableNow()).start()
     require(q.awaitTermination(120000), "q10 file sink did not drain in 120s")
-    // Explicit casts pin the output schema against partition-type inference.
+    // Explicit casts pin the output schema against partition-type
+    // inference; localCheckpoint pins the VALUES eagerly — the returned
+    // frame must stay valid after a later call wipes and rewrites the
+    // sink dir (DeterminismSpec holds two invocations side by side).
     s.read.parquet(outDir).select(
       col("auction"), col("bidder"), col("price"),
       unix_micros(col("b_date_time")).as("b_date_time"),
       col("b_date").cast("string").as("b_date"),
       col("b_hour").cast("long").as("b_hour"))
+      .localCheckpoint()
   }
 
   val all: Seq[Q] = Seq(

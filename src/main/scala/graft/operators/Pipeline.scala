@@ -596,6 +596,42 @@ object Pipeline {
     smallPairs.union(bigPairs)
   }
 
+  /** DuckDB twin of [[cappedBlockPairs]] over `documents` — the oracle
+    * mirrors the cap EXACTLY (same window count, same 1-row-MinHash
+    * sub-key over the full-text shingles, same min-id representative
+    * star), so the p15/p16 gates stay green at ANY scale factor,
+    * including ones where real blocks exceed the cap. Emits CTEs ending
+    * in `pairs(id_a, id_b, <name>_a, <name>_b)`.
+    */
+  private def cappedPairsCtesDuck(payloadExpr: String, name: String): String = s"""
+      WITH d0 AS (SELECT doc_id, lang,
+                    string_split(text, ' ')[1] AS w0,
+                    CAST(FLOOR(n_chars / 200.0) AS INT) AS len_bucket,
+                    $payloadExpr AS p, text
+                  FROM documents),
+      d AS (SELECT *, COUNT(*) OVER (PARTITION BY lang, w0, len_bucket) AS blk_n
+            FROM d0),
+      small AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.p AS pa, b.p AS pb
+        FROM d a JOIN d b ON a.lang = b.lang AND a.w0 = b.w0
+          AND a.len_bucket = b.len_bucket AND a.doc_id < b.doc_id
+        WHERE a.blk_n <= $DefaultBlockCap),
+      bigsub AS (
+        SELECT *, list_min(list_transform($shinglesSqlDuck,
+            sg -> ('0x' || substr(md5(sg), 1, 15))::BIGINT)) AS sub
+        FROM d WHERE blk_n > $DefaultBlockCap),
+      big AS (
+        SELECT *, MIN(doc_id) OVER (PARTITION BY lang, w0, len_bucket, sub)
+          AS rep_id
+        FROM bigsub),
+      bigp AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.p AS pa, b.p AS pb
+        FROM big a JOIN big b ON a.doc_id = b.rep_id AND b.doc_id > b.rep_id),
+      pairs AS (
+        SELECT id_a, id_b, pa AS ${name}_a, pb AS ${name}_b FROM small
+        UNION ALL
+        SELECT id_a, id_b, pa, pb FROM bigp)"""
+
   /** Shared blocking projection for p15/p16: block key =
     * (lang, first word, length bucket) — blocks stay small as the corpus
     * grows (coarse lang+length blocking went quadratic at sf0.1), and the
@@ -628,18 +664,11 @@ object Pipeline {
   private val p15 = Q(
     "p15_fuzzy_dedup",
     (s, d) => fuzzyDedupPairs(T(s, d, "documents")),
-    Some("""
-      WITH d AS (SELECT doc_id, lang,
-                   string_split(text, ' ')[1] AS w0,
-                   CAST(FLOOR(n_chars / 200.0) AS INT) AS len_bucket,
-                   substr(text, 1, 30) AS prefix
-                 FROM documents)
-      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-        CAST(levenshtein(a.prefix, b.prefix) AS INT) AS edit_dist
-      FROM d a JOIN d b ON a.lang = b.lang AND a.w0 = b.w0
-        AND a.len_bucket = b.len_bucket
-        AND a.doc_id < b.doc_id
-      WHERE levenshtein(a.prefix, b.prefix) <= 15
+    Some(s"""
+      ${cappedPairsCtesDuck("substr(text, 1, 30)", "payload")}
+      SELECT id_a, id_b,
+        CAST(levenshtein(payload_a, payload_b) AS INT) AS edit_dist
+      FROM pairs WHERE levenshtein(payload_a, payload_b) <= 15
       ORDER BY id_a, id_b"""))
 
   /** p16 — exact n-gram Jaccard near-dup pairs: blocked all-pairs (same
@@ -671,17 +700,13 @@ object Pipeline {
     "p16_ngram_jaccard",
     (s, d) => ngramJaccardPairs(T(s, d, "documents")),
     Some(s"""
-      WITH d AS (SELECT doc_id, lang, string_split(text, ' ')[1] AS w0,
-                   CAST(FLOOR(n_chars / 200.0) AS INT) AS len_bucket,
-                   $shinglesSqlDuck AS sh FROM documents),
-      pairs AS (
-        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-          CAST(CAST(length(list_filter(a.sh, x -> list_contains(b.sh, x))) AS DOUBLE)
-               / (length(a.sh) + length(b.sh) - length(list_filter(a.sh, x -> list_contains(b.sh, x)))) AS DECIMAL(18,6)) AS jaccard
-        FROM d a JOIN d b ON a.lang = b.lang AND a.w0 = b.w0
-          AND a.len_bucket = b.len_bucket
-          AND a.doc_id < b.doc_id)
-      SELECT id_a, id_b, jaccard FROM pairs WHERE jaccard >= 0.10
+      ${cappedPairsCtesDuck(shinglesSqlDuck, "sh")},
+      scored AS (
+        SELECT id_a, id_b,
+          CAST(CAST(length(list_filter(sh_a, x -> list_contains(sh_b, x))) AS DOUBLE)
+               / (length(sh_a) + length(sh_b) - length(list_filter(sh_a, x -> list_contains(sh_b, x)))) AS DECIMAL(18,6)) AS jaccard
+        FROM pairs)
+      SELECT id_a, id_b, jaccard FROM scored WHERE jaccard >= 0.10
       ORDER BY id_a, id_b"""))
 
   /** p17 — near-dup CLUSTER assignment: connected components over the LSH

@@ -42,6 +42,14 @@ object Verify {
     * every column that is DECIMAL in the raw Spark result is CAST to
     * DOUBLE. `schema` is the RAW (pre-finalize) Spark schema — names match
     * the oracle's output columns by contract.
+    *
+    * The cast goes THROUGH VARCHAR: DuckDB's direct DECIMAL→DOUBLE divides
+    * the scaled int128 by the scale in floating point, which double-rounds
+    * once the scaled integer exceeds 2^53 (first seen at sf1: a
+    * DECIMAL(38,6) sum of 2.8e10 is 2.8e16 scaled units → one ulp off).
+    * Spark's BigDecimal.doubleValue and DuckDB's string→double are both
+    * correctly rounded, so the string hop makes the two sides bit-equal at
+    * any magnitude.
     */
   def wrapOracle(sql: String, schema: StructType): String = {
     val decCols = schema.fields.collect {
@@ -51,7 +59,8 @@ object Verify {
     else {
       val cols = schema.fields.map { f =>
         val id = "\"" + f.name + "\""
-        if (decCols(f.name)) s"CAST($id AS DOUBLE) AS $id" else id
+        if (decCols(f.name)) s"CAST(CAST($id AS VARCHAR) AS DOUBLE) AS $id"
+        else id
       }.mkString(", ")
       s"SELECT $cols FROM (\n$sql\n) graft_fin"
     }

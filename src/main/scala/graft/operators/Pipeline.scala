@@ -568,6 +568,19 @@ object Pipeline {
     */
   val DefaultBlockCap = 256
 
+  /** Side length of a salt cell in the small-block all-pairs join: blocks
+    * are split into `ceil(blk_n / SaltCellSide)` salts, so one cell carries
+    * at most ~SaltCellSide² candidate pairs. Without this, pair-expansion
+    * work is invisible to AQE's byte-based partition coalescing — a block's
+    * rows are a few KB but its pairs are n², so the pair-heavy blocks
+    * collapse into one post-coalesce partition and the per-pair verify
+    * (levenshtein / Jaccard) runs single-core (measured 44 s → ~4 s at sf1).
+    * Bounding pairs-per-cell makes shuffled bytes proportional to join work
+    * again, which is what AQE assumes. Replication cost is ≤ cap/SaltCellSide
+    * copies and only for blocks bigger than SaltCellSide.
+    */
+  val SaltCellSide = 64
+
   /** Candidate pairs for a blocked self-join with the block-size cap applied.
     * `docs` must carry `doc_id`, `text`, the block columns, and the payload
     * columns; output is (id_a, id_b, <payload>_a, <payload>_b) with
@@ -583,9 +596,29 @@ object Pipeline {
     val sized = docs.withColumn("blk_n",
       count(lit(1)).over(Window.partitionBy(blockCols.map(col): _*)))
     val blockEq = blockCols.map(c => col(s"a.$c") === col(s"b.$c")).reduce(_ && _)
-    val small = sized.filter(col("blk_n") <= cap)
-    val smallPairs = pairSel(small.as("a").join(small.as("b"),
-      blockEq && col("a.doc_id") < col("b.doc_id")))
+    // Triangle-salted self-join: doc x lands in cell (salt(x), salt(y)) with
+    // doc y exactly once (the doc_id order fixes the roles), so the output
+    // pair set is IDENTICAL to the unsalted join — only the distribution
+    // changes. nsalt = 1 for blocks at or under SaltCellSide: no replication.
+    val small = sized.filter(col("blk_n") <= cap).withColumn("nsalt",
+      ceil(col("blk_n") / SaltCellSide.toDouble).cast(IntegerType))
+    // The probe side is explicitly repartitioned on (block, cell): the join
+    // broadcasts the other side, so without this shuffle the probe would
+    // inherit the window's byte-coalesced layout and the cells would never
+    // spread. An explicit partition count keeps AQE from re-coalescing it.
+    val nPart = docs.sparkSession.sessionState.conf.numShufflePartitions
+    val aSide = small
+      .withColumn("cell_i", pmod(hash(col("doc_id")), col("nsalt")))
+      .withColumn("cell_j", explode(sequence(lit(0), col("nsalt") - 1)))
+      .repartition(nPart,
+        (blockCols.map(col) :+ col("cell_i") :+ col("cell_j")): _*)
+    val bSide = small
+      .withColumn("cell_j", pmod(hash(col("doc_id")), col("nsalt")))
+      .withColumn("cell_i", explode(sequence(lit(0), col("nsalt") - 1)))
+    val smallPairs = pairSel(aSide.as("a").join(bSide.as("b"),
+      blockEq && col("a.cell_i") === col("b.cell_i") &&
+        col("a.cell_j") === col("b.cell_j") &&
+        col("a.doc_id") < col("b.doc_id")))
     val big = sized.filter(col("blk_n") > cap).withColumn("sub",
       element_at(graft.functions.MinHashShingleSig.minhash_sig(col("text"), 1), 1))
     val withRep = big.withColumn("rep_id", min(col("doc_id"))

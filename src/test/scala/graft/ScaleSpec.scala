@@ -133,6 +133,29 @@ class ScaleSpec extends AnyFunSuite {
     assert(operators.Pipeline.fuzzyDedupPairs(docs, cap = 64).count() >= 0)
   }
 
+  test("triangle-salted all-pairs equals an unsalted cross-join reference") {
+    // One block of 200 docs → nsalt = ceil(200/64) = 4: every salt cell and
+    // both explode roles are exercised. The salted join must produce exactly
+    // the same (id_a, id_b) set as a plain a.doc_id < b.doc_id cross join.
+    val n = 200
+    val docs = spark.range(n).select(
+      $"id".as("doc_id"),
+      concat(lit("salted block doc "), $"id").as("text"),
+      lit("en").as("lang"),
+      lit(100L).as("n_chars"))
+    val blocked = docs.select($"doc_id", $"lang",
+      element_at(split($"text", " "), 1).as("w0"),
+      floor($"n_chars" / 200.0).cast("int").as("len_bucket"),
+      $"text", substring($"text", 1, 30).as("prefix"))
+    val salted = operators.Pipeline.cappedBlockPairs(
+      blocked, Seq("lang", "w0", "len_bucket"), Seq("prefix"), cap = n)
+      .select($"id_a", $"id_b")
+    val ref = docs.as("a").join(docs.as("b"), $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("id_a"), $"b.doc_id".as("id_b"))
+    assert(salted.count() === n.toLong * (n - 1) / 2)
+    assert(salted.exceptAll(ref).isEmpty && ref.exceptAll(salted).isEmpty)
+  }
+
   test("capped blocked dedup is identical to exact all-pairs under the cap") {
     val docs = Tables.load(spark, sf, "documents")
     val f1 = operators.Pipeline.fuzzyDedupPairs(docs)

@@ -712,15 +712,25 @@ object Pipeline {
     * pair count the way p15's does for edit distance. At 100 TB: blocks
     * stay small as the corpus grows (more blocks, not bigger ones), so the
     * self-join stays near-linear — and any block that doesn't stay small is
-    * routed through the LSH cap above instead of enumerated. The shingle
-    * sets travel with the rows, so the verify work is one narrow array pass
-    * per candidate pair.
+    * routed through the LSH cap above instead of enumerated. The pair join
+    * carries doc_ids ONLY; the shingle arrays are computed once in a side
+    * table and joined back by id afterwards — carrying the arrays through
+    * the window + salt-explode + repartition chain copied every array
+    * nsalt+2 times and made p16 the worst scaler in the sf1 spot-gate
+    * (10.7 s vs 3.9 s with the rejoin). At 100 TB the rejoin is two
+    * id-key joins where each array moves exactly once per side.
     */
   /** p16 body — blocked exact n-gram Jaccard pairs with the same cap. */
   def ngramJaccardPairs(docs: DataFrame, cap: Int = DefaultBlockCap): DataFrame = {
+    val sh = docs.select(col("doc_id"), shinglesCol.as("sh"))
+    val paired = cappedBlockPairs(blockedDocs(docs),
+        Seq("lang", "w0", "len_bucket"), Seq(), cap)
+      .join(sh.select(col("doc_id").as("jid_a"), col("sh").as("sh_a")),
+        col("id_a") === col("jid_a"))
+      .join(sh.select(col("doc_id").as("jid_b"), col("sh").as("sh_b")),
+        col("id_b") === col("jid_b"))
     val inter = size(array_intersect(col("sh_a"), col("sh_b")))
-    cappedBlockPairs(blockedDocs(docs, shinglesCol.as("sh")),
-        Seq("lang", "w0", "len_bucket"), Seq("sh"), cap)
+    paired
       .select(col("id_a"), col("id_b"),
         dec(inter.cast(DoubleType) /
           (size(col("sh_a")) + size(col("sh_b")) - inter).cast(DoubleType),

@@ -1949,7 +1949,133 @@ object Pipeline {
       SELECT rule, n_violations, n_violations = 0 AS passed
       FROM m ORDER BY rule"""))
 
+  /** p37 — token-window chunking: split each document into fixed-size
+    * training windows (W=128 tokens, stride S=96 → 32-token overlap), the
+    * step every context-window pipeline runs between cleaning and packing
+    * (p26 packs whole docs; p37 is the intra-document form). Chunks are
+    * emitted as digests (they feed dedup downstream, not humans). Pure
+    * narrow map + explode — ZERO shuffles, so it scales with input bytes
+    * and nothing else.
+    */
+  private val ChunkW = 128
+  private val ChunkS = 96
+  private val p37 = Q(
+    "p37_chunk_windows",
+    (s, d) => {
+      import s.implicits._
+      val toks = T(s, d, "documents")
+        .select($"doc_id", split($"text", " ").as("toks"))
+        .withColumn("n", size($"toks"))
+      // chunk count = 1 + floor(max(0, n - W + S - 1) / S); ints stay well
+      // inside double exactness, so the one fp division is exact.
+      val extra = floor(greatest(lit(0), $"n" - ChunkW + ChunkS - 1)
+        .cast(DoubleType) / ChunkS).cast(IntegerType)
+      toks
+        .withColumn("chunk_id", explode(sequence(lit(0), extra)))
+        .withColumn("chunk",
+          slice($"toks", $"chunk_id" * ChunkS + 1, lit(ChunkW)))
+        .select($"doc_id", $"chunk_id",
+          ($"chunk_id" * ChunkS).as("chunk_start"),
+          size($"chunk").as("n_chunk_tokens"),
+          md5(array_join($"chunk", " ")).as("chunk_digest"))
+        .orderBy($"doc_id", $"chunk_id")
+    },
+    Some(s"""
+      WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks,
+                   length(string_split(text, ' ')) AS n FROM documents),
+      c AS (SELECT doc_id, toks, n,
+              unnest(range(0, 1 + (greatest(0, n - $ChunkW + $ChunkS - 1) // $ChunkS)))
+                AS chunk_id
+            FROM t)
+      SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id,
+        CAST(chunk_id * $ChunkS AS INT) AS chunk_start,
+        CAST(length(list_slice(toks, chunk_id * $ChunkS + 1,
+          least(chunk_id * $ChunkS + $ChunkW, n))) AS INT) AS n_chunk_tokens,
+        md5(array_to_string(list_slice(toks, chunk_id * $ChunkS + 1,
+          least(chunk_id * $ChunkS + $ChunkW, n)), ' ')) AS chunk_digest
+      FROM c ORDER BY doc_id, chunk_id"""))
+
+  /** p38 — rare-term extraction: per document, the 3 most distinctive
+    * terms — lowest document frequency across the corpus, ranked by
+    * (df asc, tf desc, term asc) — the integer-exact cousin of tf-idf
+    * ranking, used for index keys and topic tagging. (No absolute df
+    * cutoff: distinctiveness is relative, so the entry is meaningful for
+    * any vocabulary shape — TESTDATA's synthetic docs draw from ~31
+    * terms with df ≈ 0.8·N, where a fixed threshold would gate nothing.) Runs through the
+    * native TopKPerKey physical operator (bounded per-key heaps — no full
+    * sort, no rank-filter window), proving it composes inside a pipeline
+    * entry, not just q31's standalone form. Two shuffles (tf, df) + one
+    * term join that AQE broadcasts while df fits and shuffles past that.
+    */
+  private val p38 = Q(
+    "p38_rare_terms",
+    (s, d) => {
+      import s.implicits._
+      val tf = T(s, d, "documents")
+        .select($"doc_id", explode(split($"text", " ")).as("term"))
+        .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+      val df_ = tf.groupBy($"term").agg(count(lit(1)).as("df"))
+      graft.plans.TopK.perKey(
+        tf.join(df_, "term")
+          .select($"doc_id", $"term", $"tf", $"df"),
+        keys = Seq($"doc_id"),
+        order = Seq($"df".asc, $"tf".desc, $"term".asc),
+        k = 3)
+        .orderBy($"doc_id", $"term")
+    },
+    Some("""
+      WITH terms AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                     FROM documents),
+      tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+             FROM terms GROUP BY doc_id, term),
+      df AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df
+             FROM tf GROUP BY term),
+      r AS (SELECT tf.doc_id, tf.term, tf.tf, df.df,
+              ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+                ORDER BY df.df, tf.tf DESC, tf.term) AS rn
+            FROM tf JOIN df USING (term))
+      SELECT doc_id, term, tf, df FROM r WHERE rn <= 3
+      ORDER BY doc_id, term"""))
+
+  /** p39 — shingle novelty: per document, the fraction of its 3-gram
+    * shingles not seen in any LOWER-doc_id document (first-seen
+    * attribution via min(doc_id) per shingle) — the cheap memorization /
+    * boilerplate-saturation signal curation pipelines track as a corpus
+    * grows. Docs with fewer than 3 tokens have no shingles and drop out
+    * (mirrored by unnest on both engines). One shuffle on the shingle key
+    * (the min-groupBy and the join share it) + the final doc aggregate.
+    */
+  private val p39 = Q(
+    "p39_shingle_novelty",
+    (s, d) => {
+      import s.implicits._
+      val e = T(s, d, "documents")
+        .select($"doc_id", explode(shinglesCol).as("shingle"))
+      val first = e.groupBy($"shingle").agg(min($"doc_id").as("first_doc"))
+      e.join(first, "shingle")
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_shingles"),
+          sum(when($"first_doc" === $"doc_id", 1L).otherwise(0L)).as("n_novel"))
+        .select($"doc_id", $"n_shingles", $"n_novel",
+          dec($"n_novel".cast(DoubleType) / $"n_shingles".cast(DoubleType),
+            18, 6).as("novelty"))
+        .orderBy($"doc_id")
+    },
+    Some(s"""
+      WITH sh AS (SELECT doc_id, $shinglesSqlDuck AS sh FROM documents),
+      e AS (SELECT doc_id, unnest(sh) AS shingle FROM sh),
+      f AS (SELECT shingle, MIN(doc_id) AS first_doc FROM e GROUP BY shingle)
+      SELECT e.doc_id,
+        CAST(COUNT(*) AS BIGINT) AS n_shingles,
+        CAST(SUM(CASE WHEN f.first_doc = e.doc_id THEN 1 ELSE 0 END)
+          AS BIGINT) AS n_novel,
+        CAST(CAST(SUM(CASE WHEN f.first_doc = e.doc_id THEN 1 ELSE 0 END)
+          AS DOUBLE) / COUNT(*) AS DECIMAL(18,6)) AS novelty
+      FROM e JOIN f ON e.shingle = f.shingle
+      GROUP BY e.doc_id ORDER BY e.doc_id"""))
+
   val all: Seq[Q] = Seq(p01, p02, p03, p04, p05, p06, p07, p08, p09, p10,
     p11, p12, p13, p14, p15, p16, p17, p18, p19, p20, p21, p22, p23, p24,
-    p25, p26, p27, p28, p29, p30, p31, p32, p33, p34, p35, p36)
+    p25, p26, p27, p28, p29, p30, p31, p32, p33, p34, p35, p36, p37, p38,
+    p39)
 }

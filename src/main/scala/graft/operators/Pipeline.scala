@@ -1957,29 +1957,33 @@ object Pipeline {
     * narrow map + explode — ZERO shuffles, so it scales with input bytes
     * and nothing else.
     */
-  private val ChunkW = 128
-  private val ChunkS = 96
+  val ChunkW = 128
+  val ChunkS = 96
+
+  /** p37 body — exposed so tests can drive synthetic edge corpora
+    * (doc shorter than / exactly / one past the window). */
+  def chunkWindows(docs: DataFrame): DataFrame = {
+    val toks = docs
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .withColumn("n", size(col("toks")))
+    // chunk count = 1 + floor(max(0, n - W + S - 1) / S); ints stay well
+    // inside double exactness, so the one fp division is exact.
+    val extra = floor(greatest(lit(0), col("n") - ChunkW + ChunkS - 1)
+      .cast(DoubleType) / ChunkS).cast(IntegerType)
+    toks
+      .withColumn("chunk_id", explode(sequence(lit(0), extra)))
+      .withColumn("chunk",
+        slice(col("toks"), col("chunk_id") * ChunkS + 1, lit(ChunkW)))
+      .select(col("doc_id"), col("chunk_id"),
+        (col("chunk_id") * ChunkS).as("chunk_start"),
+        size(col("chunk")).as("n_chunk_tokens"),
+        md5(array_join(col("chunk"), " ")).as("chunk_digest"))
+      .orderBy(col("doc_id"), col("chunk_id"))
+  }
+
   private val p37 = Q(
     "p37_chunk_windows",
-    (s, d) => {
-      import s.implicits._
-      val toks = T(s, d, "documents")
-        .select($"doc_id", split($"text", " ").as("toks"))
-        .withColumn("n", size($"toks"))
-      // chunk count = 1 + floor(max(0, n - W + S - 1) / S); ints stay well
-      // inside double exactness, so the one fp division is exact.
-      val extra = floor(greatest(lit(0), $"n" - ChunkW + ChunkS - 1)
-        .cast(DoubleType) / ChunkS).cast(IntegerType)
-      toks
-        .withColumn("chunk_id", explode(sequence(lit(0), extra)))
-        .withColumn("chunk",
-          slice($"toks", $"chunk_id" * ChunkS + 1, lit(ChunkW)))
-        .select($"doc_id", $"chunk_id",
-          ($"chunk_id" * ChunkS).as("chunk_start"),
-          size($"chunk").as("n_chunk_tokens"),
-          md5(array_join($"chunk", " ")).as("chunk_digest"))
-        .orderBy($"doc_id", $"chunk_id")
-    },
+    (s, d) => chunkWindows(T(s, d, "documents")),
     Some(s"""
       WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks,
                    length(string_split(text, ' ')) AS n FROM documents),
@@ -2007,22 +2011,24 @@ object Pipeline {
     * entry, not just q31's standalone form. Two shuffles (tf, df) + one
     * term join that AQE broadcasts while df fits and shuffles past that.
     */
+  /** p38 body — exposed for the window-recompute agreement test. */
+  def rareTerms(docs: DataFrame, k: Int = 3): DataFrame = {
+    val tf = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val df_ = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    graft.plans.TopK.perKey(
+      tf.join(df_, "term")
+        .select(col("doc_id"), col("term"), col("tf"), col("df")),
+      keys = Seq(col("doc_id")),
+      order = Seq(col("df").asc, col("tf").desc, col("term").asc),
+      k = k)
+      .orderBy(col("doc_id"), col("term"))
+  }
+
   private val p38 = Q(
     "p38_rare_terms",
-    (s, d) => {
-      import s.implicits._
-      val tf = T(s, d, "documents")
-        .select($"doc_id", explode(split($"text", " ")).as("term"))
-        .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
-      val df_ = tf.groupBy($"term").agg(count(lit(1)).as("df"))
-      graft.plans.TopK.perKey(
-        tf.join(df_, "term")
-          .select($"doc_id", $"term", $"tf", $"df"),
-        keys = Seq($"doc_id"),
-        order = Seq($"df".asc, $"tf".desc, $"term".asc),
-        k = 3)
-        .orderBy($"doc_id", $"term")
-    },
+    (s, d) => rareTerms(T(s, d, "documents")),
     Some("""
       WITH terms AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
                      FROM documents),
@@ -2045,22 +2051,24 @@ object Pipeline {
     * (mirrored by unnest on both engines). One shuffle on the shingle key
     * (the min-groupBy and the join share it) + the final doc aggregate.
     */
+  /** p39 body — exposed for the novelty-invariant tests. */
+  def shingleNovelty(docs: DataFrame): DataFrame = {
+    val e = docs.select(col("doc_id"), explode(shinglesCol).as("shingle"))
+    val first = e.groupBy(col("shingle")).agg(min(col("doc_id")).as("first_doc"))
+    e.join(first, "shingle")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+          .as("n_novel"))
+      .select(col("doc_id"), col("n_shingles"), col("n_novel"),
+        dec(col("n_novel").cast(DoubleType) / col("n_shingles").cast(DoubleType),
+          18, 6).as("novelty"))
+      .orderBy(col("doc_id"))
+  }
+
   private val p39 = Q(
     "p39_shingle_novelty",
-    (s, d) => {
-      import s.implicits._
-      val e = T(s, d, "documents")
-        .select($"doc_id", explode(shinglesCol).as("shingle"))
-      val first = e.groupBy($"shingle").agg(min($"doc_id").as("first_doc"))
-      e.join(first, "shingle")
-        .groupBy($"doc_id")
-        .agg(count(lit(1)).as("n_shingles"),
-          sum(when($"first_doc" === $"doc_id", 1L).otherwise(0L)).as("n_novel"))
-        .select($"doc_id", $"n_shingles", $"n_novel",
-          dec($"n_novel".cast(DoubleType) / $"n_shingles".cast(DoubleType),
-            18, 6).as("novelty"))
-        .orderBy($"doc_id")
-    },
+    (s, d) => shingleNovelty(T(s, d, "documents")),
     Some(s"""
       WITH sh AS (SELECT doc_id, $shinglesSqlDuck AS sh FROM documents),
       e AS (SELECT doc_id, unnest(sh) AS shingle FROM sh),

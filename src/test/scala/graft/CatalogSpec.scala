@@ -539,4 +539,68 @@ class SemanticsSpec extends AnyFunSuite {
     assert(got == expect, "cluster contingency diverges from the driver recompute")
     assert(got.values.sum == vecs.length.toLong)
   }
+
+  test("chunk windows tile every document exactly (incl. edge lengths)") {
+    import spark.implicits._
+    import operators.Pipeline.{ChunkW, ChunkS}
+    // edge docs: shorter than W, exactly W, W+1 (first multi-chunk),
+    // exactly W+S (second chunk full), W+S+1, empty string, one token
+    val lens = Seq(1, ChunkW - 1, ChunkW, ChunkW + 1, ChunkW + ChunkS,
+      ChunkW + ChunkS + 1, 3 * ChunkS + ChunkW, 0)
+    val docs = lens.zipWithIndex.map { case (n, i) =>
+      (i.toLong, (1 to n).map(j => s"t$j").mkString(" "))
+    }.toDF("doc_id", "text")
+    val chunks = operators.Pipeline.chunkWindows(docs)
+      .select($"doc_id", $"chunk_id", $"chunk_start", $"n_chunk_tokens")
+      .as[(Long, Int, Int, Int)].collect().groupBy(_._1)
+    for ((n, i) <- lens.zipWithIndex) {
+      val cs = chunks(i.toLong).sortBy(_._2)
+      // split("") yields [""] so an empty text is one 1-token chunk
+      val nTok = math.max(n, 1)
+      val expect = 1 + math.max(0, (nTok - ChunkW + ChunkS - 1) / ChunkS)
+      assert(cs.length == expect, s"len=$n: ${cs.length} chunks, want $expect")
+      cs.zipWithIndex.foreach { case ((_, cid, start, len), k) =>
+        assert(cid == k && start == k * ChunkS)
+        assert(len == math.min(ChunkW, nTok - start), s"len=$n chunk $k")
+      }
+      // last chunk reaches the end of the token list
+      val (_, _, lastStart, lastLen) = cs.last
+      assert(lastStart + lastLen == nTok, s"len=$n: tiling stops short")
+    }
+  }
+
+  test("rare terms agree with a rank-filter window recompute") {
+    import spark.implicits._
+    val docs = Tables.load(spark, sf, "documents")
+    val viaTopK = operators.Pipeline.rareTerms(docs)
+    val tf = docs.select($"doc_id", explode(split($"text", " ")).as("term"))
+      .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+    val df_ = tf.groupBy($"term").agg(count(lit(1)).as("df"))
+    val viaWindow = tf.join(df_, "term")
+      .withColumn("rn", row_number().over(Window.partitionBy($"doc_id")
+        .orderBy($"df".asc, $"tf".desc, $"term".asc)))
+      .filter($"rn" <= 3)
+      .select($"doc_id", $"term", $"tf", $"df")
+    assert(viaTopK.exceptAll(viaWindow).isEmpty &&
+      viaWindow.exceptAll(viaTopK).isEmpty)
+  }
+
+  test("shingle novelty: first doc fully novel, totals conserve") {
+    import spark.implicits._
+    val docs = Tables.load(spark, sf, "documents")
+    val nov = operators.Pipeline.shingleNovelty(docs).cache()
+    val rows = nov.as[(Long, Long, Long, Double)].collect()
+    assert(rows.nonEmpty)
+    // the lowest doc_id with shingles sees every shingle first
+    val first = rows.minBy(_._1)
+    assert(first._2 == first._3 && first._4 == 1.0)
+    // novel counts partition the distinct-shingle universe
+    val distinctShingles = docs
+      .select(explode(graft.functions.ShingleArray.shingles($"text")).as("sh"))
+      .distinct().count()
+    assert(rows.map(_._3).sum == distinctShingles)
+    rows.foreach { case (id, nSh, nNov, ratio) =>
+      assert(nNov <= nSh && ratio >= 0.0 && ratio <= 1.0, s"doc $id")
+    }
+  }
 }

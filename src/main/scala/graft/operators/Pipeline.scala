@@ -1960,9 +1960,9 @@ object Pipeline {
   val ChunkW = 128
   val ChunkS = 96
 
-  /** p37 body — exposed so tests can drive synthetic edge corpora
-    * (doc shorter than / exactly / one past the window). */
-  def chunkWindows(docs: DataFrame): DataFrame = {
+  /** p37 core without the output sort — legal on a streaming frame
+    * (stateless map + explode), reused by StreamPipeline.chunkStream. */
+  def chunkWindowsRaw(docs: DataFrame): DataFrame = {
     val toks = docs
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .withColumn("n", size(col("toks")))
@@ -1978,8 +1978,12 @@ object Pipeline {
         (col("chunk_id") * ChunkS).as("chunk_start"),
         size(col("chunk")).as("n_chunk_tokens"),
         md5(array_join(col("chunk"), " ")).as("chunk_digest"))
-      .orderBy(col("doc_id"), col("chunk_id"))
   }
+
+  /** p37 body — exposed so tests can drive synthetic edge corpora
+    * (doc shorter than / exactly / one past the window). */
+  def chunkWindows(docs: DataFrame): DataFrame =
+    chunkWindowsRaw(docs).orderBy(col("doc_id"), col("chunk_id"))
 
   private val p37 = Q(
     "p37_chunk_windows",
@@ -2082,8 +2086,52 @@ object Pipeline {
       FROM e JOIN f ON e.shingle = f.shingle
       GROUP BY e.doc_id ORDER BY e.doc_id"""))
 
+  /** p40 — snapshot embedding drift: after a re-embedding run, measure how
+    * far each item moved — cosine between the old and new vector of the
+    * same item, aggregated per label (the standard health check before
+    * swapping an embedding index). Snapshot pairing here is consecutive
+    * vec_ids (even = old run, odd = new run of the same item), the
+    * deterministic stand-in TESTDATA supports. Per-pair cosine reuses the
+    * oracle-proven sequential fold (p10/p11); aggregates follow p11's
+    * exact pattern (DECIMAL sum + min/max, no mean division). Scale shape:
+    * one co-partitioned self-join on the id key + one aggregate.
+    */
+  private val p40 = Q(
+    "p40_embedding_drift",
+    (s, d) => {
+      import s.implicits._
+      val emb = T(s, d, "embeddings")
+      val old_ = emb.filter($"vec_id" % 2 === 0)
+        .select($"vec_id", $"label", $"embedding".as("v_old"))
+      val neu = emb.select(($"vec_id" - 1).as("vec_id"),
+        $"embedding".as("v_new"))
+      old_.join(neu, "vec_id")
+        .select($"label",
+          dec(VectorFunctions.cosine_similarity($"v_old", $"v_new"), 18, 6)
+            .as("cos"))
+        .groupBy($"label")
+        .agg(count(lit(1)).as("n_pairs"),
+          dec(sum($"cos"), 38, 6).as("sum_cos"),
+          min($"cos").as("min_cos"),
+          max($"cos").as("max_cos"))
+        .orderBy($"label")
+    },
+    Some(s"""
+      WITH pairs AS (
+        SELECT a.label,
+          CAST(${foldDotDuck("a.embedding", "b.embedding")} /
+               (sqrt(${foldDotDuck("a.embedding", "a.embedding")}) *
+                sqrt(${foldDotDuck("b.embedding", "b.embedding")}))
+            AS DECIMAL(18,6)) AS cos
+        FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
+        WHERE a.vec_id % 2 = 0)
+      SELECT label, COUNT(*) AS n_pairs,
+        CAST(SUM(cos) AS DECIMAL(38,6)) AS sum_cos,
+        MIN(cos) AS min_cos, MAX(cos) AS max_cos
+      FROM pairs GROUP BY label ORDER BY label"""))
+
   val all: Seq[Q] = Seq(p01, p02, p03, p04, p05, p06, p07, p08, p09, p10,
     p11, p12, p13, p14, p15, p16, p17, p18, p19, p20, p21, p22, p23, p24,
     p25, p26, p27, p28, p29, p30, p31, p32, p33, p34, p35, p36, p37, p38,
-    p39)
+    p39, p40)
 }

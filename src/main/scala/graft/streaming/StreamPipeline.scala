@@ -49,4 +49,12 @@ object StreamPipeline {
     docs.withColumn("digest", md5(col("text")))
       .withWatermark("event_time", horizon)
       .dropDuplicatesWithinWatermark("digest")
+
+  /** Streaming form of p37's token-window chunking: stateless per-row
+    * explode, so the micro-batch plan IS the batch plan — chunks stream
+    * out in append mode with no watermark or state. The stream==batch
+    * test pins that the two forms agree chunk-for-chunk.
+    */
+  def chunkStream(docs: DataFrame): DataFrame =
+    graft.operators.Pipeline.chunkWindowsRaw(docs.drop("lang", "event_time"))
 }

@@ -588,7 +588,8 @@ class SemanticsSpec extends AnyFunSuite {
   test("shingle novelty: first doc fully novel, totals conserve") {
     import spark.implicits._
     val docs = Tables.load(spark, sf, "documents")
-    val nov = operators.Pipeline.shingleNovelty(docs).cache()
+    val nov = operators.Pipeline.shingleNovelty(docs)
+      .withColumn("novelty", $"novelty".cast("double")).cache()
     val rows = nov.as[(Long, Long, Long, Double)].collect()
     assert(rows.nonEmpty)
     // the lowest doc_id with shingles sees every shingle first

@@ -549,4 +549,27 @@ class StreamingSpec extends AnyFunSuite {
     q.stop()
     assert(n > 0, "rate source emitted no rows within 15s")
   }
+
+  test("streaming chunk windows match the batch recompute chunk-for-chunk") {
+    implicit val sqlCtx = spark.sqlContext
+    val t0 = 1700000000000L
+    // lengths straddling the window/stride edges (W=128, S=96)
+    val rows = Seq(5, 127, 128, 129, 224, 225, 500).zipWithIndex.map {
+      case (n, i) => DocCC(i + 1L, (1 to n).map(j => s"w$j").mkString(" "),
+        "en", new java.sql.Timestamp(t0 + i * 1000L))
+    }
+    val ms = MemoryStream[DocCC]
+    ms.addData(rows)
+    val q = StreamPipeline.chunkStream(ms.toDF())
+      .writeStream.format("memory").queryName("chunk_sink")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("chunk_sink")
+    val batch = graft.operators.Pipeline.chunkWindows(
+      rows.toDF().select($"doc_id", $"text"))
+    assert(got.exceptAll(batch).isEmpty && batch.exceptAll(got).isEmpty,
+      "stream and batch chunkings diverge")
+    assert(got.count() > rows.length, "multi-chunk docs expected")
+  }
 }

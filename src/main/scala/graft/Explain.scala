@@ -45,13 +45,28 @@ object Explain {
       // what gets summarized.
       if (aqe) df.queryExecution.toRdd.foreach(_ => ())
       val executed = df.queryExecution.executedPlan
-      val plan = executed.toString()
+      // After execution AdaptiveSparkPlanExec.toString prints BOTH
+      // "== Final Plan ==" and "== Initial Plan ==" sections; counting the
+      // raw string would double every stat, so keep only the final section.
+      val full = executed.toString()
+      val plan = full.indexOf("== Final Plan ==") match {
+        case -1 => full
+        case i =>
+          val end = full.indexOf("== Initial Plan ==", i)
+          if (end == -1) full.substring(i) else full.substring(i, end)
+      }
       def count(p: String) = plan.sliding(p.length).count(_ == p)
-      // The tree STRING renders WholeStageCodegenExec as a bare `*(n)`
-      // operator prefix, so codegen spans must be counted on the plan tree.
-      val wscg = executed.collect {
-        case w: org.apache.spark.sql.execution.WholeStageCodegenExec => w
-      }.size
+      // Non-AQE: WholeStageCodegenExec nodes are reachable on the plan tree
+      // (the STRING renders them only as a `*(n)` operator prefix). AQE:
+      // AdaptiveSparkPlanExec and the QueryStageExec nodes are leaves, so
+      // the tree collect sees nothing — count distinct `*(n)` codegen ids
+      // in the final-plan string instead.
+      val wscg =
+        if (aqe) "\\*\\((\\d+)\\)".r.findAllMatchIn(plan)
+          .map(_.group(1)).toSet.size
+        else executed.collect {
+          case w: org.apache.spark.sql.execution.WholeStageCodegenExec => w
+        }.size
       val base = Seq(
         "scans" -> count("FileScan"),
         "pushedFilters" -> count("PushedFilters: ["),

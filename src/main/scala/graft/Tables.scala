@@ -137,12 +137,22 @@ object Tables {
 
   private def materializedDir(spark: SparkSession, dir: String): String =
     derivedCache.getOrElseUpdate(dir, {
-      val base = java.nio.file.Files.createTempDirectory("graft_derived_").toString
+      val base = java.nio.file.Files.createTempDirectory("graft_derived_")
+      // The materialized views live for this JVM only (the cache key is
+      // per-process); without cleanup every Verify/Bench/test JVM leaks a
+      // multi-MB dir into /tmp until the disk fills.
+      sys.addShutdownHook {
+        def rm(p: java.io.File): Unit = {
+          Option(p.listFiles).foreach(_.foreach(rm))
+          p.delete(): Unit
+        }
+        rm(base.toFile)
+      }
       // partsupp derives from the RAW lineitem view; register raw first.
       load(spark, dir, "lineitem").createOrReplaceTempView("lineitem")
       spark.sql(partsuppSpark).write.parquet(s"$base/partsupp")
       spark.sql(lineitemExtSpark).write.parquet(s"$base/lineitem_ext")
-      base
+      base.toString
     })
 
   /** Register every table in `dir` as a temp view named after the table,

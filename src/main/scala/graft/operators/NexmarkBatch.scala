@@ -28,6 +28,8 @@ import org.apache.spark.sql.types.TimestampType
   * non-negative sums here).
   */
 object NexmarkBatch {
+  private val q10HookArmed = new java.util.concurrent.atomic.AtomicBoolean(false)
+
   /** Fixed replay length; Verify dumps the generator tables at the same N
     * so the DuckDB oracles replay identical data.
     */
@@ -65,17 +67,25 @@ object NexmarkBatch {
     * sink → sink re-read; the re-read frame is what the DuckDB oracle
     * hashes against the generator dump, so a schema/partition/commit bug
     * anywhere in the sink path fails the gate. Dirs are wiped per call so
-    * a stale checkpoint can never serve a previous code version's output.
+    * a stale checkpoint can never serve a previous code version's output;
+    * the path is per-PROCESS (pid suffix) so a concurrent Verify and sbt
+    * test JVM can't wipe each other's in-flight sink mid-stream.
     */
   def q10FileSink(s: SparkSession): DataFrame = {
     import org.apache.spark.sql.streaming.Trigger
     val base = java.nio.file.Paths.get(
-      sys.props("java.io.tmpdir"), "graft_q10_sink").toAbsolutePath.toString
+      sys.props("java.io.tmpdir"),
+      s"graft_q10_sink_${ProcessHandle.current().pid()}")
+      .toAbsolutePath.toString
     def rmrf(f: java.io.File): Unit = {
       if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rmrf))
       f.delete()
     }
     rmrf(new java.io.File(base))
+    // pid-suffixed dirs are invisible to the next process's wipe — remove
+    // this one at exit (registered once per JVM).
+    if (q10HookArmed.compareAndSet(false, true))
+      sys.addShutdownHook(rmrf(new java.io.File(base))): Unit
     val (inDir, outDir, ckpt) = (s"$base/in", s"$base/out", s"$base/ckpt")
     bids(s).write.mode("overwrite").parquet(inDir)
     val shaped = s.readStream.schema(s.read.parquet(inDir).schema)

@@ -19,8 +19,12 @@ import org.apache.spark.sql.streaming.Trigger
   */
 object NexmarkRun {
   def main(args: Array[String]): Unit = {
-    val opts = args.sliding(2, 2).collect {
-      case Array(k, v) => k -> v
+    // Strict flag/value pairing: a dangling flag or a value where a flag
+    // belongs aborts the run instead of silently mis-attributing knobs.
+    val opts = args.grouped(2).map {
+      case Array(k, v) if k.startsWith("-") && !v.startsWith("-") => k -> v
+      case other => sys.error(
+        s"bad argument pair '${other.mkString(" ")}' — expected -flag value")
     }.toMap
     val qn = opts.getOrElse("-q", "1").toInt
     val secs = opts.getOrElse("-s", "10").toInt

@@ -56,5 +56,5 @@ object StreamPipeline {
     * test pins that the two forms agree chunk-for-chunk.
     */
   def chunkStream(docs: DataFrame): DataFrame =
-    graft.operators.Pipeline.chunkWindowsRaw(docs.drop("lang", "event_time"))
+    graft.operators.Pipeline.chunkWindowsRaw(docs)
 }

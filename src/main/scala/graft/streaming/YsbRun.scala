@@ -14,8 +14,12 @@ import org.apache.spark.sql.streaming.Trigger
   */
 object YsbRun {
   def main(args: Array[String]): Unit = {
-    val opts = args.sliding(2, 2).collect {
-      case Array(k, v) => k -> v
+    // Strict flag/value pairing: a dangling flag or a value where a flag
+    // belongs aborts the run instead of silently mis-attributing knobs.
+    val opts = args.grouped(2).map {
+      case Array(k, v) if k.startsWith("-") && !v.startsWith("-") => k -> v
+      case other => sys.error(
+        s"bad argument pair '${other.mkString(" ")}' — expected -flag value")
     }.toMap
     val eps = opts.getOrElse("-e", "1000").toInt
     val secs = opts.getOrElse("-s", "20").toInt

@@ -259,5 +259,48 @@ object Multimodal {
       FROM t GROUP BY modality, bytes_before // 4096
       ORDER BY modality, shard_id"""))
 
-  val all: Seq[Q] = Seq(m01, m02, m03, m04, m05)
+  /** m06 — contrastive pair manifest: build (image, caption) training
+    * pairs the way an image-text curation stack does — image assets join
+    * caption documents on a shared pair key, captions below the quality
+    * floor (8 tokens, the p20 gate) drop the whole pair, and the manifest
+    * carries content addresses (image sha256, caption md5), not payloads.
+    * Pairing key here is doc_id div 3 (the i-th image with the i-th
+    * caption under the modality layout of m01). Scale shape: one
+    * co-partitioned equi-join on the pair key + a narrow gate — payload
+    * bytes never move, only digests do.
+    */
+  private val m06 = Q(
+    "m06_pair_manifest",
+    (s, d) => {
+      import s.implicits._
+      val docs = T(s, d, "documents").select($"doc_id", $"text")
+      val img = docs.filter($"doc_id" % 3 === 0)
+        .select(expr("doc_id div 3").as("pair_id"),
+          sha2($"text".cast(BinaryType), 256).as("image_sha"),
+          length(encode($"text", "UTF-8")).cast(LongType).as("image_bytes"))
+      val cap = docs.filter($"doc_id" % 3 === 1)
+        .select(expr("doc_id div 3").as("pair_id"),
+          md5($"text").as("caption_digest"),
+          size(split($"text", " ")).as("caption_tokens"))
+      img.join(cap, "pair_id")
+        .filter($"caption_tokens" >= 8)
+        .select($"pair_id", $"image_sha", $"image_bytes",
+          $"caption_digest", $"caption_tokens")
+        .orderBy($"pair_id")
+    },
+    Some("""
+      WITH img AS (
+        SELECT doc_id // 3 AS pair_id, sha256(text) AS image_sha,
+          CAST(octet_length(encode(text)) AS BIGINT) AS image_bytes
+        FROM documents WHERE doc_id % 3 = 0),
+      cap AS (
+        SELECT doc_id // 3 AS pair_id, md5(text) AS caption_digest,
+          CAST(length(string_split(text, ' ')) AS INT) AS caption_tokens
+        FROM documents WHERE doc_id % 3 = 1)
+      SELECT pair_id, image_sha, image_bytes, caption_digest, caption_tokens
+      FROM img JOIN cap USING (pair_id)
+      WHERE caption_tokens >= 8
+      ORDER BY pair_id"""))
+
+  val all: Seq[Q] = Seq(m01, m02, m03, m04, m05, m06)
 }

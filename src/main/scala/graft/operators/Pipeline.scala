@@ -834,7 +834,7 @@ object Pipeline {
     // round adds up: the loop's cost is fixed job overhead × rounds, not
     // data volume).
     def labelSum(df: DataFrame): Long = {
-      val r = df.agg(sum($"label")).first
+      val r = df.agg(sum($"label")).first()
       if (r.isNullAt(0)) 0L else r.getLong(0) // null = empty graph
     }
     var curSum = labelSum(labels)
@@ -2130,8 +2130,80 @@ object Pipeline {
         MIN(cos) AS min_cos, MAX(cos) AS max_cos
       FROM pairs GROUP BY label ORDER BY label"""))
 
+  /** Bit-interleave two 16-bit values into a 32-bit Z-order (Morton)
+    * value: bit i of `x` lands at position 2i, bit i of `y` at 2i+1.
+    * Pure bitwise Column arithmetic (shift/and/or over BIGINT), so it
+    * stays inside WholeStageCodegen and is bit-identical on any engine
+    * with integer shifts — the DuckDB oracle re-derives it from the same
+    * generator loop (`zInterleaveSql`).
+    */
+  def zInterleave16(x: Column, y: Column): Column =
+    (0 until 16).map { i =>
+      shiftleft(shiftright(x, i).bitwiseAND(lit(1L)), 2 * i)
+        .bitwiseOR(shiftleft(shiftright(y, i).bitwiseAND(lit(1L)), 2 * i + 1))
+    }.reduce(_ bitwiseOR _)
+
+  /** The same interleave as a SQL text for the oracle (DuckDB `>> << & |`
+    * operate on BIGINT exactly like Spark's shift/and/or). */
+  private def zInterleaveSql(x: String, y: String): String =
+    (0 until 16).map { i =>
+      s"(((($x >> $i) & 1) << ${2 * i}) | ((($y >> $i) & 1) << ${2 * i + 1}))"
+    }.mkString(" | ")
+
+  /** p41 — Z-order layout manifest: the multi-dimensional data-layout
+    * lever for 100 TB scans. Min/max file skipping only prunes on the
+    * sort dimension of a linearly-sorted table; sorting by the Z-order
+    * interleave of TWO filter dimensions bounds every file's min/max
+    * range in BOTH, so selective predicates on either (or both) skip
+    * files. This entry computes the manifest a layout writer would use:
+    * normalize (l_partkey, l_suppkey) to 16 bits with exact integer
+    * arithmetic (`(v - min) * 65535 div (max - min)` — no IEEE ops),
+    * interleave, bucket by the top 5 Z bits (32 buckets ≈ 32 files), and
+    * emit per-bucket count + min/max of both dims. The bounded spans in
+    * the output ARE the skipping guarantee; ScaleSpec proves the physical
+    * form (a Z-sorted parquet write bounds every file's span in both
+    * dims, a linear sort leaves the second dim unbounded). Scale shape:
+    * one broadcast of the 1-row extent aggregate + one shuffle on the
+    * bucket key.
+    */
+  private val p41 = Q(
+    "p41_zorder_layout",
+    (s, d) => {
+      import s.implicits._
+      val li = T(s, d, "lineitem")
+        .select($"l_partkey".cast(LongType).as("p"),
+          $"l_suppkey".cast(LongType).as("sk"))
+      val ext = li.agg(min($"p").as("pmin"), max($"p").as("pmax"),
+        min($"sk").as("smin"), max($"sk").as("smax"))
+      li.crossJoin(broadcast(ext))
+        .withColumn("x16", expr("((p - pmin) * 65535) div (pmax - pmin)"))
+        .withColumn("y16", expr("((sk - smin) * 65535) div (smax - smin)"))
+        .withColumn("zbucket", shiftright(zInterleave16($"x16", $"y16"), 27))
+        .groupBy($"zbucket")
+        .agg(count(lit(1)).as("n"),
+          min($"p").as("p_min"), max($"p").as("p_max"),
+          min($"sk").as("s_min"), max($"sk").as("s_max"))
+        .orderBy($"zbucket")
+    },
+    Some(s"""
+      WITH li AS (
+        SELECT CAST(l_partkey AS BIGINT) AS p, CAST(l_suppkey AS BIGINT) AS sk
+        FROM lineitem),
+      ext AS (
+        SELECT MIN(p) AS pmin, MAX(p) AS pmax, MIN(sk) AS smin, MAX(sk) AS smax
+        FROM li),
+      norm AS (
+        SELECT p, sk,
+          ((p - pmin) * 65535) // (pmax - pmin) AS x16,
+          ((sk - smin) * 65535) // (smax - smin) AS y16
+        FROM li CROSS JOIN ext),
+      z AS (SELECT p, sk, (${zInterleaveSql("x16", "y16")}) AS zval FROM norm)
+      SELECT zval >> 27 AS zbucket, CAST(COUNT(*) AS BIGINT) AS n,
+        MIN(p) AS p_min, MAX(p) AS p_max, MIN(sk) AS s_min, MAX(sk) AS s_max
+      FROM z GROUP BY zval >> 27 ORDER BY zbucket"""))
+
   val all: Seq[Q] = Seq(p01, p02, p03, p04, p05, p06, p07, p08, p09, p10,
     p11, p12, p13, p14, p15, p16, p17, p18, p19, p20, p21, p22, p23, p24,
     p25, p26, p27, p28, p29, p30, p31, p32, p33, p34, p35, p36, p37, p38,
-    p39, p40)
+    p39, p40, p41)
 }

@@ -190,6 +190,40 @@ class ScaleSpec extends AnyFunSuite {
     assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
   }
 
+  test("Z-order file layout bounds min/max extents in both dimensions") {
+    // 64x64 key grid split into 16 files of 256 rows. A linear x-sorted
+    // layout bounds only x — every file still spans the FULL y range, so
+    // parquet min/max skipping on a y predicate prunes nothing. Files cut
+    // from aligned Z-ranges (zval div 256) are exact 16x16 tiles bounding
+    // BOTH dims — the physical form of the p41 manifest, where a filter
+    // on either dimension skips 3/4 of the files.
+    val grid = spark.range(64L * 64)
+      .select(($"id" % 64).as("x"), expr("id div 64").as("y"))
+    val dir = Files.createTempDirectory("graft_zorder").toFile
+    def rmrf(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rmrf)
+      f.delete()
+    }
+    try {
+      grid.withColumn("fid",
+        shiftright(operators.Pipeline.zInterleave16($"x", $"y"), 8))
+        .write.partitionBy("fid").mode("overwrite").parquet(s"$dir/z")
+      grid.withColumn("fid", expr("x div 4"))
+        .write.partitionBy("fid").mode("overwrite").parquet(s"$dir/linear")
+      def extents(p: String) = spark.read.parquet(p).groupBy("fid")
+        .agg((max($"x") - min($"x")).as("x_span"),
+          (max($"y") - min($"y")).as("y_span"))
+        .select($"x_span", $"y_span").collect()
+      val z = extents(s"$dir/z")
+      assert(z.length == 16)
+      assert(z.forall(r => r.getLong(0) == 15 && r.getLong(1) == 15),
+        "a Z-range file exceeds its 16x16 tile: " + z.mkString(", "))
+      val lin = extents(s"$dir/linear")
+      assert(lin.forall(_.getLong(1) == 63),
+        "linear layout unexpectedly bounded y: " + lin.mkString(", "))
+    } finally rmrf(dir)
+  }
+
   test("AQE coalesces undersized shuffle partitions at runtime") {
     // 32 shuffle partitions over a few-KB aggregate: the final adaptive
     // plan must read the shuffle through AQEShuffleRead with coalesced

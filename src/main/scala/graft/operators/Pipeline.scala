@@ -2140,11 +2140,17 @@ object Pipeline {
     * with integer shifts — the DuckDB oracle re-derives it from the same
     * generator loop (`zInterleaveSql`).
     */
-  def zInterleave16(x: Column, y: Column): Column =
+  def zInterleave16(x: Column, y: Column): Column = {
+    // Widen to 64-bit FIRST: shiftleft preserves a 32-bit input's type,
+    // so an IntegerType y >= 32768 would land bit 15 on the Int sign bit
+    // and produce negative Morton keys (a 32-bit interleave cannot fit
+    // an Int). Library callers pass whatever key type their table has.
+    val (xl, yl) = (x.cast(LongType), y.cast(LongType))
     (0 until 16).map { i =>
-      shiftleft(shiftright(x, i).bitwiseAND(lit(1L)), 2 * i)
-        .bitwiseOR(shiftleft(shiftright(y, i).bitwiseAND(lit(1L)), 2 * i + 1))
+      shiftleft(shiftright(xl, i).bitwiseAND(lit(1L)), 2 * i)
+        .bitwiseOR(shiftleft(shiftright(yl, i).bitwiseAND(lit(1L)), 2 * i + 1))
     }.reduce(_ bitwiseOR _)
+  }
 
   /** The same interleave as a SQL text for the oracle (DuckDB `>> << & |`
     * operate on BIGINT exactly like Spark's shift/and/or). */

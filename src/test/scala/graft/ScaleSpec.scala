@@ -13,14 +13,15 @@ class ScaleSpec extends AnyFunSuite {
   private val sf = "/root/testdata/sf0.001"
   import spark.implicits._
 
+  private def rmrf(f: java.io.File): Unit = {
+    if (f.isDirectory) f.listFiles().foreach(rmrf)
+    f.delete()
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     // warehouse.dir is a static conf — use the session default location,
     // and clear any orphaned table directories from prior runs (DROP TABLE
     // is a no-op for locations the in-memory catalog doesn't know about).
-    def rmrf(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles().foreach(rmrf)
-      f.delete()
-    }
     Seq("b_orders", "b_lineitem").foreach { t =>
       spark.sql(s"DROP TABLE IF EXISTS $t")
       val loc = new java.io.File(s"spark-warehouse/$t")
@@ -200,10 +201,6 @@ class ScaleSpec extends AnyFunSuite {
     val grid = spark.range(64L * 64)
       .select(($"id" % 64).as("x"), expr("id div 64").as("y"))
     val dir = Files.createTempDirectory("graft_zorder").toFile
-    def rmrf(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles().foreach(rmrf)
-      f.delete()
-    }
     try {
       grid.withColumn("fid",
         shiftright(operators.Pipeline.zInterleave16($"x", $"y"), 8))
@@ -221,6 +218,14 @@ class ScaleSpec extends AnyFunSuite {
       val lin = extents(s"$dir/linear")
       assert(lin.forall(_.getLong(1) == 63),
         "linear layout unexpectedly bounded y: " + lin.mkString(", "))
+      // Library-surface regression: IntegerType inputs with bit 15 set
+      // (y >= 32768 → interleaved bit 31, the Int sign bit) must widen to
+      // 64-bit inside zInterleave16 rather than go negative.
+      val negatives = spark.range(32768, 32772)
+        .select($"id".cast("int").as("xi"), $"id".cast("int").as("yi"))
+        .select(operators.Pipeline.zInterleave16($"xi", $"yi").as("z"))
+        .filter($"z" < 0)
+      assert(negatives.isEmpty, "Int inputs produced negative Morton keys")
     } finally rmrf(dir)
   }
 

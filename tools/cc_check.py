@@ -59,8 +59,9 @@ def main():
               f"{len(edges)} candidate edges, union-find closure)")
         return 0
     print(f"FAIL p17_dedup_clusters: rows {len(got)} vs {len(exp)}")
-    bad = [x for x in got if x not in set(exp)][:3]
-    missing = [x for x in exp if x not in set(got)][:3]
+    exp_set, got_set = set(exp), set(got)
+    bad = [x for x in got if x not in exp_set][:3]
+    missing = [x for x in exp if x not in got_set][:3]
     for x in bad:
         print(f"  spark-only: {x}")
     for x in missing:

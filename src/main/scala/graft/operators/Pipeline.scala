@@ -2211,8 +2211,96 @@ object Pipeline {
         MIN(p) AS p_min, MAX(p) AS p_max, MIN(sk) AS s_min, MAX(sk) AS s_max
       FROM z GROUP BY zval >> 27 ORDER BY zbucket"""))
 
+  /** p42 — graph authority (PageRank, 3 fixed-point iterations) over the
+    * customer–supplier transaction graph: nodes are customers and
+    * suppliers that traded (distinct (custkey, suppkey) pairs through
+    * orders x lineitem), edges run both ways, damping 0.85. The third
+    * iterative-algorithm class in the catalog next to p17's connected
+    * components and p31's k-means — and like p31 it is oracle-checkable
+    * because ALL arithmetic is exact integer: ranks are scaled by 10^6,
+    * per-edge contributions are `rank div outdeg`, the damped update is
+    * `150000 + (85 * inc) div 100` — floor division is deterministic and
+    * identical in both engines, so three unrolled rounds land bit-equal.
+    * Scale shape: each round is one join on the src key + one aggregate
+    * on dst — the canonical distributed PageRank topology. `edges` and
+    * `deg` are `pin`ned once (p17's localCheckpoint pattern): without it
+    * the unrolled lineage re-derives the lineitem⋈orders distinct on
+    * every reference (~7× the scan work; measured 11.5 s → pinned ~2 s
+    * at sf0.1). At real iteration counts the per-round rank would be
+    * pinned too, exactly as p17's CC loop does. Top-20 by rank with a
+    * total deterministic order.
+    */
+  private val p42 = Q(
+    "p42_graph_authority",
+    (s, d) => {
+      import s.implicits._
+      val pairs = T(s, d, "lineitem").select($"l_orderkey", $"l_suppkey")
+        .join(T(s, d, "orders").select($"o_orderkey", $"o_custkey"),
+          $"l_orderkey" === $"o_orderkey")
+        .select(concat(lit("c"), $"o_custkey").as("cnode"),
+          concat(lit("s"), $"l_suppkey").as("snode"))
+        .distinct()
+      val edges = pin(pairs.select($"cnode".as("src"), $"snode".as("dst"))
+        .unionAll(pairs.select($"snode".as("src"), $"cnode".as("dst"))))
+      val deg = pin(edges.groupBy($"src").agg(count(lit(1)).as("outdeg")))
+      // pin resets plan stats to default (huge), so size-based planning
+      // would sort-merge every round. The node table is edge-ENDPOINTs —
+      // orders of magnitude smaller than edges — so hint broadcast while
+      // it fits, counted ONCE from the pinned table (p17's guard pattern;
+      // past the cap every round degrades to sort-merge, same topology).
+      val hint: DataFrame => DataFrame =
+        if (deg.count() <= (1L << 21)) broadcast else identity
+      // Bidirectional edges: every node has outdeg >= 1 and indeg >= 1.
+      // rank carries outdeg so each round is ONE edges-side join (the
+      // per-edge contribution) + one node-side left join (the update).
+      var rank = deg.select($"src".as("node"), $"outdeg",
+        lit(1000000L).as("rank"))
+      for (_ <- 1 to 3) {
+        val inc = edges
+          .join(hint(rank.select($"node".as("src"), $"outdeg", $"rank")),
+            "src")
+          .select($"dst", expr("rank div outdeg").as("c"))
+          .groupBy($"dst").agg(sum($"c").as("inc"))
+        rank = deg.select($"src".as("node"), $"outdeg")
+          .join(hint(inc.withColumnRenamed("dst", "node")), Seq("node"),
+            "left")
+          .select($"node", $"outdeg",
+            (lit(150000L) + expr("(85 * coalesce(inc, 0L)) div 100"))
+              .as("rank"))
+      }
+      rank.select($"node", $"rank").orderBy($"rank".desc, $"node").limit(20)
+    },
+    Some("""
+      WITH pairs AS (
+        SELECT DISTINCT 'c' || o_custkey AS cnode, 's' || l_suppkey AS snode
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      edges AS (SELECT cnode AS src, snode AS dst FROM pairs
+                UNION ALL SELECT snode, cnode FROM pairs),
+      deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS outdeg
+              FROM edges GROUP BY src),
+      r0 AS (SELECT src AS node, CAST(1000000 AS BIGINT) AS rank FROM deg),
+      i1 AS (SELECT e.dst AS node, CAST(SUM(r.rank // d.outdeg) AS BIGINT) AS inc
+             FROM edges e JOIN deg d ON e.src = d.src
+                          JOIN r0 r ON e.src = r.node GROUP BY e.dst),
+      r1 AS (SELECT d.src AS node,
+               CAST(150000 + (85 * COALESCE(i.inc, 0)) // 100 AS BIGINT) AS rank
+             FROM deg d LEFT JOIN i1 i ON d.src = i.node),
+      i2 AS (SELECT e.dst AS node, CAST(SUM(r.rank // d.outdeg) AS BIGINT) AS inc
+             FROM edges e JOIN deg d ON e.src = d.src
+                          JOIN r1 r ON e.src = r.node GROUP BY e.dst),
+      r2 AS (SELECT d.src AS node,
+               CAST(150000 + (85 * COALESCE(i.inc, 0)) // 100 AS BIGINT) AS rank
+             FROM deg d LEFT JOIN i2 i ON d.src = i.node),
+      i3 AS (SELECT e.dst AS node, CAST(SUM(r.rank // d.outdeg) AS BIGINT) AS inc
+             FROM edges e JOIN deg d ON e.src = d.src
+                          JOIN r2 r ON e.src = r.node GROUP BY e.dst),
+      r3 AS (SELECT d.src AS node,
+               CAST(150000 + (85 * COALESCE(i.inc, 0)) // 100 AS BIGINT) AS rank
+             FROM deg d LEFT JOIN i3 i ON d.src = i.node)
+      SELECT node, rank FROM r3 ORDER BY rank DESC, node LIMIT 20"""))
+
   val all: Seq[Q] = Seq(p01, p02, p03, p04, p05, p06, p07, p08, p09, p10,
     p11, p12, p13, p14, p15, p16, p17, p18, p19, p20, p21, p22, p23, p24,
     p25, p26, p27, p28, p29, p30, p31, p32, p33, p34, p35, p36, p37, p38,
-    p39, p40, p41)
+    p39, p40, p41, p42)
 }

@@ -2299,8 +2299,212 @@ object Pipeline {
              FROM deg d LEFT JOIN i3 i ON d.src = i.node)
       SELECT node, rank FROM r3 ORDER BY rank DESC, node LIMIT 20"""))
 
+  /** p43 — bloom-filter file-pruning manifest: the membership twin of
+    * p41's min/max Z-order manifest. Min/max extents prune RANGE
+    * predicates; point lookups on a high-cardinality key (l_partkey)
+    * need per-file membership, which is what writer-side bloom filters
+    * give. This entry computes the manifest: lineitem sliced into 32
+    * "files" (l_orderkey % 32 stands in for the writer's file split), a
+    * 240-bit bloom per file over l_partkey as 4×60-bit BIGINT words
+    * (k=2 independent md5-derived positions; 60-bit words keep every
+    * shift off the sign bit in both engines), then a probe set (parts
+    * with p_partkey % 499 = 7 — some present, some absent from
+    * lineitem) evaluated against it: files admitted by the bloom vs
+    * files actually containing the key, per probe key. admitted ≥
+    * actual ALWAYS (no false negatives — property-tested per
+    * (key, file) in CatalogSpec); the false-positive column is the
+    * pruning quality a layout writer would monitor. Scale shape: the
+    * build is one shuffle on the file key (at write time it is a free
+    * per-file writer aggregate); the manifest is files × 4 words —
+    * broadcast to probes, so point-lookup planning never touches data.
+    */
+  /** One bloom position in [0, 240) from a salted md5 of the key — 15 hex
+    * chars = 60 bits, always positive, exact in both engines (p22's
+    * hash-sampling idiom). */
+  private[graft] def bloomPos(key: Column, salt: String): Column =
+    conv(substring(md5(concat(key.cast(StringType), lit(salt))), 1, 15),
+      16, 10).cast(LongType) % 240
+  private def bloomPosSql(key: String, salt: String): String =
+    s"('0x' || substr(md5(CAST($key AS VARCHAR) || '$salt'), 1, 15))::BIGINT % 240"
+
+  /** Fold per-row positions (p1, p2) into the 4×60-bit bloom words of
+    * each file_id group. bit_or is a mergeable (map-side partial)
+    * aggregate, so the build is one narrow shuffle on file_id. */
+  private[graft] def bloomWords(keyed: DataFrame): DataFrame = {
+    def contrib(j: Int) = expr(
+      s"""bit_or((CASE WHEN p1 div 60 = $j
+                       THEN shiftleft(CAST(1 AS BIGINT), CAST(p1 % 60 AS INT))
+                       ELSE CAST(0 AS BIGINT) END) |
+                 (CASE WHEN p2 div 60 = $j
+                       THEN shiftleft(CAST(1 AS BIGINT), CAST(p2 % 60 AS INT))
+                       ELSE CAST(0 AS BIGINT) END))""").as(s"w$j")
+    keyed.groupBy(col("file_id"))
+      .agg(contrib(0), contrib(1), contrib(2), contrib(3))
+  }
+
+  /** Membership test of probe positions (q1, q2) against words w0–w3. */
+  private[graft] def bloomHit: Column = expr(
+    """((CASE q1 div 60 WHEN 0 THEN w0 WHEN 1 THEN w1 WHEN 2 THEN w2 ELSE w3 END)
+         & shiftleft(CAST(1 AS BIGINT), CAST(q1 % 60 AS INT))) != 0
+       AND
+       ((CASE q2 div 60 WHEN 0 THEN w0 WHEN 1 THEN w1 WHEN 2 THEN w2 ELSE w3 END)
+         & shiftleft(CAST(1 AS BIGINT), CAST(q2 % 60 AS INT))) != 0""")
+
+  /** p43 — bloom-filter file-pruning manifest: the point-lookup twin of
+    * p41's min/max Z-order manifest. Min/max extents prune RANGE
+    * predicates; equality lookups on a high-cardinality key (l_partkey)
+    * need per-file membership, which is what writer-side bloom filters
+    * give. lineitem is sliced into 32 "files" (l_orderkey % 32 stands in
+    * for the writer's file split), each file gets a 240-bit bloom over
+    * l_partkey as 4×60-bit BIGINT words (k=2 salted-md5 positions;
+    * 60-bit words keep every shift off the sign bit in both engines,
+    * `bit_or` folds the masks map-side). A probe set (parts with
+    * p_partkey % 499 = 7 — some present in lineitem, some absent) is then
+    * evaluated against the manifest: files ADMITTED by the bloom vs files
+    * ACTUALLY containing the key. admitted ⊇ actual always (no false
+    * negatives — property-tested per (key, file) in CatalogSpec); the
+    * false-positive column is the pruning quality a layout writer
+    * monitors to size m/k. Scale shape: the build is one shuffle on the
+    * file key (at write time it is a free per-file writer aggregate); the
+    * manifest is files × 4 words, broadcast to the probe side — planning
+    * a point lookup never touches the data files.
+    */
+  private val p43 = Q(
+    "p43_bloom_manifest",
+    (s, d) => {
+      import s.implicits._
+      val li = T(s, d, "lineitem")
+        .select(($"l_orderkey" % 32).as("file_id"), $"l_partkey")
+      val blooms = bloomWords(li
+        .withColumn("p1", bloomPos($"l_partkey", "_bf1"))
+        .withColumn("p2", bloomPos($"l_partkey", "_bf2")))
+      val probes = T(s, d, "part").filter($"p_partkey" % 499 === 7)
+        .select($"p_partkey".as("k"))
+        .withColumn("q1", bloomPos($"k", "_bf1"))
+        .withColumn("q2", bloomPos($"k", "_bf2"))
+      val admitted = probes.crossJoin(broadcast(blooms))
+        .groupBy($"k").agg(count(when(bloomHit, lit(1))).as("admitted_files"))
+      val actual = li.join(broadcast(probes.select($"k")),
+          $"l_partkey" === $"k")
+        .select($"k", $"file_id").distinct()
+        .groupBy($"k").agg(count(lit(1)).as("actual_files"))
+      admitted.join(actual, Seq("k"), "left")
+        .select($"k".as("partkey"), $"admitted_files",
+          coalesce($"actual_files", lit(0L)).as("actual_files"),
+          ($"admitted_files" - coalesce($"actual_files", lit(0L)))
+            .as("false_pos"))
+        .orderBy($"partkey")
+    },
+    Some(s"""
+      WITH li AS (
+        SELECT l_orderkey % 32 AS file_id, l_partkey FROM lineitem),
+      pos AS (SELECT file_id, l_partkey,
+          ${bloomPosSql("l_partkey", "_bf1")} AS p1,
+          ${bloomPosSql("l_partkey", "_bf2")} AS p2
+        FROM li),
+      blooms AS (SELECT file_id,
+          bit_or((CASE WHEN p1 // 60 = 0 THEN (CAST(1 AS BIGINT) << (p1 % 60)) ELSE 0 END) |
+                 (CASE WHEN p2 // 60 = 0 THEN (CAST(1 AS BIGINT) << (p2 % 60)) ELSE 0 END)) AS w0,
+          bit_or((CASE WHEN p1 // 60 = 1 THEN (CAST(1 AS BIGINT) << (p1 % 60)) ELSE 0 END) |
+                 (CASE WHEN p2 // 60 = 1 THEN (CAST(1 AS BIGINT) << (p2 % 60)) ELSE 0 END)) AS w1,
+          bit_or((CASE WHEN p1 // 60 = 2 THEN (CAST(1 AS BIGINT) << (p1 % 60)) ELSE 0 END) |
+                 (CASE WHEN p2 // 60 = 2 THEN (CAST(1 AS BIGINT) << (p2 % 60)) ELSE 0 END)) AS w2,
+          bit_or((CASE WHEN p1 // 60 = 3 THEN (CAST(1 AS BIGINT) << (p1 % 60)) ELSE 0 END) |
+                 (CASE WHEN p2 // 60 = 3 THEN (CAST(1 AS BIGINT) << (p2 % 60)) ELSE 0 END)) AS w3
+        FROM pos GROUP BY file_id),
+      probes AS (SELECT p_partkey AS k,
+          ${bloomPosSql("p_partkey", "_bf1")} AS q1,
+          ${bloomPosSql("p_partkey", "_bf2")} AS q2
+        FROM part WHERE p_partkey % 499 = 7),
+      adm AS (SELECT k, CAST(COUNT(*) FILTER (WHERE
+            ((CASE q1 // 60 WHEN 0 THEN w0 WHEN 1 THEN w1 WHEN 2 THEN w2 ELSE w3 END)
+              & (CAST(1 AS BIGINT) << (q1 % 60))) <> 0
+            AND ((CASE q2 // 60 WHEN 0 THEN w0 WHEN 1 THEN w1 WHEN 2 THEN w2 ELSE w3 END)
+              & (CAST(1 AS BIGINT) << (q2 % 60))) <> 0) AS BIGINT) AS admitted_files
+        FROM probes CROSS JOIN blooms GROUP BY k),
+      act AS (SELECT k, CAST(COUNT(DISTINCT file_id) AS BIGINT) AS actual_files
+        FROM probes JOIN li ON li.l_partkey = probes.k GROUP BY k)
+      SELECT a.k AS partkey, a.admitted_files,
+        COALESCE(ac.actual_files, CAST(0 AS BIGINT)) AS actual_files,
+        a.admitted_files - COALESCE(ac.actual_files, 0) AS false_pos
+      FROM adm a LEFT JOIN act ac ON ac.k = a.k ORDER BY partkey"""))
+
+  /** p44 — funnel-stage analytics over the events stream: per user, the
+    * first 'view', the first 'click' strictly after it, and the first
+    * 'purchase' strictly after that — the classic product-funnel
+    * (conversion) query. Emits one row per stage: converted-user count
+    * and the exact sum/min/max of the stage-transition lag. ALL
+    * arithmetic is integer epoch-µs (`unix_micros`), so the oracle
+    * matches bit-for-bit (the nanos parquet is truncated to µs
+    * identically by both engines — see Tables.load). Scale shape: three
+    * event-type-pruned scans (predicate pushed to parquet), each
+    * aggregated then joined ON user_id — every stage reuses the same
+    * hash partitioning, so the chain is one user_id shuffle per stage
+    * with co-partitioned joins in between, never a global sort. The
+    * stage-2/3 aggregates run on the already-converted subset (shrinking
+    * data), which is what keeps deep funnels cheap at 100 TB.
+    */
+  private val p44 = Q(
+    "p44_funnel_stages",
+    (s, d) => {
+      import s.implicits._
+      val ev = T(s, d, "events")
+        .select($"user_id", $"event_type", unix_micros($"ts").as("us"))
+      val v = ev.filter($"event_type" === "view")
+        .groupBy($"user_id").agg(min($"us").as("v_us"))
+      val c = ev.filter($"event_type" === "click")
+        .join(v, "user_id").filter($"us" > $"v_us")
+        .groupBy($"user_id", $"v_us").agg(min($"us").as("c_us"))
+      val p = ev.filter($"event_type" === "purchase")
+        .join(c, "user_id").filter($"us" > $"c_us")
+        .groupBy($"user_id", $"c_us").agg(min($"us").as("p_us"))
+      val s1 = v.agg(count(lit(1)).as("users"), lit(0L).as("sum_lag_us"),
+          lit(0L).as("min_lag_us"), lit(0L).as("max_lag_us"))
+        .select(lit(1).as("stage"), lit("view").as("name"), $"users",
+          $"sum_lag_us", $"min_lag_us", $"max_lag_us")
+      val s2 = c.agg(count(lit(1)).as("users"),
+          sum($"c_us" - $"v_us").as("sum_lag_us"),
+          min($"c_us" - $"v_us").as("min_lag_us"),
+          max($"c_us" - $"v_us").as("max_lag_us"))
+        .select(lit(2).as("stage"), lit("click").as("name"), $"users",
+          $"sum_lag_us", $"min_lag_us", $"max_lag_us")
+      val s3 = p.agg(count(lit(1)).as("users"),
+          sum($"p_us" - $"c_us").as("sum_lag_us"),
+          min($"p_us" - $"c_us").as("min_lag_us"),
+          max($"p_us" - $"c_us").as("max_lag_us"))
+        .select(lit(3).as("stage"), lit("purchase").as("name"), $"users",
+          $"sum_lag_us", $"min_lag_us", $"max_lag_us")
+      s1.unionAll(s2).unionAll(s3).orderBy($"stage")
+    },
+    Some("""
+      WITH ev AS (
+        SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+      v AS (SELECT user_id, MIN(us) AS v_us FROM ev
+            WHERE event_type = 'view' GROUP BY user_id),
+      c AS (SELECT e.user_id, v.v_us, MIN(e.us) AS c_us
+            FROM ev e JOIN v ON e.user_id = v.user_id
+            WHERE e.event_type = 'click' AND e.us > v.v_us
+            GROUP BY e.user_id, v.v_us),
+      c2 AS (SELECT user_id, v_us, c_us FROM c),
+      p AS (SELECT e.user_id, c2.c_us, MIN(e.us) AS p_us
+            FROM ev e JOIN c2 ON e.user_id = c2.user_id
+            WHERE e.event_type = 'purchase' AND e.us > c2.c_us
+            GROUP BY e.user_id, c2.c_us)
+      SELECT 1 AS stage, 'view' AS name, CAST(COUNT(*) AS BIGINT) AS users,
+        CAST(0 AS BIGINT) AS sum_lag_us, CAST(0 AS BIGINT) AS min_lag_us,
+        CAST(0 AS BIGINT) AS max_lag_us FROM v
+      UNION ALL
+      SELECT 2, 'click', CAST(COUNT(*) AS BIGINT),
+        CAST(SUM(c_us - v_us) AS BIGINT), CAST(MIN(c_us - v_us) AS BIGINT),
+        CAST(MAX(c_us - v_us) AS BIGINT) FROM c
+      UNION ALL
+      SELECT 3, 'purchase', CAST(COUNT(*) AS BIGINT),
+        CAST(SUM(p_us - c_us) AS BIGINT), CAST(MIN(p_us - c_us) AS BIGINT),
+        CAST(MAX(p_us - c_us) AS BIGINT) FROM p
+      ORDER BY stage"""))
+
   val all: Seq[Q] = Seq(p01, p02, p03, p04, p05, p06, p07, p08, p09, p10,
     p11, p12, p13, p14, p15, p16, p17, p18, p19, p20, p21, p22, p23, p24,
     p25, p26, p27, p28, p29, p30, p31, p32, p33, p34, p35, p36, p37, p38,
-    p39, p40, p41, p42)
+    p39, p40, p41, p42, p43, p44)
 }

@@ -604,4 +604,28 @@ class SemanticsSpec extends AnyFunSuite {
       assert(nNov <= nSh && ratio >= 0.0 && ratio <= 1.0, s"doc $id")
     }
   }
+
+  test("bloom manifest: no false negatives over EVERY (key, file) pair") {
+    import operators.Pipeline.{bloomPos, bloomWords, bloomHit}
+    val li = Tables.load(spark, sf, "lineitem")
+      .select(($"l_orderkey" % 32).as("file_id"), $"l_partkey")
+    val words = bloomWords(li
+      .withColumn("p1", bloomPos($"l_partkey", "_bf1"))
+      .withColumn("p2", bloomPos($"l_partkey", "_bf2")))
+    // Probe with the FULL actual membership set, not p43's sampled keys:
+    // a bloom may admit absent keys (false positives) but must admit
+    // every present one — a single miss is a broken filter.
+    val present = li.distinct()
+      .withColumn("q1", bloomPos($"l_partkey", "_bf1"))
+      .withColumn("q2", bloomPos($"l_partkey", "_bf2"))
+    val missed = present.join(words, "file_id").filter(!bloomHit).count()
+    assert(missed == 0, s"$missed present (key, file) pairs not admitted")
+    // and the filter is non-trivial: some absent key must be rejected by
+    // at least one file (otherwise the words are saturated and useless)
+    val absent = Seq(999999999L).toDF("l_partkey")
+      .crossJoin(words)
+      .withColumn("q1", bloomPos($"l_partkey", "_bf1"))
+      .withColumn("q2", bloomPos($"l_partkey", "_bf2"))
+    assert(absent.filter(!bloomHit).count() > 0)
+  }
 }

@@ -2388,7 +2388,7 @@ object Pipeline {
           $"l_partkey" === $"k")
         .select($"k", $"file_id").distinct()
         .groupBy($"k").agg(count(lit(1)).as("actual_files"))
-      admitted.join(actual, Seq("k"), "left")
+      admitted.join(broadcast(actual), Seq("k"), "left")
         .select($"k".as("partkey"), $"admitted_files",
           coalesce($"actual_files", lit(0L)).as("actual_files"),
           ($"admitted_files" - coalesce($"actual_files", lit(0L)))

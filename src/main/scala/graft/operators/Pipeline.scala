@@ -2503,8 +2503,44 @@ object Pipeline {
         CAST(MAX(p_us - c_us) AS BIGINT) FROM p
       ORDER BY stage"""))
 
+  /** p45 — cohort retention: bucket users by first-seen week (cohort),
+    * then count how many of each cohort are active 0, 1, 2… weeks later —
+    * the standard retention triangle. Weeks are exact integer epoch-µs
+    * floor-division (`us div 604800000000`), so cohort and offset are
+    * bit-equal cross-engine. Scale shape: the first-seen aggregate and
+    * the per-(user, week) distinct both shuffle on user_id — the join
+    * between them is co-partitioned and AQE-local — and the final
+    * aggregate shuffles the already-tiny (cohort, offset) pairs. The
+    * week-grain distinct is what bounds state: one row per active
+    * (user, week), not per event.
+    */
+  private val p45 = Q(
+    "p45_cohort_retention",
+    (s, d) => {
+      import s.implicits._
+      val ev = T(s, d, "events")
+        .select($"user_id",
+          expr("unix_micros(ts) div 604800000000").as("wk"))
+      val first = ev.groupBy($"user_id").agg(min($"wk").as("cohort_wk"))
+      val active = ev.distinct()
+      active.join(first, "user_id")
+        .groupBy($"cohort_wk", ($"wk" - $"cohort_wk").as("week_offset"))
+        .agg(count(lit(1)).as("users"))
+        .orderBy($"cohort_wk", $"week_offset")
+    },
+    Some("""
+      WITH ev AS (
+        SELECT user_id, epoch_us(ts) // 604800000000 AS wk FROM events),
+      first AS (SELECT user_id, MIN(wk) AS cohort_wk FROM ev GROUP BY user_id),
+      active AS (SELECT DISTINCT user_id, wk FROM ev)
+      SELECT f.cohort_wk, a.wk - f.cohort_wk AS week_offset,
+        CAST(COUNT(*) AS BIGINT) AS users
+      FROM active a JOIN first f ON a.user_id = f.user_id
+      GROUP BY f.cohort_wk, a.wk - f.cohort_wk
+      ORDER BY cohort_wk, week_offset"""))
+
   val all: Seq[Q] = Seq(p01, p02, p03, p04, p05, p06, p07, p08, p09, p10,
     p11, p12, p13, p14, p15, p16, p17, p18, p19, p20, p21, p22, p23, p24,
     p25, p26, p27, p28, p29, p30, p31, p32, p33, p34, p35, p36, p37, p38,
-    p39, p40, p41, p42, p43, p44)
+    p39, p40, p41, p42, p43, p44, p45)
 }

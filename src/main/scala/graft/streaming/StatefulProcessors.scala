@@ -17,6 +17,15 @@ case class TopBid(price: Int, bidder: Int, tsUs: Long)
   */
 case class LeaderboardRow(auction: Int, rank: Int, price: Int, bidder: Int)
 
+/** One event as consumed by the funnel processor. */
+case class FunnelEvent(userId: Long, eventType: String, tsUs: Long)
+
+/** O(1) per-user funnel progress; -1 marks a stage not yet reached. */
+case class FunnelState(vUs: Long, cUs: Long, pUs: Long)
+
+/** Emitted exactly once per user, when the purchase stage completes. */
+case class FunnelDone(userId: Long, vUs: Long, cUs: Long, pUs: Long)
+
 /** Streaming operators on Spark 4's `transformWithState` — the
   * arbitrary-state successor to `flatMapGroupsWithState` (typed per-key
   * state variables, explicit timers, TTL; RocksDB-backed). The reference's
@@ -120,6 +129,62 @@ object StatefulProcessors {
       Iterator.single(
         GapWindowOut(bidder, s.startMs, s.startMs + sizeMs, s.n))
     }
+  }
+
+  /** Streaming twin of the p44 batch funnel: a per-user three-stage
+    * state machine (first 'view' → first 'click' strictly after it →
+    * first 'purchase' strictly after that), emitting one completion row
+    * per user the trigger its purchase stage closes. State is O(1) per
+    * key (three timestamps) and the emission is once-only, so output
+    * volume is bounded by users, not events.
+    *
+    * Exactness contract: identical to the batch recompute when each
+    * user's events arrive in event-time order ACROSS triggers (the
+    * usual keyed-source guarantee — e.g. a log partitioned by user);
+    * within a trigger arrival order is irrelevant (the batch is
+    * sorted). A later-arriving earlier 'view' cannot retroactively
+    * re-open a stage — that would need unbounded event retention,
+    * which is the batch entry's job.
+    */
+  class FunnelProcessor
+      extends StatefulProcessor[Long, FunnelEvent, FunnelDone] {
+    @transient private var st: ValueState[FunnelState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[FunnelState]("funnel",
+        Encoders.product[FunnelState], TTLConfig.NONE)
+
+    override def handleInputRows(user: Long, rows: Iterator[FunnelEvent],
+        timerValues: TimerValues): Iterator[FunnelDone] = {
+      var s = if (st.exists()) st.get() else FunnelState(-1L, -1L, -1L)
+      val doneBefore = s.pUs >= 0
+      rows.toSeq.sortBy(_.tsUs).foreach { r =>
+        r.eventType match {
+          case "view" if s.vUs < 0 => s = s.copy(vUs = r.tsUs)
+          case "click" if s.vUs >= 0 && s.cUs < 0 && r.tsUs > s.vUs =>
+            s = s.copy(cUs = r.tsUs)
+          case "purchase" if s.cUs >= 0 && s.pUs < 0 && r.tsUs > s.cUs =>
+            s = s.copy(pUs = r.tsUs)
+          case _ => // stage already closed, or out of sequence
+        }
+      }
+      st.update(s)
+      if (!doneBefore && s.pUs >= 0)
+        Iterator.single(FunnelDone(user, s.vUs, s.cUs, s.pUs))
+      else Iterator.empty
+    }
+  }
+
+  /** Funnel stream over raw event frames (user_id, event_type, ts). */
+  def funnelStages(events: DataFrame): Dataset[FunnelDone] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.select(col("user_id").cast("long").as("userId"),
+        col("event_type").as("eventType"), unix_micros(col("ts")).as("tsUs"))
+      .as[FunnelEvent]
+      .groupByKey(_.userId)
+      .transformWithState(new FunnelProcessor,
+        TimeMode.None(), OutputMode.Append())
   }
 
   /** Leaderboard stream over raw bid frames (NEXMark columns). */

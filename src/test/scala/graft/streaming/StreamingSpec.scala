@@ -12,6 +12,8 @@ case class BidCC(auction: Int, bidder: Int, price: Int,
 case class DocCC(doc_id: Long, text: String, lang: String,
     event_time: java.sql.Timestamp)
 
+case class EvCC(user_id: Long, event_type: String, ts: java.sql.Timestamp)
+
 /** Streaming correctness: the same transform applied to a batch frame and
   * to a MemoryStream of the same rows must agree — mirroring the
   * reference's per-query local replays
@@ -571,5 +573,73 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.exceptAll(batch).isEmpty && batch.exceptAll(got).isEmpty,
       "stream and batch chunkings diverge")
     assert(got.count() > rows.length, "multi-chunk docs expected")
+  }
+
+  test("funnel processor sequences stages strictly and emits once only") {
+    withRocksDb {
+      implicit val sqlCtx = spark.sqlContext
+      def ev(u: Long, t: String, ms: Long) =
+        EvCC(u, t, new java.sql.Timestamp(ms))
+      val trigger1 = Seq(
+        ev(1, "view", 0), ev(1, "click", 10),
+        ev(2, "click", 0), ev(2, "view", 5), // pre-view click is ignored
+        ev(3, "view", 0), ev(3, "purchase", 5), ev(3, "click", 10),
+        ev(4, "view", 0), ev(4, "click", 10), // never purchases
+        ev(5, "view", 0), ev(5, "click", 1), ev(5, "purchase", 2))
+      val trigger2 = Seq(
+        ev(1, "purchase", 20), // completes across triggers
+        ev(2, "click", 9), ev(2, "purchase", 12), // stage 2+3 in one batch
+        ev(3, "purchase", 20), // first purchase AFTER the click
+        ev(5, "purchase", 5), ev(5, "view", 6)) // done in t1: no re-emit
+      val ms = MemoryStream[EvCC]
+      val q = StatefulProcessors.funnelStages(ms.toDF())
+        .writeStream.format("memory").queryName("funnel_seq_sink")
+        .outputMode("append").start()
+      ms.addData(trigger1); q.processAllAvailable()
+      ms.addData(trigger2); q.processAllAvailable()
+      q.stop()
+      val got = spark.table("funnel_seq_sink")
+        .as[FunnelDone].collect().map(f => (f.userId, f.vUs, f.cUs, f.pUs))
+        .toSet
+      val us = 1000L // Timestamp ms -> unix_micros
+      assert(got == Set(
+        (1L, 0L, 10 * us, 20 * us),
+        (2L, 5 * us, 9 * us, 12 * us),
+        (3L, 0L, 10 * us, 20 * us), // the t=5 purchase was out of sequence
+        (5L, 0L, 1 * us, 2 * us)), s"got $got")
+    }
+  }
+
+  test("streaming funnel matches the p44 batch join-chain on real events") {
+    withRocksDb {
+      implicit val sqlCtx = spark.sqlContext
+      val ev = graft.Tables.load(spark, "/root/testdata/sf0.001", "events")
+        .select($"user_id", $"event_type", $"ts")
+      // Global event-time order satisfies the per-user ordering contract.
+      val rows = ev.orderBy($"ts").as[EvCC].collect().toSeq
+      val ms = MemoryStream[EvCC]
+      ms.addData(rows)
+      val q = StatefulProcessors.funnelStages(ms.toDF())
+        .writeStream.format("memory").queryName("funnel_eq_sink")
+        .outputMode("append").start()
+      q.processAllAvailable()
+      q.stop()
+      val got = spark.table("funnel_eq_sink")
+        .as[FunnelDone].collect().map(f => (f.userId, f.vUs, f.cUs, f.pUs))
+        .toSet
+      val evUs = ev.select($"user_id", $"event_type",
+        unix_micros($"ts").as("us"))
+      val v = evUs.filter($"event_type" === "view")
+        .groupBy($"user_id").agg(min($"us").as("v_us"))
+      val c = evUs.filter($"event_type" === "click")
+        .join(v, "user_id").filter($"us" > $"v_us")
+        .groupBy($"user_id", $"v_us").agg(min($"us").as("c_us"))
+      val p = evUs.filter($"event_type" === "purchase")
+        .join(c, "user_id").filter($"us" > $"c_us")
+        .groupBy($"user_id", $"v_us", $"c_us").agg(min($"us").as("p_us"))
+      val expect = p.as[(Long, Long, Long, Long)].collect().toSet
+      assert(got.nonEmpty && got == expect,
+        s"stream ${got.size} vs batch ${expect.size} completions")
+    }
   }
 }

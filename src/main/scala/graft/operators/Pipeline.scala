@@ -2539,8 +2539,69 @@ object Pipeline {
       GROUP BY f.cohort_wk, a.wk - f.cohort_wk
       ORDER BY cohort_wk, week_offset"""))
 
+  /** p46 — last-touch attribution: each purchase is attributed to the
+    * user's LATEST click strictly before it and within a 1-hour
+    * lookback; purchases with none are organic. The deliberate shape is
+    * ONE per-user window scan (`max(click-us) OVER (... RANGE BETWEEN
+    * UNBOUNDED PRECEDING AND 1 PRECEDING)`) instead of the naive
+    * purchases⋈clicks range join — the join explodes with per-user
+    * activity (every purchase × every prior click), the window carries
+    * O(1) running state per user and shuffles events exactly once. The
+    * RANGE frame keys strictness on the µs VALUE, so same-µs ties
+    * resolve identically in both engines regardless of row order.
+    * All-integer epoch-µs; organic rows report zero lags (mirrored in
+    * the oracle).
+    */
+  private val p46 = Q(
+    "p46_attribution",
+    (s, d) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"us")
+        .rangeBetween(Window.unboundedPreceding, -1)
+      T(s, d, "events")
+        .select($"user_id", $"event_type", unix_micros($"ts").as("us"))
+        .withColumn("last_click",
+          max(when($"event_type" === "click", $"us")).over(w))
+        .filter($"event_type" === "purchase")
+        .withColumn("attributed",
+          $"last_click".isNotNull && $"last_click" >= $"us" - 3600000000L)
+        .withColumn("lag_us",
+          when($"attributed", $"us" - $"last_click").otherwise(lit(0L)))
+        .groupBy(when($"attributed", "attributed").otherwise("organic")
+          .as("status"))
+        .agg(count(lit(1)).as("n_purchases"),
+          sum($"lag_us").as("sum_lag_us"),
+          min($"lag_us").as("min_lag_us"),
+          max($"lag_us").as("max_lag_us"))
+        .orderBy($"status")
+    },
+    Some("""
+      WITH ev AS (
+        SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+      scanned AS (
+        SELECT user_id, event_type, us,
+          MAX(CASE WHEN event_type = 'click' THEN us END) OVER (
+            PARTITION BY user_id ORDER BY us
+            RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_click
+        FROM ev),
+      purchases AS (
+        SELECT us, last_click,
+          (last_click IS NOT NULL AND last_click >= us - 3600000000)
+            AS attributed
+        FROM scanned WHERE event_type = 'purchase'),
+      lagged AS (
+        SELECT CASE WHEN attributed THEN 'attributed' ELSE 'organic' END
+            AS status,
+          CASE WHEN attributed THEN us - last_click ELSE 0 END AS lag_us
+        FROM purchases)
+      SELECT status, CAST(COUNT(*) AS BIGINT) AS n_purchases,
+        CAST(SUM(lag_us) AS BIGINT) AS sum_lag_us,
+        CAST(MIN(lag_us) AS BIGINT) AS min_lag_us,
+        CAST(MAX(lag_us) AS BIGINT) AS max_lag_us
+      FROM lagged GROUP BY status ORDER BY status"""))
+
   val all: Seq[Q] = Seq(p01, p02, p03, p04, p05, p06, p07, p08, p09, p10,
     p11, p12, p13, p14, p15, p16, p17, p18, p19, p20, p21, p22, p23, p24,
     p25, p26, p27, p28, p29, p30, p31, p32, p33, p34, p35, p36, p37, p38,
-    p39, p40, p41, p42, p43, p44, p45)
+    p39, p40, p41, p42, p43, p44, p45, p46)
 }

@@ -2600,8 +2600,92 @@ object Pipeline {
         CAST(MAX(lag_us) AS BIGINT) AS max_lag_us
       FROM lagged GROUP BY status ORDER BY status"""))
 
+  /** p47 — CDC / upsert apply (merge-on-read compaction): the events
+    * stream read as a changelog over user keys — 'error' maps to
+    * DELETE, everything else to UPSERT — applied last-writer-wins with
+    * a total order (us, event_id). The shape is ONE window scan
+    * (row_number over the per-key changelog, keep rank 1, drop
+    * deletes) — how a lakehouse table compacts a deletion-capable
+    * changelog without a join against the base snapshot. Output: per
+    * final-op-type survivor counts plus the exact DECIMAL sum of the
+    * surviving values (per-row cast BEFORE the sum, the repo-wide
+    * order-independence rule). Scale shape: one shuffle on the key;
+    * the window carries O(1) running state per key (rank-1 short
+    * circuit), and deletes never leave the scan.
+    */
+  private val p47 = Q(
+    "p47_cdc_apply",
+    (s, d) => {
+      import s.implicits._
+      val w = Window.partitionBy($"k")
+        .orderBy($"us".desc, $"event_id".desc)
+      T(s, d, "events")
+        .select($"user_id".as("k"), unix_micros($"ts").as("us"),
+          $"event_id", $"event_type", dec($"value", 18, 6).as("v"))
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" === 1 && $"event_type" =!= "error")
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("survivors"),
+          dec(sum($"v"), 38, 6).as("sum_value"),
+          min($"k").as("min_key"), max($"k").as("max_key"))
+        .orderBy($"event_type")
+    },
+    Some("""
+      WITH log AS (
+        SELECT user_id AS k, epoch_us(ts) AS us, event_id, event_type,
+          CAST(value AS DECIMAL(18,6)) AS v,
+          ROW_NUMBER() OVER (PARTITION BY user_id
+            ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+        FROM events)
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS survivors,
+        CAST(SUM(v) AS DECIMAL(38,6)) AS sum_value,
+        MIN(k) AS min_key, MAX(k) AS max_key
+      FROM log WHERE rn = 1 AND event_type <> 'error'
+      GROUP BY event_type ORDER BY event_type"""))
+
+  /** p48 — rolling 7-day active users (the WAU engagement series),
+    * EXACT: distinct counts cannot be summed across days, so each
+    * active (user, day) pair is exploded into the 7 window-end days it
+    * contributes to (`sequence(day, day+6)`) and the count is distinct
+    * per window-end day — the standard bounded-expansion trick for
+    * exact sliding distincts. Scale shape: the day-grain distinct
+    * FIRST collapses events to active-pairs (one row per user-day, not
+    * per event), the explode is a fixed ×7, and both distincts shuffle
+    * on compact integer keys. The sketch alternative at extreme scale
+    * is a mergeable HLL per day (p14); this is the exact form. Days
+    * with no preceding activity window are ghost tails — the semi join
+    * against real active days drops them, so the series covers exactly
+    * the observed days.
+    */
+  private val p48 = Q(
+    "p48_rolling_wau",
+    (s, d) => {
+      import s.implicits._
+      val days = T(s, d, "events")
+        .select($"user_id", expr("unix_micros(ts) div 86400000000").as("day"))
+        .distinct()
+      val real = days.select($"day").distinct()
+      days.select($"user_id", explode(expr("sequence(day, day + 6)")).as("wday"))
+        .distinct()
+        .join(real.withColumnRenamed("day", "wday"), Seq("wday"), "semi")
+        .groupBy($"wday")
+        .agg(count(lit(1)).as("wau"))
+        .orderBy($"wday")
+    },
+    Some("""
+      WITH days AS (
+        SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
+        FROM events),
+      real AS (SELECT DISTINCT day FROM days),
+      contrib AS (
+        SELECT DISTINCT d.user_id, d.day + g.o AS wday
+        FROM days d CROSS JOIN (SELECT UNNEST(range(7)) AS o) g)
+      SELECT c.wday, CAST(COUNT(*) AS BIGINT) AS wau
+      FROM contrib c SEMI JOIN real r ON r.day = c.wday
+      GROUP BY c.wday ORDER BY c.wday"""))
+
   val all: Seq[Q] = Seq(p01, p02, p03, p04, p05, p06, p07, p08, p09, p10,
     p11, p12, p13, p14, p15, p16, p17, p18, p19, p20, p21, p22, p23, p24,
     p25, p26, p27, p28, p29, p30, p31, p32, p33, p34, p35, p36, p37, p38,
-    p39, p40, p41, p42, p43, p44, p45, p46)
+    p39, p40, p41, p42, p43, p44, p45, p46, p47, p48)
 }

@@ -26,6 +26,9 @@ case class FunnelState(vUs: Long, cUs: Long, pUs: Long)
 /** Emitted exactly once per user, when the purchase stage completes. */
 case class FunnelDone(userId: Long, vUs: Long, cUs: Long, pUs: Long)
 
+/** One attribution decision, emitted per purchase as it arrives. */
+case class AttrOut(userId: Long, pUs: Long, attributed: Boolean, lagUs: Long)
+
 /** Streaming operators on Spark 4's `transformWithState` — the
   * arbitrary-state successor to `flatMapGroupsWithState` (typed per-key
   * state variables, explicit timers, TTL; RocksDB-backed). The reference's
@@ -173,6 +176,58 @@ object StatefulProcessors {
         Iterator.single(FunnelDone(user, s.vUs, s.cUs, s.pUs))
       else Iterator.empty
     }
+  }
+
+  /** Streaming twin of the p46 batch attribution: per-user O(1) state
+    * (the latest click timestamp), one attribution decision emitted per
+    * purchase the moment it arrives. Matches p46's strictly-before
+    * semantics exactly: same-timestamp purchases are processed BEFORE
+    * same-timestamp clicks (the batch sort's tie-break), so a purchase
+    * only ever sees clicks with a strictly smaller timestamp — the same
+    * rows p46's `RANGE ... 1 PRECEDING` frame admits. Exact under the
+    * per-key event-time-ordered arrival contract (see FunnelProcessor).
+    */
+  class AttributionProcessor(lookbackUs: Long)
+      extends StatefulProcessor[Long, FunnelEvent, AttrOut] {
+    @transient private var lastClick: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      lastClick = getHandle.getValueState[Long]("lastClick",
+        Encoders.scalaLong, TTLConfig.NONE)
+
+    override def handleInputRows(user: Long, rows: Iterator[FunnelEvent],
+        timerValues: TimerValues): Iterator[AttrOut] = {
+      var last = if (lastClick.exists()) lastClick.get() else -1L
+      var out = List.empty[AttrOut]
+      rows.toSeq
+        .sortBy(e => (e.tsUs, if (e.eventType == "purchase") 0 else 1))
+        .foreach { e =>
+          e.eventType match {
+            case "purchase" =>
+              val attr = last >= 0 && last < e.tsUs &&
+                last >= e.tsUs - lookbackUs
+              out ::= AttrOut(user, e.tsUs, attr,
+                if (attr) e.tsUs - last else 0L)
+            case "click" => last = math.max(last, e.tsUs)
+            case _ =>
+          }
+        }
+      lastClick.update(last)
+      out.reverseIterator
+    }
+  }
+
+  /** Attribution stream over raw event frames (user_id, event_type, ts). */
+  def attribution(events: DataFrame,
+      lookbackUs: Long = 3600000000L): Dataset[AttrOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.select(col("user_id").cast("long").as("userId"),
+        col("event_type").as("eventType"), unix_micros(col("ts")).as("tsUs"))
+      .as[FunnelEvent]
+      .groupByKey(_.userId)
+      .transformWithState(new AttributionProcessor(lookbackUs),
+        TimeMode.None(), OutputMode.Append())
   }
 
   /** Funnel stream over raw event frames (user_id, event_type, ts). */

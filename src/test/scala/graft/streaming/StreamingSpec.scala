@@ -642,4 +642,41 @@ class StreamingSpec extends AnyFunSuite {
         s"stream ${got.size} vs batch ${expect.size} completions")
     }
   }
+
+  test("streaming attribution matches the p46 batch window scan") {
+    withRocksDb {
+      implicit val sqlCtx = spark.sqlContext
+      val ev = graft.Tables.load(spark, "/root/testdata/sf0.001", "events")
+        .select($"user_id", $"event_type", $"ts")
+      val rows = ev.orderBy($"ts").as[EvCC].collect().toSeq
+      val ms = MemoryStream[EvCC]
+      ms.addData(rows)
+      val q = StatefulProcessors.attribution(ms.toDF())
+        .writeStream.format("memory").queryName("attr_sink")
+        .outputMode("append").start()
+      q.processAllAvailable()
+      q.stop()
+      val got = spark.table("attr_sink")
+        .as[AttrOut].collect()
+        .map(a => (a.userId, a.pUs, a.attributed, a.lagUs)).toSet
+      // p46's per-purchase intermediate, before its final aggregation.
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"user_id").orderBy($"us")
+        .rangeBetween(Long.MinValue, -1)
+      val expect = ev
+        .select($"user_id", $"event_type", unix_micros($"ts").as("us"))
+        .withColumn("last_click",
+          max(when($"event_type" === "click", $"us")).over(w))
+        .filter($"event_type" === "purchase")
+        .withColumn("attributed",
+          $"last_click".isNotNull && $"last_click" >= $"us" - 3600000000L)
+        .select($"user_id", $"us", $"attributed",
+          when($"attributed", $"us" - $"last_click").otherwise(0L))
+        .as[(Long, Long, Boolean, Long)].collect().toSet
+      assert(got.nonEmpty && got == expect,
+        s"stream ${got.size} vs batch ${expect.size} attributions")
+      assert(got.exists(_._3) && got.exists(!_._3),
+        "expected both attributed and organic purchases in the corpus")
+    }
+  }
 }

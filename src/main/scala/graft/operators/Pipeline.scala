@@ -2230,9 +2230,12 @@ object Pipeline {
     * pinned too, exactly as p17's CC loop does. Top-20 by rank with a
     * total deterministic order.
     */
-  private val p42 = Q(
-    "p42_graph_authority",
-    (s, d) => {
+  /** p42's body, with the broadcast guard threshold exposed so ScaleSpec
+    * can force the over-threshold path (plain joins, no broadcast hints)
+    * and prove both modes produce identical ranks — the same
+    * parameterization pattern as dedupClusters' maxBroadcastLabels. */
+  private[graft] def graphAuthority(s: SparkSession, d: String,
+      maxBroadcastNodes: Long = 1L << 21): DataFrame = {
       import s.implicits._
       val pairs = T(s, d, "lineitem").select($"l_orderkey", $"l_suppkey")
         .join(T(s, d, "orders").select($"o_orderkey", $"o_custkey"),
@@ -2249,7 +2252,7 @@ object Pipeline {
       // it fits, counted ONCE from the pinned table (p17's guard pattern;
       // past the cap every round degrades to sort-merge, same topology).
       val hint: DataFrame => DataFrame =
-        if (deg.count() <= (1L << 21)) broadcast else identity
+        if (deg.count() <= maxBroadcastNodes) broadcast else identity
       // Bidirectional edges: every node has outdeg >= 1 and indeg >= 1.
       // rank carries outdeg so each round is ONE edges-side join (the
       // per-edge contribution) + one node-side left join (the update).
@@ -2269,7 +2272,11 @@ object Pipeline {
               .as("rank"))
       }
       rank.select($"node", $"rank").orderBy($"rank".desc, $"node").limit(20)
-    },
+  }
+
+  private val p42 = Q(
+    "p42_graph_authority",
+    (s, d) => graphAuthority(s, d),
     Some("""
       WITH pairs AS (
         SELECT DISTINCT 'c' || o_custkey AS cnode, 's' || l_suppkey AS snode

@@ -191,6 +191,17 @@ class ScaleSpec extends AnyFunSuite {
     assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
   }
 
+  test("PageRank drops broadcast hints past the node guard, same ranks") {
+    val a = operators.Pipeline.graphAuthority(spark, sf)
+    assert(a.queryExecution.executedPlan.toString.contains("BroadcastExchange"),
+      "under-guard run lost its broadcast rounds")
+    val b = operators.Pipeline.graphAuthority(spark, sf, maxBroadcastNodes = 0)
+    assert(!b.queryExecution.executedPlan.toString.contains("BroadcastExchange"),
+      "over-guard run still broadcasts")
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+      "broadcast and sort-merge rounds diverge")
+  }
+
   test("Z-order file layout bounds min/max extents in both dimensions") {
     // 64x64 key grid split into 16 files of 256 rows. A linear x-sorted
     // layout bounds only x — every file still spans the FULL y range, so

@@ -2325,14 +2325,16 @@ object Pipeline {
     * per-file writer aggregate); the manifest is files × 4 words —
     * broadcast to probes, so point-lookup planning never touches data.
     */
-  /** One bloom position in [0, 240) from a salted md5 of the key — 15 hex
-    * chars = 60 bits, always positive, exact in both engines (p22's
-    * hash-sampling idiom). */
-  private[graft] def bloomPos(key: Column, salt: String): Column =
-    conv(substring(md5(concat(key.cast(StringType), lit(salt))), 1, 15),
-      16, 10).cast(LongType) % 240
-  private def bloomPosSql(key: String, salt: String): String =
-    s"('0x' || substr(md5(CAST($key AS VARCHAR) || '$salt'), 1, 15))::BIGINT % 240"
+  /** The k=2 bloom positions in [0, 240) from ONE md5 of the key (the
+    * MinHash one-md5 scheme, sigExpr above): hex chars 1–15 and 17–31
+    * are independent 60-bit halves of the digest, always positive, exact
+    * in both engines. One digest per row, not two — md5 is the dominant
+    * per-row cost of the manifest build. */
+  private[graft] def bloomPos(key: Column, half: Int): Column =
+    conv(substring(md5(concat(key.cast(StringType), lit("_bf"))),
+      if (half == 0) 1 else 17, 15), 16, 10).cast(LongType) % 240
+  private def bloomPosSql(key: String, half: Int): String =
+    s"('0x' || substr(md5(CAST($key AS VARCHAR) || '_bf'), ${if (half == 0) 1 else 17}, 15))::BIGINT % 240"
 
   /** Fold per-row positions (p1, p2) into the 4×60-bit bloom words of
     * each file_id group. bit_or is a mergeable (map-side partial)
@@ -2383,12 +2385,12 @@ object Pipeline {
       val li = T(s, d, "lineitem")
         .select(($"l_orderkey" % 32).as("file_id"), $"l_partkey")
       val blooms = bloomWords(li
-        .withColumn("p1", bloomPos($"l_partkey", "_bf1"))
-        .withColumn("p2", bloomPos($"l_partkey", "_bf2")))
+        .withColumn("p1", bloomPos($"l_partkey", 0))
+        .withColumn("p2", bloomPos($"l_partkey", 1)))
       val probes = T(s, d, "part").filter($"p_partkey" % 499 === 7)
         .select($"p_partkey".as("k"))
-        .withColumn("q1", bloomPos($"k", "_bf1"))
-        .withColumn("q2", bloomPos($"k", "_bf2"))
+        .withColumn("q1", bloomPos($"k", 0))
+        .withColumn("q2", bloomPos($"k", 1))
       val admitted = probes.crossJoin(broadcast(blooms))
         .groupBy($"k").agg(count(when(bloomHit, lit(1))).as("admitted_files"))
       val actual = li.join(broadcast(probes.select($"k")),
@@ -2406,8 +2408,8 @@ object Pipeline {
       WITH li AS (
         SELECT l_orderkey % 32 AS file_id, l_partkey FROM lineitem),
       pos AS (SELECT file_id, l_partkey,
-          ${bloomPosSql("l_partkey", "_bf1")} AS p1,
-          ${bloomPosSql("l_partkey", "_bf2")} AS p2
+          ${bloomPosSql("l_partkey", 0)} AS p1,
+          ${bloomPosSql("l_partkey", 1)} AS p2
         FROM li),
       blooms AS (SELECT file_id,
           bit_or((CASE WHEN p1 // 60 = 0 THEN (CAST(1 AS BIGINT) << (p1 % 60)) ELSE 0 END) |
@@ -2420,8 +2422,8 @@ object Pipeline {
                  (CASE WHEN p2 // 60 = 3 THEN (CAST(1 AS BIGINT) << (p2 % 60)) ELSE 0 END)) AS w3
         FROM pos GROUP BY file_id),
       probes AS (SELECT p_partkey AS k,
-          ${bloomPosSql("p_partkey", "_bf1")} AS q1,
-          ${bloomPosSql("p_partkey", "_bf2")} AS q2
+          ${bloomPosSql("p_partkey", 0)} AS q1,
+          ${bloomPosSql("p_partkey", 1)} AS q2
         FROM part WHERE p_partkey % 499 = 7),
       adm AS (SELECT k, CAST(COUNT(*) FILTER (WHERE
             ((CASE q1 // 60 WHEN 0 THEN w0 WHEN 1 THEN w1 WHEN 2 THEN w2 ELSE w3 END)

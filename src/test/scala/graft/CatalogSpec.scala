@@ -610,22 +610,22 @@ class SemanticsSpec extends AnyFunSuite {
     val li = Tables.load(spark, sf, "lineitem")
       .select(($"l_orderkey" % 32).as("file_id"), $"l_partkey")
     val words = bloomWords(li
-      .withColumn("p1", bloomPos($"l_partkey", "_bf1"))
-      .withColumn("p2", bloomPos($"l_partkey", "_bf2")))
+      .withColumn("p1", bloomPos($"l_partkey", 0))
+      .withColumn("p2", bloomPos($"l_partkey", 1)))
     // Probe with the FULL actual membership set, not p43's sampled keys:
     // a bloom may admit absent keys (false positives) but must admit
     // every present one — a single miss is a broken filter.
     val present = li.distinct()
-      .withColumn("q1", bloomPos($"l_partkey", "_bf1"))
-      .withColumn("q2", bloomPos($"l_partkey", "_bf2"))
+      .withColumn("q1", bloomPos($"l_partkey", 0))
+      .withColumn("q2", bloomPos($"l_partkey", 1))
     val missed = present.join(words, "file_id").filter(!bloomHit).count()
     assert(missed == 0, s"$missed present (key, file) pairs not admitted")
     // and the filter is non-trivial: some absent key must be rejected by
     // at least one file (otherwise the words are saturated and useless)
     val absent = Seq(999999999L).toDF("l_partkey")
       .crossJoin(words)
-      .withColumn("q1", bloomPos($"l_partkey", "_bf1"))
-      .withColumn("q2", bloomPos($"l_partkey", "_bf2"))
+      .withColumn("q1", bloomPos($"l_partkey", 0))
+      .withColumn("q2", bloomPos($"l_partkey", 1))
     assert(absent.filter(!bloomHit).count() > 0)
   }
 }

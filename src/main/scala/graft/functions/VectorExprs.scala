@@ -242,6 +242,71 @@ object LshBucket {
     })
 }
 
+/** Squared L2 distance over one aligned slice [start, start+len) of two
+  * float vectors — the product-quantization inner loop (per-subspace
+  * distance from a query/vector sub-slice to a sub-codebook centroid).
+  *
+  * Static start/len (one compiled kernel per subspace geometry, like
+  * LshBucket's nPlanes) and a single left-to-right double accumulation so
+  * the DuckDB fold over range(start+1, start+len+1) reproduces the value
+  * bit for bit. A native expression rather than
+  * `aggregate(zip_with(slice, slice))` keeps the encode scan — M·K of
+  * these per row — inside WholeStageCodegen with no per-step array
+  * re-walk.
+  */
+case class SubvectorL2(left: Expression, right: Expression,
+    start: Int, len: Int) extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType, _), ArrayType(FloatType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case _ =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"subvector_l2 needs two array<float> inputs, got " +
+            s"${left.dataType.catalogString} / ${right.dataType.catalogString}")
+    }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val end = math.min(math.min(x.numElements(), y.numElements()), start + len)
+    var acc = 0.0
+    var i = start
+    while (i < end) {
+      val d = x.getFloat(i).toDouble - y.getFloat(i).toDouble
+      acc += d * d
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val end = ctx.freshName("end")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      val d = ctx.freshName("d")
+      s"""
+        int $end = java.lang.Math.min(
+          java.lang.Math.min($x.numElements(), $y.numElements()), $start + $len);
+        double $acc = 0.0;
+        for (int $i = $start; $i < $end; $i++) {
+          double $d = (double) $x.getFloat($i) - (double) $y.getFloat($i);
+          $acc += $d * $d;
+        }
+        ${ev.value} = $acc;
+      """
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Column-API entry points for the custom expressions. */
 object VectorFunctions {
   import org.apache.spark.sql.graft.shims.{column, expression}
@@ -254,4 +319,7 @@ object VectorFunctions {
 
   def lsh_bucket(vec: Column, nPlanes: Int = 4): Column =
     column(LshBucket(expression(vec), nPlanes))
+
+  def subvector_l2(a: Column, b: Column, start: Int, len: Int): Column =
+    column(SubvectorL2(expression(a), expression(b), start, len))
 }

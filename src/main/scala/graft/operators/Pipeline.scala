@@ -2693,8 +2693,114 @@ object Pipeline {
       FROM contrib c SEMI JOIN real r ON r.day = c.wday
       GROUP BY c.wday ORDER BY c.wday"""))
 
+  /** One PQ subspace distance in DuckDB: sequential double fold over the
+    * 1-based slice [1+sub·m, 1+sub·(m+1)) — the same left-to-right
+    * accumulation SubvectorL2 compiles, so values are bit-identical. */
+  private def subL2Duck(a: String, b: String, m: Int, sub: Int = 16): String =
+    s"""list_sum(list_transform(range(${1 + sub * m}, ${1 + sub * (m + 1)}),
+          i -> (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE)) * (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE))))"""
+
+  /** p49 — ANN via product quantization (PQ): the third leg of the ANN
+    * family after p12 (random-hyperplane LSH) and p18 (IVF cells), and
+    * the one that changes the STORAGE cost, not just the probe count.
+    * The 64-dim vector splits into M=4 subspaces of 16 dims; each
+    * subspace is coded as its nearest of K=8 sub-centroids (training-free
+    * codebook: the sub-slices of vec_id 1..8, p18's stand-in pattern, so
+    * the oracle stays exact); a vector becomes 4 small ints — 256 bytes
+    * of floats → 4 codes, the 64× compression that lets a 100 TB corpus'
+    * index fit in cluster RAM. Queries never touch the original vectors:
+    * an 8×4 lookup table of query-to-centroid subspace distances is
+    * broadcast and the approximate (asymmetric) distance is 4 LUT adds
+    * per candidate — the ADC scan.
+    *
+    * Plan shape: encode = one crossJoin against the broadcast 8-row
+    * codebook with 4 codegen'd SubvectorL2 kernels per pair, reduced by
+    * a partial-aggregatable min(struct(dist, cid)) per subspace — 8 rows
+    * per vector collapse map-side, so the only shuffle carries one row
+    * per vector. The ADC phase joins the codes to the broadcast LUT four
+    * times and adds in fixed left-to-right order (cross-engine IEEE
+    * determinism), then TakeOrdered. Ties code to the smaller cid via
+    * lexicographic struct min in BOTH engines.
+    */
+  private val p49 = Q(
+    "p49_ann_pq",
+    (s, d) => {
+      import s.implicits._
+      val sub = 16
+      val emb = T(s, d, "embeddings")
+      val cents = emb.filter($"vec_id".between(1, 8))
+        .select($"vec_id".cast(IntegerType).as("cid"), $"embedding".as("cvec"))
+      val pairs = emb.crossJoin(broadcast(cents)).select(
+        Seq($"vec_id", $"label", $"cid") ++ (0 until 4).map(m =>
+          VectorFunctions.subvector_l2($"embedding", $"cvec", m * sub, sub)
+            .as(s"d$m")): _*)
+      val codes = pairs.groupBy($"vec_id")
+        .agg(min($"label").as("label"),
+          min(struct($"d0", $"cid")).as("a0"),
+          min(struct($"d1", $"cid")).as("a1"),
+          min(struct($"d2", $"cid")).as("a2"),
+          min(struct($"d3", $"cid")).as("a3"))
+        .select($"vec_id", $"label",
+          $"a0.cid".as("code0"), $"a1.cid".as("code1"),
+          $"a2.cid".as("code2"), $"a3.cid".as("code3"))
+      val q = emb.filter($"vec_id" === 0).select($"embedding".as("qvec"))
+      val qlut = cents.crossJoin(broadcast(q)).select(
+        Seq($"cid") ++ (0 until 4).map(m =>
+          VectorFunctions.subvector_l2($"qvec", $"cvec", m * sub, sub)
+            .as(s"qd$m")): _*)
+      def lut(m: Int) =
+        broadcast(qlut.select($"cid".as(s"c$m"), col(s"qd$m")))
+      codes
+        .join(lut(0), $"code0" === $"c0")
+        .join(lut(1), $"code1" === $"c1")
+        .join(lut(2), $"code2" === $"c2")
+        .join(lut(3), $"code3" === $"c3")
+        .filter($"vec_id" =!= 0)
+        .select($"vec_id", $"label", $"code0", $"code1", $"code2", $"code3",
+          dec($"qd0" + $"qd1" + $"qd2" + $"qd3", 18, 6).as("adc_dist"))
+        .orderBy($"adc_dist", $"vec_id")
+        .limit(10)
+    },
+    Some(s"""
+      WITH c AS (SELECT CAST(vec_id AS INT) AS cid, embedding AS cvec
+                 FROM embeddings WHERE vec_id BETWEEN 1 AND 8),
+      d AS (SELECT e.vec_id, e.label, c.cid,
+              ${subL2Duck("e.embedding", "c.cvec", 0)} AS d0,
+              ${subL2Duck("e.embedding", "c.cvec", 1)} AS d1,
+              ${subL2Duck("e.embedding", "c.cvec", 2)} AS d2,
+              ${subL2Duck("e.embedding", "c.cvec", 3)} AS d3
+            FROM embeddings e CROSS JOIN c),
+      r AS (SELECT *,
+              row_number() OVER (PARTITION BY vec_id ORDER BY d0, cid) AS r0,
+              row_number() OVER (PARTITION BY vec_id ORDER BY d1, cid) AS r1,
+              row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS r2,
+              row_number() OVER (PARTITION BY vec_id ORDER BY d3, cid) AS r3
+            FROM d),
+      codes AS (SELECT vec_id, MIN(label) AS label,
+              MAX(CASE WHEN r0 = 1 THEN cid END) AS code0,
+              MAX(CASE WHEN r1 = 1 THEN cid END) AS code1,
+              MAX(CASE WHEN r2 = 1 THEN cid END) AS code2,
+              MAX(CASE WHEN r3 = 1 THEN cid END) AS code3
+            FROM r GROUP BY vec_id),
+      q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0),
+      qlut AS (SELECT c.cid,
+              ${subL2Duck("q.qvec", "c.cvec", 0)} AS qd0,
+              ${subL2Duck("q.qvec", "c.cvec", 1)} AS qd1,
+              ${subL2Duck("q.qvec", "c.cvec", 2)} AS qd2,
+              ${subL2Duck("q.qvec", "c.cvec", 3)} AS qd3
+            FROM c, q)
+      SELECT v.vec_id, v.label, v.code0, v.code1, v.code2, v.code3,
+        CAST(l0.qd0 + l1.qd1 + l2.qd2 + l3.qd3 AS DECIMAL(18,6)) AS adc_dist
+      FROM codes v
+        JOIN qlut l0 ON v.code0 = l0.cid
+        JOIN qlut l1 ON v.code1 = l1.cid
+        JOIN qlut l2 ON v.code2 = l2.cid
+        JOIN qlut l3 ON v.code3 = l3.cid
+      WHERE v.vec_id <> 0
+      ORDER BY adc_dist, vec_id LIMIT 10"""))
+
   val all: Seq[Q] = Seq(p01, p02, p03, p04, p05, p06, p07, p08, p09, p10,
     p11, p12, p13, p14, p15, p16, p17, p18, p19, p20, p21, p22, p23, p24,
     p25, p26, p27, p28, p29, p30, p31, p32, p33, p34, p35, p36, p37, p38,
-    p39, p40, p41, p42, p43, p44, p45, p46, p47, p48)
+    p39, p40, p41, p42, p43, p44, p45, p46, p47, p48, p49)
 }

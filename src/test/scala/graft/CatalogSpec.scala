@@ -628,4 +628,51 @@ class SemanticsSpec extends AnyFunSuite {
       .withColumn("q2", bloomPos($"l_partkey", 1))
     assert(absent.filter(!bloomHit).count() > 0)
   }
+
+  test("PQ: kernel exactness, centroid self-coding, broadcast-only joins") {
+    import graft.functions.VectorFunctions.subvector_l2
+    val emb = Tables.load(spark, sf, "embeddings")
+    // SubvectorL2 equals the same left-to-right fold computed in plain
+    // Scala — bit-exact, both full-range and one interior subspace.
+    val two = emb.filter($"vec_id".isin(3, 4))
+      .select($"embedding").as[Array[Float]].collect()
+    def refL2(a: Array[Float], b: Array[Float], s0: Int, len: Int): Double = {
+      var acc = 0.0
+      for (i <- s0 until math.min(a.length, s0 + len)) {
+        val d = a(i).toDouble - b(i).toDouble; acc += d * d
+      }
+      acc
+    }
+    val Array(va, vb) = two
+    val got = Seq((va, vb)).toDF("a", "b")
+      .select(subvector_l2($"a", $"b", 0, 64).as("full"),
+        subvector_l2($"a", $"b", 16, 16).as("m1"))
+      .as[(Double, Double)].head()
+    assert(got._1 == refL2(va, vb, 0, 64))
+    assert(got._2 == refL2(va, vb, 16, 16))
+    // Every centroid must encode to its own cid in every subspace (its
+    // sub-distance to itself is exactly 0.0), and all codes stay in the
+    // codebook range.
+    val df = Catalog.byName("p49_ann_pq").run(spark, sf)
+    val cents = emb.filter($"vec_id".between(1, 8))
+      .select($"vec_id".cast("int").as("cid"), $"embedding".as("cvec"))
+    val selfCoded = emb.filter($"vec_id".between(1, 8))
+      .crossJoin(broadcast(cents))
+      .select(Seq($"vec_id", $"cid") ++ (0 until 4).map(m =>
+        subvector_l2($"embedding", $"cvec", m * 16, 16).as(s"d$m")): _*)
+      .groupBy($"vec_id")
+      .agg(min(struct($"d0", $"cid")).as("a0"), min(struct($"d1", $"cid")).as("a1"),
+        min(struct($"d2", $"cid")).as("a2"), min(struct($"d3", $"cid")).as("a3"))
+      .filter($"a0.cid" === $"vec_id" && $"a1.cid" === $"vec_id" &&
+        $"a2.cid" === $"vec_id" && $"a3.cid" === $"vec_id")
+    assert(selfCoded.count() == 8, "a centroid did not code to itself")
+    val rows = df.select($"code0", $"code1", $"code2", $"code3")
+      .as[(Int, Int, Int, Int)].collect()
+    assert(rows.nonEmpty && rows.forall { case (a, b, c, e) =>
+      Seq(a, b, c, e).forall(x => x >= 1 && x <= 8) })
+    // Scale contract: the codebook and LUT are broadcast; nothing in the
+    // plan may fall back to a shuffled join.
+    val plan = df.queryExecution.executedPlan.toString()
+    assert(!plan.contains("SortMergeJoin"), s"shuffled join in PQ plan:\n$plan")
+  }
 }

@@ -2799,8 +2799,105 @@ object Pipeline {
       WHERE v.vec_id <> 0
       ORDER BY adc_dist, vec_id LIMIT 10"""))
 
+  /** p50 — incremental aggregate maintenance: keep a pre-aggregated
+    * table current under a changelog of inserts AND retractions without
+    * rescanning the base data — materialized-view delta maintenance,
+    * p47's aggregate-level sibling (p47 compacts a changelog of rows;
+    * this folds one into standing aggregates). Counts and DECIMAL sums
+    * are abelian under signed multiplicity, so the maintenance algebra
+    * is: aggregate ONLY the changelog with sign ∈ {+1, −1}, union the
+    * signed partials with the state rows, and re-aggregate — the
+    * classic mergeable partial-aggregate topology, no join at all.
+    *
+    * Here the state is derived in-plan from the pre-cutoff partition
+    * (there is no persisted table between driver runs) so the oracle
+    * can recompute the same answer flat from scratch — the differential
+    * gate then checks the MAINTENANCE ALGEBRA itself: state ⊕ delta
+    * must equal full recompute over (base − retracted + inserted).
+    *
+    * 100 TB shape: the state input is the stored aggregate table (one
+    * row per group — already tiny), the delta aggregate shuffles only
+    * the changelog, and the merge shuffles state-rows + delta-rows on
+    * the group key. The base fact table is never rescanned, which is
+    * the entire point at scale. MergeSpec proves the algebra is
+    * associative: applying the changelog in any split of batches gives
+    * the identical table.
+    */
+  /** The standing aggregate (pre-cutoff partition, one row per group)
+    * and the signed changelog: post-cutoff inserts (+1) plus synthetic
+    * retractions (−1) of every 97th pre-cutoff order (a correction /
+    * erasure stand-in). Both carry raw order rows; aggregation shape is
+    * shared below. */
+  private[graft] def incAggParts(s: SparkSession, d: String)
+      : (DataFrame, DataFrame) = {
+    import s.implicits._
+    val orders = T(s, d, "orders")
+    val cutoff = lit("1997-01-01").cast(TimestampType)
+    val state = signedDeltaAgg(
+      orders.filter($"o_orderdate" < cutoff)
+        .select($"o_custkey", $"o_orderpriority", $"o_totalprice",
+          lit(1L).as("sign")))
+    val changelog = orders.filter($"o_orderdate" >= cutoff)
+      .select($"o_custkey", $"o_orderpriority", $"o_totalprice",
+        lit(1L).as("sign"))
+      .unionAll(orders
+        .filter($"o_orderdate" < cutoff && $"o_orderkey" % 97 === 0)
+        .select($"o_custkey", $"o_orderpriority", $"o_totalprice",
+          lit(-1L).as("sign")))
+    (state, changelog)
+  }
+
+  /** Signed-multiplicity aggregation of raw changelog rows into the
+    * state schema (cust_bucket, priority, cnt, tot). */
+  private[graft] def signedDeltaAgg(log: DataFrame): DataFrame = {
+    import log.sparkSession.implicits._
+    log.groupBy(($"o_custkey" % 50).as("cust_bucket"),
+        $"o_orderpriority".as("priority"))
+      .agg(sum($"sign").as("cnt"),
+        sum($"sign" * dec($"o_totalprice", 18, 2))
+          .cast(DecimalType(38, 2)).as("tot"))
+  }
+
+  /** Merge two partial-aggregate tables: union + re-aggregate. Closed
+    * under the state schema, associative and commutative (counts and
+    * DECIMAL sums are abelian), so changelog batches may be applied in
+    * any grouping — MergeSpec proves it. Zero-count groups are KEPT:
+    * a net-zero count can carry a non-zero sum (an insert and a
+    * retraction of different-priced rows), so dropping them mid-stream
+    * would corrupt later merges; presentation filters cnt > 0 at the
+    * end. */
+  private[graft] def mergeAggState(a: DataFrame, b: DataFrame): DataFrame = {
+    import a.sparkSession.implicits._
+    a.unionByName(b)
+      .groupBy($"cust_bucket", $"priority")
+      .agg(sum($"cnt").as("cnt"),
+        sum($"tot").cast(DecimalType(38, 2)).as("tot"))
+  }
+
+  private val p50 = Q(
+    "p50_incremental_agg",
+    (s, d) => {
+      import s.implicits._
+      val (state, changelog) = incAggParts(s, d)
+      mergeAggState(state, signedDeltaAgg(changelog))
+        .filter($"cnt" > 0)
+        .select($"cust_bucket", $"priority", $"cnt".as("n_orders"),
+          $"tot".as("total"))
+        .orderBy($"cust_bucket", $"priority")
+    },
+    Some("""
+      WITH eff AS (
+        SELECT * FROM orders
+        WHERE o_orderdate < TIMESTAMP '1997-01-01' AND o_orderkey % 97 <> 0
+        UNION ALL
+        SELECT * FROM orders WHERE o_orderdate >= TIMESTAMP '1997-01-01')
+      SELECT o_custkey % 50 AS cust_bucket, o_orderpriority AS priority,
+        CAST(COUNT(*) AS BIGINT) AS n_orders,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total
+      FROM eff GROUP BY 1, 2 HAVING COUNT(*) > 0 ORDER BY 1, 2"""))
+
   val all: Seq[Q] = Seq(p01, p02, p03, p04, p05, p06, p07, p08, p09, p10,
     p11, p12, p13, p14, p15, p16, p17, p18, p19, p20, p21, p22, p23, p24,
     p25, p26, p27, p28, p29, p30, p31, p32, p33, p34, p35, p36, p37, p38,
-    p39, p40, p41, p42, p43, p44, p45, p46, p47, p48, p49)
+    p39, p40, p41, p42, p43, p44, p45, p46, p47, p48, p49, p50)
 }

@@ -675,4 +675,33 @@ class SemanticsSpec extends AnyFunSuite {
     val plan = df.queryExecution.executedPlan.toString()
     assert(!plan.contains("SortMergeJoin"), s"shuffled join in PQ plan:\n$plan")
   }
+
+  test("incremental agg: batch-split associativity and flat-recompute equality") {
+    import operators.Pipeline.{incAggParts, mergeAggState, signedDeltaAgg}
+    val (state, log) = incAggParts(spark, sf)
+    val whole = mergeAggState(state, signedDeltaAgg(log))
+    // Apply the changelog in two arbitrary batches: (state ⊕ d1) ⊕ d2
+    // must equal state ⊕ (d1 ∪ d2) — the mergeable-state contract that
+    // lets 100 TB maintenance run per-partition/per-day without a
+    // global barrier.
+    val split = mergeAggState(
+      mergeAggState(state, signedDeltaAgg(log.filter($"o_custkey" % 2 === 0))),
+      signedDeltaAgg(log.filter($"o_custkey" % 2 =!= 0)))
+    assert(split.exceptAll(whole).isEmpty && whole.exceptAll(split).isEmpty)
+    // And the maintained state equals a from-scratch recompute over the
+    // effective multiset (base − retracted + inserted).
+    val orders = Tables.load(spark, sf, "orders")
+    val cutoff = lit("1997-01-01").cast("timestamp")
+    val eff = orders
+      .filter($"o_orderdate" < cutoff && $"o_orderkey" % 97 =!= 0)
+      .unionAll(orders.filter($"o_orderdate" >= cutoff))
+    val flat = eff
+      .groupBy(($"o_custkey" % 50).as("cust_bucket"),
+        $"o_orderpriority".as("priority"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(Catalog.dec($"o_totalprice", 18, 2))
+          .cast(org.apache.spark.sql.types.DecimalType(38, 2)).as("tot"))
+    val maintained = whole.filter($"cnt" > 0)
+    assert(maintained.exceptAll(flat).isEmpty && flat.exceptAll(maintained).isEmpty)
+  }
 }

@@ -35,25 +35,70 @@ object Bench {
     // as a 7 s phantom regression on that entry.
     Tables.registerAll(spark, sfDir)
 
+    // Environment calibration (r05: four entries read 8–20 s in the
+    // driver's run vs 0.6–2 s on identical code/data in-round, the second
+    // environmental whipsaw after r03's 100 s stalls). The probe is a
+    // FIXED pure-compute query — a 2M-row range aggregated through the
+    // noop sink, no IO, no catalog code — so its cost can only move with
+    // the measuring host. Run at start/middle/end and recorded in
+    // bench_full.json as _calib_{start,mid,end}: a healthy run reads
+    // ~0.1–0.3 s each; anything above ~1 s marks that WINDOW of the run
+    // as environment-inflated, de-noising per-entry deltas.
+    def calibrate(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(0, 2000000, 1, 32)
+        // bit_xor: overflow-free under ANSI mode (a sum of 2M scaled ids
+        // exceeds Long.Max), still forces per-row multiply + full agg.
+        .selectExpr("bit_xor(id * 2654435761) as s", "count(1) as n")
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val gcBeans = java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+    def gcMs(): Long = {
+      var t = 0L; gcBeans.forEach(b => t += math.max(0L, b.getCollectionTime)); t
+    }
+
     // Optional args restrict the run to named queries (dev loop); the
     // driver always calls with no args.
     val only = args.toSet
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+    val catalog = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.isEmpty || only(name) }
-      .map { case (name, fn) =>
+    val calibStart = calibrate()
+    val mid = catalog.size / 2
+    var calibMid = 0.0
+    val timed = catalog.zipWithIndex.map { case ((name, fn), i) =>
+      if (i == mid && catalog.size > 2) calibMid = calibrate()
+      val g0 = gcMs()
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable => System.err.println(s"[bench] $name: ${e.getMessage}") }
       val sec = (System.nanoTime() - t0) / 1e9
       // Per-query line as we go: if the run stalls (r03: environmental
-      // 100s pauses), the driver's captured log tail shows exactly where.
-      System.err.println(f"[bench] $name%-28s $sec%8.3f s")
+      // 100s pauses), the driver's captured log tail shows exactly where —
+      // and the gc column says whether the JVM (gc-bound) or the host
+      // (time passes, no gc) ate the wall clock.
+      System.err.println(f"[bench] $name%-28s $sec%8.3f s  gc=${gcMs() - g0}%4d ms")
+      // Iterative entries (p17/p42) localCheckpoint between rounds; the
+      // blocks outlive the entry (freed only on driver GC via the
+      // ContextCleaner) and degrade every later entry (r06 forensics:
+      // sql_tpch_q09 2.3 s solo → 18.8 s late in the full run, ~100 s
+      // of the catalog total). Their results are already materialized
+      // here, so drop the blocks eagerly — each entry starts clean.
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
       name -> sec
     }
+    val calibEnd = calibrate()
+    System.err.println(f"[bench] calibration start/mid/end: " +
+      f"$calibStart%.3f / $calibMid%.3f / $calibEnd%.3f s " +
+      f"(>~1 s ⇒ that window of THIS run is environment-inflated)")
+    val results = timed ++ Seq("_calib_start" -> calibStart,
+      "_calib_mid" -> calibMid, "_calib_end" -> calibEnd)
     def toJson(rs: Seq[(String, Double)]): String =
       rs.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
         .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    // Calibration probes are diagnostics, not catalog entries: keep them
+    // out of the headline total and entry count.
+    val total = timed.map(_._2).sum
     // The driver captures only a bounded tail of stdout: printing all
     // ~100 per-query timings makes the JSON line longer than the capture
     // window and the head of the line is lost (rounds 1 and 2 both came
@@ -67,8 +112,8 @@ object Bench {
       "w02_hopping_agg", "w03_session_agg",
       "p01_dedup_exact", "p08_minhash_lsh_pairs", "p16_ngram_jaccard",
       "p17_dedup_clusters", "p20_pipeline_e2e")
-    val qs = toJson(results.filter { case (k, _) => headline(k) })
-    val n = results.size
+    val qs = toJson(timed.filter { case (k, _) => headline(k) })
+    val n = timed.size
     // Absolute path (r03 advice: a CWD-relative path lands wherever the
     // driver launched the JVM); overridable for dev loops.
     val fullPath = java.nio.file.Paths.get(sys.env.getOrElse(

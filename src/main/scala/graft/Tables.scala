@@ -33,6 +33,14 @@ object Tables {
         case org.apache.spark.sql.types.LongType =>
           raw.withColumn("ts", org.apache.spark.sql.functions.expr(
             "timestamp_micros(ts div 1000)"))
+        // Driver data has also shipped as TIMESTAMP_NTZ (µs, no tz), which
+        // time functions like unix_micros() reject. The session tz is
+        // pinned UTC everywhere (Verify/Bench/tests), so casting to
+        // TIMESTAMP preserves the epoch-µs value bit-for-bit and keeps
+        // every DuckDB oracle aligned.
+        case _: org.apache.spark.sql.types.TimestampNTZType =>
+          raw.withColumn("ts", org.apache.spark.sql.functions.col("ts")
+            .cast(org.apache.spark.sql.types.TimestampType))
         case _ => raw
       }
     } else {

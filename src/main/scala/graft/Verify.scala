@@ -117,6 +117,11 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
         substituted.foreach(sql => oracles += name -> sql)
       }
+      // Same hygiene as Bench: iterative entries localCheckpoint between
+      // rounds and the blocks outlive the entry, slowing every later one
+      // (r06: ~100 s of drag across a full sequential run). Results are
+      // on disk by now; start the next entry clean.
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

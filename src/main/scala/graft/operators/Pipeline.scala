@@ -2871,6 +2871,10 @@ object Pipeline {
     a.unionByName(b)
       .groupBy($"cust_bucket", $"priority")
       .agg(sum($"cnt").as("cnt"),
+        // The cast is a no-op today (sum over DECIMAL(38,2) is already
+        // (38,2)) but pins the state-schema contract explicitly: merge
+        // output must be unionByName-able with state rows forever, even
+        // if Spark's sum-of-decimal result type ever changes.
         sum($"tot").cast(DecimalType(38, 2)).as("tot"))
   }
 
@@ -2894,7 +2898,7 @@ object Pipeline {
       SELECT o_custkey % 50 AS cust_bucket, o_orderpriority AS priority,
         CAST(COUNT(*) AS BIGINT) AS n_orders,
         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total
-      FROM eff GROUP BY 1, 2 HAVING COUNT(*) > 0 ORDER BY 1, 2"""))
+      FROM eff GROUP BY 1, 2 ORDER BY 1, 2"""))
 
   val all: Seq[Q] = Seq(p01, p02, p03, p04, p05, p06, p07, p08, p09, p10,
     p11, p12, p13, p14, p15, p16, p17, p18, p19, p20, p21, p22, p23, p24,

@@ -12,15 +12,34 @@ import org.apache.spark.sql.types._
   * clusters add `spark-sql-kafka-0-10` / `spark-streaming-sql-kinesis`
   * to the classpath and call `.load()` on the returned reader.
   *
-  * ENVIRONMENT BLOCKER, verified round 5: no kafka/kinesis connector
-  * artifact exists in `/opt/spark/jars` or the offline coursier/ivy
-  * caches, so offline resolution cannot supply one. What IS executable is
-  * covered: SinksSpec drives the SQS file transport through this exact
-  * builder INCLUDING `.load()` end-to-end, asserts via reflection that the
-  * kafka/kinesis builders set format and every option verbatim (a typo
-  * here would otherwise ship silently), and pins the kafka `.load()`
-  * failure to the data-source-lookup error — i.e. the first thing a
-  * deploying cluster's classpath fixes.
+  * ENVIRONMENT BLOCKER, verified rounds 5 AND 6: no kafka/kinesis
+  * connector artifact exists in `/opt/spark/jars` or the offline
+  * coursier/ivy caches (re-checked r6: zero matches for kafka|kinesis
+  * anywhere), so offline resolution cannot supply one and an embedded
+  * broker is equally impossible (the broker itself ships in the same
+  * absent kafka jars). What IS executable is covered: SinksSpec drives
+  * the SQS file transport through this exact builder INCLUDING `.load()`
+  * end-to-end, asserts via reflection that the kafka/kinesis builders set
+  * format and every option verbatim (a typo here would otherwise ship
+  * silently), and pins the kafka `.load()` failure to the
+  * data-source-lookup error — i.e. the first thing a deploying cluster's
+  * classpath fixes.
+  *
+  * ENABLEMENT (deploying cluster, verbatim):
+  *   Kafka — add to spark-submit:
+  *     --packages org.apache.spark:spark-sql-kafka-0-10_2.13:4.1.2
+  *   (pulls kafka-clients, spark-token-provider-kafka-0-10, commons-pool2
+  *   transitively; version must match the Spark runtime exactly). Then
+  *   `Connectors.kafkaReader(spark, "host:9092", "bids").load()` and pipe
+  *   through [[decodeBidJson]]. One-line smoke test: produce a single JSON
+  *   bid onto the topic and assert `decodeBidJson(df)` yields it with
+  *   `startingOffsets=earliest` in a 1-trigger `writeStream` to memory.
+  *   Kinesis — the structured-streaming connector is AWS Labs'
+  *   spark-sql-kinesis-connector (github.com/awslabs/spark-sql-kinesis-connector);
+  *   add its published jar for Scala 2.13 to the classpath, then
+  *   `Connectors.kinesisReader(spark, "bids", "us-east-1").load()` through
+  *   [[decodeBidKinesis]], smoke-tested the same way against a
+  *   kinesis-mock/localstack `endpointUrl`.
   *
   * The decode chains are transport-independent pure-column transforms
   * (tested in SinksSpec over synthesized payload frames): every transport

@@ -704,4 +704,32 @@ class SemanticsSpec extends AnyFunSuite {
     val maintained = whole.filter($"cnt" > 0)
     assert(maintained.exceptAll(flat).isEmpty && flat.exceptAll(maintained).isEmpty)
   }
+
+  test("incremental agg: a fully-retracted group survives merges, drops at presentation") {
+    // r05 advice: the sf workload never nets a group to zero, so the
+    // cnt > 0 presentation path was untested. Synthesize it: group A's
+    // only row is inserted then retracted at a DIFFERENT price (a
+    // correction), leaving cnt = 0 with tot ≠ 0 — the case the state
+    // must carry through intermediate merges (dropping it would lose the
+    // −10.00) until a later batch re-inserts into the group.
+    import operators.Pipeline.{mergeAggState, signedDeltaAgg}
+    def log(rows: (Long, String, Double, Long)*) =
+      rows.toDF("o_custkey", "o_orderpriority", "o_totalprice", "sign")
+    val b1 = signedDeltaAgg(log((1L, "A", 10.0, 1L), (2L, "B", 5.0, 1L)))
+    val b2 = signedDeltaAgg(log((1L, "A", 20.0, -1L)))
+    val mid = mergeAggState(b1, b2)
+    // Mid-stream: group (1, A) netted to cnt 0 but tot −10.00 — KEPT.
+    val a = mid.filter($"cust_bucket" === 1 && $"priority" === "A")
+      .select($"cnt", $"tot".cast("double")).as[(Long, Double)].collect()
+    assert(a.sameElements(Array((0L, -10.0))), s"net-zero group lost: ${a.toSeq}")
+    // Presentation after this batch: only (2, B) shows.
+    assert(mid.filter($"cnt" > 0).count() == 1)
+    // A later batch re-inserts into the group; the carried −10.00 must
+    // surface (the correction nets against the new row).
+    val b3 = signedDeltaAgg(log((1L, "A", 30.0, 1L)))
+    val fin = mergeAggState(mid, b3).filter($"cnt" > 0)
+      .filter($"cust_bucket" === 1 && $"priority" === "A")
+      .select($"cnt", $"tot".cast("double")).as[(Long, Double)].collect()
+    assert(fin.sameElements(Array((1L, 20.0))), s"carried sum lost: ${fin.toSeq}")
+  }
 }

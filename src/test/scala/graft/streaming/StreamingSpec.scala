@@ -679,4 +679,120 @@ class StreamingSpec extends AnyFunSuite {
         "expected both attributed and organic purchases in the corpus")
     }
   }
+
+  private def tmpDir(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  /** Split the real events table at an event-time cutoff, land each chunk
+    * as one parquet file, and run `mkQuery` twice over a file source on the
+    * SAME checkpoint — a fresh query instance per run (the SinksSpec restart
+    * pattern). Returns the per-run foreachBatch captures. One file per
+    * chunk ⇒ one batch per run, so the per-user cross-trigger event-time
+    * order the processors contract on holds by construction.
+    */
+  private def restartRuns[T](events: DataFrame, cutUs: Long,
+      mk: DataFrame => org.apache.spark.sql.Dataset[T])(
+      collect: DataFrame => Seq[T]): (Seq[T], Seq[T]) = {
+    val in = tmpDir("tws_restart_in")
+    val ckpt = tmpDir("tws_restart_ckpt")
+    val cutoff = timestamp_micros(lit(cutUs))
+    val schema = events.schema
+    def runOnce(): Seq[T] = {
+      val sink = scala.collection.mutable.ArrayBuffer.empty[T]
+      val src = spark.readStream.schema(schema).parquet(in)
+      val q = mk(src).toDF().writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (df: DataFrame, _: Long) =>
+          sink.synchronized { sink ++= collect(df) }; ()
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination(60000)
+      sink.toSeq
+    }
+    events.filter($"ts" < cutoff).coalesce(1).write.mode("append").parquet(in)
+    val run1 = runOnce()
+    events.filter($"ts" >= cutoff).coalesce(1).write.mode("append").parquet(in)
+    (run1, runOnce())
+  }
+
+  test("funnel once-only emission survives a checkpoint restart") {
+    withRocksDb {
+      val ev = graft.Tables.load(spark, "/root/testdata/sf0.001", "events")
+        .select($"user_id", $"event_type", $"ts").cache()
+      // Median event time: both chunks carry stage completions.
+      val cutUs = ev.select(unix_micros($"ts").as("us"))
+        .stat.approxQuantile("us", Array(0.5), 0.0).head.toLong
+      val (run1, run2) = restartRuns(ev, cutUs,
+        df => StatefulProcessors.funnelStages(df))(
+        df => df.as[FunnelDone].collect().toSeq)
+      val gotAll = (run1 ++ run2).map(f => (f.userId, f.vUs, f.cUs, f.pUs))
+      // Once-only across recovery: no user emits twice, in either run or
+      // across the restart boundary (state carried ⇒ run 2 must KNOW a
+      // user already completed).
+      assert(gotAll.map(_._1).distinct.size == gotAll.size,
+        "restart re-emitted a completed funnel")
+      // No reprocessing: run-2 completions need a chunk-2 purchase.
+      assert(run2.forall(_.pUs >= cutUs),
+        "run 2 emitted a completion whose purchase was in chunk 1 (replay)")
+      // Union equals the batch recompute over the full corpus — the same
+      // join-chain the mid-run equivalence test pins.
+      val evUs = ev.select($"user_id", $"event_type", unix_micros($"ts").as("us"))
+      val v = evUs.filter($"event_type" === "view")
+        .groupBy($"user_id").agg(min($"us").as("v_us"))
+      val c = evUs.filter($"event_type" === "click")
+        .join(v, "user_id").filter($"us" > $"v_us")
+        .groupBy($"user_id", $"v_us").agg(min($"us").as("c_us"))
+      val p = evUs.filter($"event_type" === "purchase")
+        .join(c, "user_id").filter($"us" > $"c_us")
+        .groupBy($"user_id", $"v_us", $"c_us").agg(min($"us").as("p_us"))
+      val expect = p.as[(Long, Long, Long, Long)].collect().toSet
+      assert(gotAll.nonEmpty && gotAll.toSet == expect,
+        s"restarted stream ${gotAll.size} vs batch ${expect.size} completions")
+    }
+  }
+
+  test("attribution decisions survive a checkpoint restart without replay") {
+    withRocksDb {
+      val ev = graft.Tables.load(spark, "/root/testdata/sf0.001", "events")
+        .select($"user_id", $"event_type", $"ts").cache()
+      val cutUs = ev.select(unix_micros($"ts").as("us"))
+        .stat.approxQuantile("us", Array(0.5), 0.0).head.toLong
+      val (run1, run2) = restartRuns(ev, cutUs,
+        df => StatefulProcessors.attribution(df))(
+        df => df.as[AttrOut].collect().toSeq)
+      // Exactly one decision per purchase: no replay across the restart.
+      val gotAll = (run1 ++ run2).map(a => (a.userId, a.pUs, a.attributed, a.lagUs))
+      assert(gotAll.map(t => (t._1, t._2)).distinct.size == gotAll.size,
+        "restart duplicated an attribution decision")
+      assert(run2.forall(_.pUs >= cutUs),
+        "run 2 re-decided a chunk-1 purchase (replay)")
+      // Union equals the batch window scan over the full corpus.
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"user_id").orderBy($"us")
+        .rangeBetween(Long.MinValue, -1)
+      val expect = ev
+        .select($"user_id", $"event_type", unix_micros($"ts").as("us"))
+        .withColumn("last_click",
+          max(when($"event_type" === "click", $"us")).over(w))
+        .filter($"event_type" === "purchase")
+        .withColumn("attributed",
+          $"last_click".isNotNull && $"last_click" >= $"us" - 3600000000L)
+        .select($"user_id", $"us", $"attributed",
+          when($"attributed", $"us" - $"last_click").otherwise(0L))
+        .as[(Long, Long, Boolean, Long)].collect().toSet
+      assert(gotAll.toSet == expect,
+        s"restarted stream ${gotAll.size} vs batch ${expect.size} decisions")
+      // lastClick state carried: every batch-expected chunk-2 purchase
+      // whose attributed click precedes the cutoff must appear in run 2 —
+      // only possible if the restart restored per-user state. (Derived
+      // from the batch side so the assertion can't flake on where the
+      // median cutoff lands; if the corpus has none, the union equality
+      // above still pins correctness.)
+      val crossExpected = expect.filter { case (_, pUs, attr, lag) =>
+        attr && pUs >= cutUs && pUs - lag < cutUs }
+      val run2Set = run2.map(a => (a.userId, a.pUs, a.attributed, a.lagUs)).toSet
+      assert(crossExpected.subsetOf(run2Set),
+        s"${crossExpected.size} cross-restart attributions missing from run 2")
+    }
+  }
 }

@@ -2900,8 +2900,94 @@ object Pipeline {
         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total
       FROM eff GROUP BY 1, 2 ORDER BY 1, 2"""))
 
+  /** p51 — BM25 ranked retrieval over the corpus: the scoring sibling of
+    * p34's boolean search (match/no-match → relevance order). Classic
+    * Okapi shape — per-term tf saturation (k1 = 1.2) and document-length
+    * normalization (b = 0.75) against the corpus average — with one
+    * deliberate substitution: the idf factor is the RATIONAL core
+    * (N − df + 0.5)/(df + 0.5) WITHOUT the log wrap. ln() is the one
+    * operation in the formula with no cross-engine bit guarantee (libm vs
+    * JVM intrinsics are each <1 ulp but not identical); every remaining
+    * op is IEEE-754 +,−,×,÷ which both engines round identically, so the
+    * score is bit-equal and hash-gateable. The rational idf is a strictly
+    * monotone transform of the classic one, so per-term orderings agree.
+    *
+    * Float-sum determinism: per-doc scores are NOT a shuffled SUM over
+    * terms (partial-agg order would be nondeterministic); each term's
+    * contribution lands in its own pivot column (max over exactly one
+    * row) and the score is one fixed left-to-right add chain, identical
+    * in both engines.
+    *
+    * 100 TB shape: the only corpus-sized shuffles carry (doc, term) rows
+    * bounded by |docs|×|query terms| — the tokenizer explode is filtered
+    * to the query vocabulary BEFORE any shuffle; df (|terms| rows) and
+    * the corpus stats (1 row) broadcast; the final top-k is a
+    * TakeOrdered, no global sort materialization.
+    */
+  private val p51 = Q(
+    "p51_bm25_rank",
+    (s, d) => {
+      import s.implicits._
+      val terms = Seq("spark", "join", "window", "hash")
+      val docs = T(s, d, "documents")
+      val dl = docs.select($"doc_id",
+        size(split($"text", " ")).cast(LongType).as("dl"))
+      val st = dl.agg(count(lit(1)).as("n"), sum($"dl").as("tot"))
+      val tf = docs.select($"doc_id", explode(split($"text", " ")).as("w"))
+        .filter($"w".isin(terms: _*))
+        .groupBy($"doc_id", $"w").agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy($"w").agg(countDistinct($"doc_id").as("dft"))
+      val avgdl = $"tot".cast(DoubleType) / $"n"
+      val contrib = (($"n" - $"dft" + lit(0.5)) / ($"dft" + lit(0.5))) *
+        (($"tf" * lit(2.2)) /
+          ($"tf" + lit(1.2) * (lit(0.25) + lit(0.75) * ($"dl" / avgdl))))
+      val scored = tf.join(broadcast(dfreq), "w")
+        .join(dl, "doc_id")
+        .crossJoin(broadcast(st))
+        .select($"doc_id", $"w", contrib.as("contrib"))
+      def term(t: String): Column =
+        coalesce(max(when($"w" === t, $"contrib")), lit(0.0))
+      // Final DECIMAL(38,10) snap (house float rule, Catalog.scala): the
+      // formula's ×/+ chains invite FMA contraction in DuckDB's compiled
+      // kernels (observed: 1–2 ulp drift vs the JVM), so raw doubles
+      // aren't hash-stable; at 1e-10 granularity the drift vanishes and
+      // distinct scores stay separated by far more than the snap.
+      scored.groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_hits"),
+          dec(term("spark") + term("join") + term("window") + term("hash"),
+            38, 10).as("score"))
+        .orderBy($"score".desc, $"doc_id")
+        .limit(20)
+    },
+    Some("""
+      WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+      dlt AS (
+        SELECT doc_id, CAST(length(string_split(text, ' ')) AS BIGINT) AS dl
+        FROM documents),
+      st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(dl) AS BIGINT) AS tot
+             FROM dlt),
+      tf AS (SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS tf FROM toks
+             WHERE w IN ('spark', 'join', 'window', 'hash') GROUP BY 1, 2),
+      dfreq AS (SELECT w, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS dft
+                FROM tf GROUP BY 1),
+      c AS (
+        SELECT tf.doc_id, tf.w,
+          ((n - dft + 0.5) / (dft + 0.5)) *
+          ((tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * (dl / (CAST(tot AS DOUBLE) / n)))))
+            AS contrib
+        FROM tf JOIN dfreq USING (w) JOIN dlt USING (doc_id) CROSS JOIN st)
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits,
+        CAST(COALESCE(MAX(CASE WHEN w = 'spark' THEN contrib END), 0.0)
+        + COALESCE(MAX(CASE WHEN w = 'join' THEN contrib END), 0.0)
+        + COALESCE(MAX(CASE WHEN w = 'window' THEN contrib END), 0.0)
+        + COALESCE(MAX(CASE WHEN w = 'hash' THEN contrib END), 0.0)
+          AS DECIMAL(38,10)) AS score
+      FROM c GROUP BY doc_id
+      ORDER BY score DESC, doc_id LIMIT 20"""))
+
   val all: Seq[Q] = Seq(p01, p02, p03, p04, p05, p06, p07, p08, p09, p10,
     p11, p12, p13, p14, p15, p16, p17, p18, p19, p20, p21, p22, p23, p24,
     p25, p26, p27, p28, p29, p30, p31, p32, p33, p34, p35, p36, p37, p38,
-    p39, p40, p41, p42, p43, p44, p45, p46, p47, p48, p49, p50)
+    p39, p40, p41, p42, p43, p44, p45, p46, p47, p48, p49, p50, p51)
 }

@@ -32,6 +32,11 @@ object Probe {
       time("p15_fuzzy_dedup")(operators.Pipeline.fuzzyDedupPairs(docs, cap).count())
     if (which == "p16" || which == "both")
       time("p16_ngram_jaccard")(operators.Pipeline.ngramJaccardPairs(docs, cap).count())
+    // Stage decomposition of the PageRank entry: where do the seconds go
+    // at a given sf — graph build (join+distinct), the two pins, or the
+    // unrolled rounds?
+    if (which == "p42")
+      operators.Pipeline.graphAuthorityProbe(spark, dir, time)
     spark.stop()
   }
 }

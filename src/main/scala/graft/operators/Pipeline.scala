@@ -2237,14 +2237,25 @@ object Pipeline {
   private[graft] def graphAuthority(s: SparkSession, d: String,
       maxBroadcastNodes: Long = 1L << 21): DataFrame = {
       import s.implicits._
+      // Node ids stay INTEGER through every shuffle/group/join (customer
+      // 2k, supplier 2k+1 — disjoint by parity); the "c…"/"s…" display
+      // strings are minted only at presentation. String keys here cost
+      // measurably at sf0.1 (~35% of the entry) and linearly more at
+      // scale — 8-byte fixed-width keys hash, compare, and ship cheaper
+      // than varlen UTF8 in every round.
       val pairs = T(s, d, "lineitem").select($"l_orderkey", $"l_suppkey")
         .join(T(s, d, "orders").select($"o_orderkey", $"o_custkey"),
           $"l_orderkey" === $"o_orderkey")
-        .select(concat(lit("c"), $"o_custkey").as("cnode"),
-          concat(lit("s"), $"l_suppkey").as("snode"))
+        .select(($"o_custkey" * 2).as("cnode"),
+          ($"l_suppkey" * 2 + 1).as("snode"))
         .distinct()
-      val edges = pin(pairs.select($"cnode".as("src"), $"snode".as("dst"))
-        .unionAll(pairs.select($"snode".as("src"), $"cnode".as("dst"))))
+      // Pin the UNDIRECTED pairs (5.9M rows at sf1), not the doubled edge
+      // list (11.7M): the union-reversal is a narrow re-projection of the
+      // pinned blocks, so each round scans the same total rows either way
+      // while the checkpoint write/storage halves.
+      val pinnedPairs = pin(pairs)
+      val edges = pinnedPairs.select($"cnode".as("src"), $"snode".as("dst"))
+        .unionAll(pinnedPairs.select($"snode".as("src"), $"cnode".as("dst")))
       val deg = pin(edges.groupBy($"src").agg(count(lit(1)).as("outdeg")))
       // pin resets plan stats to default (huge), so size-based planning
       // would sort-merge every round. The node table is edge-ENDPOINTs —
@@ -2271,7 +2282,55 @@ object Pipeline {
             (lit(150000L) + expr("(85 * coalesce(inc, 0L)) div 100"))
               .as("rank"))
       }
-      rank.select($"node", $"rank").orderBy($"rank".desc, $"node").limit(20)
+      rank.select(
+          when($"node" % 2 === 0,
+            concat(lit("c"), expr("CAST(node div 2 AS STRING)")))
+            .otherwise(concat(lit("s"), expr("CAST((node - 1) div 2 AS STRING)")))
+            .as("node"),
+          $"rank")
+        .orderBy($"rank".desc, $"node").limit(20)
+  }
+
+  /** Probe hook: time p42's phases separately (graph build / pins /
+    * rounds) — dev tooling for `graft.Probe <dir> - p42`. */
+  private[graft] def graphAuthorityProbe(s: SparkSession, d: String,
+      time: String => (=> Long) => Unit): Unit = {
+    import s.implicits._
+    val pairs = T(s, d, "lineitem").select($"l_orderkey", $"l_suppkey")
+      .join(T(s, d, "orders").select($"o_orderkey", $"o_custkey"),
+        $"l_orderkey" === $"o_orderkey")
+      .select(($"o_custkey" * 2).as("cnode"),
+        ($"l_suppkey" * 2 + 1).as("snode"))
+      .distinct()
+    time("p42.pairs_distinct")(pairs.count())
+    var edges: DataFrame = null
+    time("p42.edges_pin") {
+      edges = pin(pairs.select($"cnode".as("src"), $"snode".as("dst"))
+        .unionAll(pairs.select($"snode".as("src"), $"cnode".as("dst"))))
+      edges.count()
+    }
+    var deg: DataFrame = null
+    var nNodes = 0L
+    time("p42.deg_pin_count") {
+      deg = pin(edges.groupBy($"src").agg(count(lit(1)).as("outdeg")))
+      nNodes = deg.count(); nNodes
+    }
+    val hint: DataFrame => DataFrame =
+      if (nNodes <= (1L << 21)) broadcast else identity
+    var rank = deg.select($"src".as("node"), $"outdeg",
+      lit(1000000L).as("rank"))
+    for (i <- 1 to 3) {
+      val inc = edges
+        .join(hint(rank.select($"node".as("src"), $"outdeg", $"rank")), "src")
+        .select($"dst", expr("rank div outdeg").as("c"))
+        .groupBy($"dst").agg(sum($"c").as("inc"))
+      rank = deg.select($"src".as("node"), $"outdeg")
+        .join(hint(inc.withColumnRenamed("dst", "node")), Seq("node"), "left")
+        .select($"node", $"outdeg",
+          (lit(150000L) + expr("(85 * coalesce(inc, 0L)) div 100")).as("rank"))
+      val r = rank
+      time(s"p42.cum_rounds_1to$i")(r.count())
+    }
   }
 
   private val p42 = Q(

@@ -57,4 +57,45 @@ object StreamPipeline {
     */
   def chunkStream(docs: DataFrame): DataFrame =
     graft.operators.Pipeline.chunkWindowsRaw(docs)
+
+  /** Streaming twin of p48's EXACT rolling 7-day active users, as the
+    * officially-supported two-stateful-op chain (dedup → windowed agg)
+    * under ONE watermark:
+    *
+    *   1. stateless ×7 explode — each event contributes to the 7
+    *      window-end days `day(ts) .. day(ts)+6`, projected as a
+    *      timestamp `wday_ts` BEFORE any state (the batch form dedups to
+    *      (user, day) first and explodes the smaller set; the stream
+    *      trades that ×7 pre-dedup volume for a single dedup state,
+    *      because chaining a second watermarked dedup is where
+    *      multi-stateful support gets fragile);
+    *   2. `dropDuplicatesWithinWatermark(user_id, wday_ts)` — one state
+    *      row per (user, window-end day) inside the horizon. Two
+    *      contributions to the same (user, wday) carry wday_ts values at
+    *      most 6 days apart, so any horizon ≥ 7 days makes the dedup
+    *      EXACT, while state stays bounded by horizon × active users —
+    *      the same bounded-state contract as curationStream;
+    *   3. per-day window count in append mode — a day's WAU emits once,
+    *      when the watermark passes the day.
+    *
+    * Ghost-tail semantics: like the batch entry pre-semi-join, window-end
+    * days with no real activity day still appear (they inherit counts
+    * from preceding active days); p48 drops them with a semi join against
+    * real days, which a consumer of this stream applies the same way.
+    * The StreamingSpec twin test proves BOTH: raw equality with the
+    * unfiltered batch recompute, and p48 equality after the filter.
+    */
+  def wauStream(events: DataFrame, horizon: String = "8 days"): DataFrame = {
+    val dayUs = 86400000000L
+    events
+      .select(col("user_id"),
+        explode(expr(
+          s"transform(sequence(0, 6), k -> timestamp_micros((unix_micros(ts) div $dayUs + k) * $dayUs))"))
+          .as("wday_ts"))
+      .withWatermark("wday_ts", horizon)
+      .dropDuplicatesWithinWatermark("user_id", "wday_ts")
+      .groupBy(window(col("wday_ts"), "1 day"))
+      .agg(count(lit(1)).as("wau"))
+      .select(col("window.start").as("wday_start"), col("wau"))
+  }
 }

@@ -715,6 +715,54 @@ class StreamingSpec extends AnyFunSuite {
     (run1, runOnce())
   }
 
+  test("streaming rolling WAU matches the p48 batch explode-distinct") {
+    implicit val sqlCtx = spark.sqlContext
+    val ev = graft.Tables.load(spark, "/root/testdata/sf0.001", "events")
+      .select($"user_id", $"ts").cache()
+    val rows = ev.orderBy($"ts").as[(Long, java.sql.Timestamp)].collect().toSeq
+    // Flush sentinel far past every real event + horizon: advances the
+    // watermark so every real day's append-mode window emits; its own
+    // ghost windows are filtered below by day cutoff.
+    val maxUs = ev.select(max(unix_micros($"ts"))).as[Long].head()
+    val flushUs = maxUs + 30L * 86400000000L
+    val ms = MemoryStream[(Long, java.sql.Timestamp)]
+    val q = StreamPipeline.wauStream(
+        ms.toDF().toDF("user_id", "ts"))
+      .writeStream.format("memory").queryName("wau_sink")
+      .outputMode("append").start()
+    ms.addData(rows)
+    q.processAllAvailable()
+    ms.addData(Seq((-1L, new java.sql.Timestamp(flushUs / 1000))))
+    q.processAllAvailable()
+    q.stop()
+    val maxRealWday = maxUs / 86400000000L + 6
+    val got = spark.table("wau_sink")
+      .select((unix_micros($"wday_start") / 86400000000L).cast("long").as("wday"),
+        $"wau")
+      .filter($"wday" <= maxRealWday)
+      .as[(Long, Long)].collect().toMap
+    // Raw equality: the batch recompute WITHOUT the ghost-tail semi join
+    // (the stream emits those windows too — same contribution rule).
+    val expectRaw = ev
+      .select($"user_id", expr("unix_micros(ts) div 86400000000").as("day"))
+      .distinct()
+      .select($"user_id", explode(expr("sequence(day, day + 6)")).as("wday"))
+      .distinct()
+      .groupBy($"wday").agg(count(lit(1)).as("wau"))
+      .as[(Long, Long)].collect().toMap
+    assert(got.nonEmpty && got == expectRaw,
+      s"stream ${got.size} windows vs batch ${expectRaw.size}")
+    // And filtered to real activity days it reproduces p48 exactly.
+    val p48 = graft.Catalog.byName("p48_rolling_wau")
+      .run(spark, "/root/testdata/sf0.001")
+      .as[(Long, Long)].collect().toMap
+    val realDays = ev
+      .select(expr("unix_micros(ts) div 86400000000").as("day")).distinct()
+      .as[Long].collect().toSet
+    assert(got.view.filterKeys(realDays).toMap == p48,
+      "real-day filtered stream diverges from p48")
+  }
+
   test("funnel once-only emission survives a checkpoint restart") {
     withRocksDb {
       val ev = graft.Tables.load(spark, "/root/testdata/sf0.001", "events")

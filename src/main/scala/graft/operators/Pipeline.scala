@@ -3045,8 +3045,372 @@ object Pipeline {
       FROM c GROUP BY doc_id
       ORDER BY score DESC, doc_id LIMIT 20"""))
 
+  /** p52 — triangle counting over the co-purchase graph: parts that
+    * co-occur in ≥ 2 orders form an edge (the market-basket SUPPORT
+    * threshold — without it the co-occurrence graph is 5%+ dense and
+    * triangle counting is quadratic noise; with it, edges are the pairs
+    * with repeated evidence, the graph analysts actually mine). Count =
+    * closed wedges under DEGREE-ORDERED orientation (Ortmann/Brandes,
+    * a.k.a. the compact-forward algorithm): orient every edge from the
+    * (degree, node)-smaller endpoint to the larger, enumerate wedges only
+    * at their lowest-ordered apex, and close each wedge with ONE
+    * equi-join against the oriented edge list — each triangle is found
+    * exactly once, no OR-joins, no direction explosion. The orientation
+    * key packs (degree, node) as `deg×10⁹ + node` (node ids stay far
+    * below 10⁹ at every TESTDATA sf), so both engines compare one BIGINT.
+    *
+    * 100 TB shape: wedge fan-out at a node is bounded by its
+    * OUT-degree under degree ordering — O(√m) for any graph, far below
+    * the raw degree of hub nodes — so the wedge join is the canonical
+    * scalable topology (this is exactly why the orientation exists; an
+    * unoriented wedge join explodes on hubs). Everything is equi-joins on
+    * node keys: shuffle-partitioned, AQE-splittable, no driver state.
+    * Output: global triangle total (node = −1) + top-10 nodes by
+    * triangle participation.
+    *
+    * Oracle note: the DuckDB twin pins `AS MATERIALIZED` on the reused
+    * CTEs — DuckDB re-inlines multiply-referenced CTEs by default, and
+    * its planner's join order for the re-expanded wedge chain spilled
+    * >80 GB at sf1 (8 s materialized; the true wedge count is only a few
+    * hundred). Spark's side needs no hint: the plan references each
+    * exchange once per consumer and AQE reuses them.
+    */
+  private val p52 = Q(
+    "p52_triangle_count",
+    (s, d) => {
+      import s.implicits._
+      val it = T(s, d, "lineitem")
+        .select($"l_orderkey".as("ok"), $"l_partkey".as("pk")).distinct()
+      val e = it.select($"ok", $"pk".as("u"))
+        .join(it.select($"ok", $"pk".as("v")), "ok")
+        .filter($"u" < $"v")
+        .groupBy($"u", $"v").agg(count(lit(1)).as("cw"))
+        .filter($"cw" >= 2).select($"u", $"v")
+      val deg = e.select($"u".as("n")).unionAll(e.select($"v".as("n")))
+        .groupBy($"n").agg(count(lit(1)).as("dg"))
+      val ked = e.join(deg.select($"n".as("u"), $"dg".as("du")), "u")
+        .join(deg.select($"n".as("v"), $"dg".as("dv")), "v")
+        .withColumn("ku", $"du" * lit(1000000000L) + $"u")
+        .withColumn("kv", $"dv" * lit(1000000000L) + $"v")
+      val oe = ked.select(
+        when($"ku" < $"kv", $"u").otherwise($"v").as("s"),
+        when($"ku" < $"kv", $"v").otherwise($"u").as("t"),
+        greatest($"ku", $"kv").as("kt"))
+      val wdg = oe.select($"s", $"t".as("a"), $"kt".as("ka"))
+        .join(oe.select($"s", $"t".as("b"), $"kt".as("kb")), "s")
+        .filter($"ka" < $"kb").select($"s", $"a", $"b")
+      // The wedge's endpoints (a, b) are in orientation order (ka < kb),
+      // so the closing edge — if present — is oriented exactly a→b.
+      val tris = wdg.join(oe.select($"s".as("a"), $"t".as("b")), Seq("a", "b"))
+      val nodes = tris.select($"s".as("node"))
+        .unionAll(tris.select($"a".as("node")))
+        .unionAll(tris.select($"b".as("node")))
+      val perNode = nodes.groupBy($"node").agg(count(lit(1)).as("tri"))
+        .orderBy($"tri".desc, $"node").limit(10)
+      val total = tris.agg(count(lit(1)).as("tri"))
+        .select(lit(-1L).as("node"), $"tri")
+      total.unionAll(perNode)
+        .orderBy(when($"node" === -1L, lit(0)).otherwise(lit(1)),
+          $"tri".desc, $"node")
+    },
+    Some("""
+      WITH it AS MATERIALIZED (
+        SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+      e AS MATERIALIZED (
+        SELECT a.pk AS u, b.pk AS v FROM it a JOIN it b ON a.ok = b.ok
+            WHERE a.pk < b.pk GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+      deg AS (SELECT n, CAST(COUNT(*) AS BIGINT) AS dg FROM
+                (SELECT u AS n FROM e UNION ALL SELECT v FROM e)
+              GROUP BY n),
+      ked AS (SELECT e.u, e.v,
+                du.dg * 1000000000 + e.u AS ku,
+                dv.dg * 1000000000 + e.v AS kv
+              FROM e JOIN deg du ON du.n = e.u JOIN deg dv ON dv.n = e.v),
+      oe AS MATERIALIZED (SELECT CASE WHEN ku < kv THEN u ELSE v END AS s,
+                    CASE WHEN ku < kv THEN v ELSE u END AS t,
+                    GREATEST(ku, kv) AS kt FROM ked),
+      wdg AS (SELECT x.s, x.t AS a, y.t AS b
+              FROM oe x JOIN oe y ON x.s = y.s AND x.kt < y.kt),
+      tris AS MATERIALIZED (SELECT w.s, w.a, w.b
+               FROM wdg w JOIN oe c ON c.s = w.a AND c.t = w.b),
+      pernode AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS tri FROM (
+            SELECT s AS node FROM tris
+            UNION ALL SELECT a FROM tris
+            UNION ALL SELECT b FROM tris)
+          GROUP BY node ORDER BY tri DESC, node LIMIT 10),
+      tot AS (SELECT CAST(-1 AS BIGINT) AS node,
+                     CAST(COUNT(*) AS BIGINT) AS tri FROM tris)
+      SELECT node, tri FROM (
+        SELECT node, tri FROM tot UNION ALL SELECT node, tri FROM pernode)
+      ORDER BY CASE WHEN node = -1 THEN 0 ELSE 1 END, tri DESC, node"""))
+
+  /** p53 — probability-proportional-to-size (PPS) Poisson sampling: each
+    * document is included with probability min(1, k·wᵢ/W) where wᵢ =
+    * n_chars and W = Σw — the sampling design behind importance-weighted
+    * corpus subsetting (longer docs carry more training signal; uniform
+    * doc sampling under-weights them). The inclusion test is EXACT
+    * integer cross-multiplication — `h·W < k·w·2²⁸` with h a 28-bit
+    * md5-derived uniform — so there is no fp pow/log anywhere (the
+    * textbook A-Res key u^(1/w) needs pow, the one op with no
+    * cross-engine bit guarantee), and the same doc is selected by every
+    * engine, run, and partitioning. Overflow headroom: h < 2²⁸ and W at
+    * 100 TB (~10¹⁴ chars) keeps h·W < 2⁶³ only if W < 2³⁵ — at true
+    * 100 TB scale the comparison simply moves to DECIMAL(38,0) products
+    * (same exactness); the TESTDATA range is covered by BIGINT with two
+    * decades of slack.
+    *
+    * 100 TB shape: zero corpus shuffle — the inclusion test is a narrow
+    * codegen'd map against one broadcast scalar (W); the only exchange is
+    * the per-source rollup (20 groups). Contrast with p22 (equal-rate
+    * stratified) and p29 (temperature-reweighted quotas): this is the
+    * weighted-row third of the sampling family.
+    */
+  private val p53 = Q(
+    "p53_weighted_sample",
+    (s, d) => {
+      import s.implicits._
+      val docs = T(s, d, "documents").select($"doc_id", $"source", $"n_chars")
+      val tot = docs.agg(sum($"n_chars").as("w_total"))
+      val sel = docs.crossJoin(broadcast(tot))
+        .withColumn("h28", conv(substring(
+          md5(concat($"doc_id".cast(StringType), lit("_ws"))), 1, 7),
+          16, 10).cast(LongType))
+        .withColumn("picked",
+          $"h28" * $"w_total" < lit(100L) * $"n_chars" * lit(1L << 28))
+      sel.groupBy($"source").agg(
+          count(lit(1)).as("docs"),
+          count(when($"picked", 1)).as("selected"),
+          coalesce(sum(when($"picked", $"n_chars")), lit(0L)).as("sel_chars"))
+        .orderBy($"source")
+    },
+    Some("""
+      WITH t AS (SELECT SUM(n_chars) AS w_total FROM documents),
+      sel AS (SELECT source, n_chars,
+          (('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '_ws'), 1, 7))::BIGINT
+             * w_total < 100 * n_chars * 268435456) AS picked
+        FROM documents CROSS JOIN t)
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS docs,
+        CAST(COUNT(*) FILTER (WHERE picked) AS BIGINT) AS selected,
+        CAST(COALESCE(SUM(n_chars) FILTER (WHERE picked), 0) AS BIGINT)
+          AS sel_chars
+      FROM sel GROUP BY source ORDER BY source"""))
+
+  /** p54 — sessionized path analysis (clickstream transition matrix): the
+    * event stream is cut into sessions at 30-minute inactivity gaps
+    * (w03's session-window rule, batch form), then every within-session
+    * transition event→next-event is counted, with virtual `_START_` /
+    * `_END_` states closing the chain — the first-order Markov model of
+    * user navigation, the standard input to drop-off and next-action
+    * analyses (p44's funnel is the special case of one fixed path).
+    * Ordering inside a session is the total order (ts µs, event_id), so
+    * lag/lead agree bit-for-bit across engines even on same-µs ties.
+    *
+    * 100 TB shape: ONE shuffle on user_id, then three window scans over
+    * the same partitioning (gap flag → running session id → lead) that
+    * Spark executes as a single sort + three passes with no further
+    * exchange; the output is |event types|² + 2·|types| rows — constant.
+    * No range join, no per-session explode.
+    */
+  private val p54 = Q(
+    "p54_session_paths",
+    (s, d) => {
+      import s.implicits._
+      val ev = T(s, d, "events")
+        .select($"user_id", $"event_id", $"event_type",
+          unix_micros($"ts").as("us"))
+      val byUser = Window.partitionBy($"user_id").orderBy($"us", $"event_id")
+      val flagged = ev
+        .withColumn("prev_us", lag($"us", 1).over(byUser))
+        .withColumn("new_sess",
+          ($"prev_us".isNull || $"us" - $"prev_us" > lit(1800000000L))
+            .cast(IntegerType))
+      val sess = flagged.withColumn("sess_id", sum($"new_sess").over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val bySess = Window.partitionBy($"user_id", $"sess_id")
+        .orderBy($"us", $"event_id")
+      val tr = sess.withColumn("next_type", lead($"event_type", 1).over(bySess))
+      val starts = tr.filter($"new_sess" === 1)
+        .select(lit("_START_").as("src"), $"event_type".as("dst"))
+      val inner = tr.select($"event_type".as("src"),
+        coalesce($"next_type", lit("_END_")).as("dst"))
+      starts.unionAll(inner)
+        .groupBy($"src", $"dst").agg(count(lit(1)).as("n"))
+        .orderBy($"src", $"dst")
+    },
+    Some("""
+      WITH ev AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us
+                  FROM events),
+      f AS (SELECT *, CASE WHEN lag(us) OVER w IS NULL
+                             OR us - lag(us) OVER w > 1800000000
+                           THEN 1 ELSE 0 END AS new_sess
+            FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+      se AS (SELECT *, SUM(new_sess) OVER (PARTITION BY user_id
+               ORDER BY us, event_id ROWS UNBOUNDED PRECEDING) AS sess_id
+             FROM f),
+      tr AS (SELECT *, lead(event_type) OVER (PARTITION BY user_id, sess_id
+               ORDER BY us, event_id) AS next_type FROM se),
+      pairs AS (
+        SELECT '_START_' AS src, event_type AS dst FROM tr WHERE new_sess = 1
+        UNION ALL
+        SELECT event_type, COALESCE(next_type, '_END_') FROM tr)
+      SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS n
+      FROM pairs GROUP BY 1, 2 ORDER BY 1, 2"""))
+
+  /** p55 — trailing-baseline anomaly detection over the event stream:
+    * per (event_type, day) counts, compared against the mean of the up to
+    * 7 preceding OBSERVED days (ROWS frame — calendar gaps shrink the
+    * baseline rather than zero-fill it), flagged `hot` when the day runs
+    * ≥ 1.3× its trailing mean with at least 3 days of history. The
+    * threshold test is integer cross-multiplication
+    * (cnt·days·10 > sum·13) — no division, no fp, no rounding tie to
+    * disagree on; the monitoring-pipeline staple (traffic spikes, abuse
+    * bursts, pipeline stalls) in its exactly-reproducible form.
+    *
+    * 100 TB shape: the raw scan collapses to |types|×|days| rows in ONE
+    * partial-aggregated shuffle (map-side combine does the heavy
+    * lifting); the window scan runs over that tiny frame. Day boundary is
+    * integer epoch-µs floor-division — same value in both engines.
+    */
+  private val p55 = Q(
+    "p55_daily_anomaly",
+    (s, d) => {
+      import s.implicits._
+      val daily = T(s, d, "events")
+        .select($"event_type", unix_micros($"ts").as("us"))
+        .groupBy($"event_type", expr("us div 86400000000").as("day"))
+        .agg(count(lit(1)).as("cnt"))
+      val w = Window.partitionBy($"event_type").orderBy($"day")
+        .rowsBetween(-7, -1)
+      daily
+        .withColumn("trail_sum", coalesce(sum($"cnt").over(w), lit(0L)))
+        .withColumn("trail_days", count($"cnt").over(w))
+        .withColumn("hot", $"trail_days" >= 3 &&
+          $"cnt" * $"trail_days" * lit(10L) > $"trail_sum" * lit(13L))
+        .orderBy($"event_type", $"day")
+    },
+    Some("""
+      WITH daily AS (
+        SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+          CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM events GROUP BY 1, 2)
+      SELECT event_type, day, cnt,
+        CAST(COALESCE(SUM(cnt) OVER w, 0) AS BIGINT) AS trail_sum,
+        CAST(COUNT(cnt) OVER w AS BIGINT) AS trail_days,
+        (COUNT(cnt) OVER w >= 3 AND
+         cnt * COUNT(cnt) OVER w * 10 > COALESCE(SUM(cnt) OVER w, 0) * 13)
+          AS hot
+      FROM daily
+      WINDOW w AS (PARTITION BY event_type ORDER BY day
+                   ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+      ORDER BY event_type, day"""))
+
+  /** Bloom positions for the p56 runtime filter: k=2 independent 60-bit
+    * halves of ONE md5 per key (the p43 scheme, '_rf' salt, m = 960 bits
+    * as 16×60-bit words — sized an order above p43's 240 so the build
+    * side's growth across TESTDATA sfs stays below saturation). */
+  private def rfPos(key: Column, half: Int): Column =
+    conv(substring(md5(concat(key.cast(StringType), lit("_rf"))),
+      if (half == 0) 1 else 17, 15), 16, 10).cast(LongType) % 960
+  private def rfPosSql(key: String, half: Int): String =
+    s"('0x' || substr(md5(CAST($key AS VARCHAR) || '_rf'), ${if (half == 0) 1 else 17}, 15))::BIGINT % 960"
+
+  /** p56 — bloom-filter runtime semi-join reduction: the join-pruning
+    * counterpart of p43's file-pruning manifest, and the exactly-checked
+    * form of what Spark's InjectRuntimeFilter does opaquely. A selective
+    * dimension predicate (orders with o_orderkey % 997 = 1) builds a
+    * 960-bit bloom over the join keys (16×60-bit words, map-side
+    * `bit_or`, ONE md5 per key); the fact side (lineitem) is probed
+    * against the broadcast words BEFORE the exact join, and the report
+    * counts — per l_returnflag — probe rows, bloom-admitted rows, true
+    * matches, and false admissions. admitted ⊇ matched always (no false
+    * negatives — the property a runtime filter must never violate, or it
+    * silently drops join results); false_admits is the shuffle volume the
+    * filter failed to save, the number that tells a deployment whether m
+    * is sized to its build-side cardinality.
+    *
+    * 100 TB shape: the build is a partial-aggregated `bit_or` over the
+    * FILTERED dimension (16 words total — broadcast as one row); the
+    * probe is a narrow codegen'd map on the fact scan, upstream of any
+    * shuffle — admitted rows are the only ones that would reach the join
+    * exchange. The md5 probe cost is why real deployments push this into
+    * the scan; the topology here is identical.
+    */
+  private val p56 = Q(
+    "p56_bloom_semijoin",
+    (s, d) => {
+      import s.implicits._
+      val keys = T(s, d, "orders").filter($"o_orderkey" % 997 === 1)
+        .select($"o_orderkey".as("k"))
+      def contrib(j: Int) = expr(
+        s"""bit_or((CASE WHEN p1 div 60 = $j
+                         THEN shiftleft(CAST(1 AS BIGINT), CAST(p1 % 60 AS INT))
+                         ELSE CAST(0 AS BIGINT) END) |
+                   (CASE WHEN p2 div 60 = $j
+                         THEN shiftleft(CAST(1 AS BIGINT), CAST(p2 % 60 AS INT))
+                         ELSE CAST(0 AS BIGINT) END))""").as(s"w$j")
+      val words = keys
+        .withColumn("p1", rfPos($"k", 0)).withColumn("p2", rfPos($"k", 1))
+        .agg(contrib(0), (1 until 16).map(contrib): _*)
+      val wordArr = (0 until 16).map(j => s"w$j").mkString(", ")
+      val hit = expr(
+        s"""(element_at(array($wordArr), CAST(q1 div 60 AS INT) + 1)
+              & shiftleft(CAST(1 AS BIGINT), CAST(q1 % 60 AS INT))) != 0
+            AND
+            (element_at(array($wordArr), CAST(q2 div 60 AS INT) + 1)
+              & shiftleft(CAST(1 AS BIGINT), CAST(q2 % 60 AS INT))) != 0""")
+      val li = T(s, d, "lineitem").select($"l_orderkey", $"l_returnflag")
+      val probed = li
+        .withColumn("q1", rfPos($"l_orderkey", 0))
+        .withColumn("q2", rfPos($"l_orderkey", 1))
+        .crossJoin(broadcast(words))
+        .groupBy($"l_returnflag").agg(
+          count(lit(1)).as("probe_rows"),
+          count(when(hit, 1)).as("admitted_rows"))
+      val matched = li.join(broadcast(keys), $"l_orderkey" === $"k")
+        .groupBy($"l_returnflag").agg(count(lit(1)).as("m_rows"))
+      probed.join(matched, Seq("l_returnflag"), "left")
+        .select($"l_returnflag", $"probe_rows", $"admitted_rows",
+          coalesce($"m_rows", lit(0L)).as("matched_rows"),
+          ($"admitted_rows" - coalesce($"m_rows", lit(0L))).as("false_admits"))
+        .orderBy($"l_returnflag")
+    },
+    Some {
+      val word = (j: Int) =>
+        s"""bit_or((CASE WHEN p1 // 60 = $j THEN (CAST(1 AS BIGINT) << (p1 % 60)) ELSE 0 END) |
+                   (CASE WHEN p2 // 60 = $j THEN (CAST(1 AS BIGINT) << (p2 % 60)) ELSE 0 END)) AS w$j"""
+      val wordList = (0 until 16).map(j => s"w$j").mkString(", ")
+      s"""
+      WITH keys AS (SELECT o_orderkey AS k FROM orders
+                    WHERE o_orderkey % 997 = 1),
+      pos AS (SELECT k, ${rfPosSql("k", 0)} AS p1, ${rfPosSql("k", 1)} AS p2
+              FROM keys),
+      words AS (SELECT ${(0 until 16).map(word).mkString(", ")} FROM pos),
+      probes AS (SELECT l_orderkey, l_returnflag,
+          ${rfPosSql("l_orderkey", 0)} AS q1,
+          ${rfPosSql("l_orderkey", 1)} AS q2
+        FROM lineitem),
+      adm AS (SELECT l_returnflag,
+          CAST(COUNT(*) AS BIGINT) AS probe_rows,
+          CAST(COUNT(*) FILTER (WHERE
+            ([$wordList][CAST(q1 // 60 AS INT) + 1]
+               & (CAST(1 AS BIGINT) << (q1 % 60))) <> 0
+            AND ([$wordList][CAST(q2 // 60 AS INT) + 1]
+               & (CAST(1 AS BIGINT) << (q2 % 60))) <> 0) AS BIGINT)
+            AS admitted_rows
+        FROM probes CROSS JOIN words GROUP BY l_returnflag),
+      mat AS (SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS m_rows
+              FROM lineitem JOIN keys ON l_orderkey = k
+              GROUP BY l_returnflag)
+      SELECT a.l_returnflag, a.probe_rows, a.admitted_rows,
+        COALESCE(m.m_rows, CAST(0 AS BIGINT)) AS matched_rows,
+        a.admitted_rows - COALESCE(m.m_rows, 0) AS false_admits
+      FROM adm a LEFT JOIN mat m ON m.l_returnflag = a.l_returnflag
+      ORDER BY a.l_returnflag"""
+    })
+
   val all: Seq[Q] = Seq(p01, p02, p03, p04, p05, p06, p07, p08, p09, p10,
     p11, p12, p13, p14, p15, p16, p17, p18, p19, p20, p21, p22, p23, p24,
     p25, p26, p27, p28, p29, p30, p31, p32, p33, p34, p35, p36, p37, p38,
-    p39, p40, p41, p42, p43, p44, p45, p46, p47, p48, p49, p50, p51)
+    p39, p40, p41, p42, p43, p44, p45, p46, p47, p48, p49, p50, p51, p52,
+    p53, p54, p55, p56)
 }

@@ -732,4 +732,108 @@ class SemanticsSpec extends AnyFunSuite {
       .select($"cnt", $"tot".cast("double")).as[(Long, Double)].collect()
     assert(fin.sameElements(Array((1L, 20.0))), s"carried sum lost: ${fin.toSeq}")
   }
+
+  test("triangle count matches a brute-force set-intersection recompute") {
+    // sf0.01: the support-thresholded co-purchase graph has ~3.4k edges
+    // and a non-trivial triangle count; sf0.001's graph is near-empty.
+    val sf01 = "/root/testdata/sf0.01"
+    val out = Catalog.byName("p52_triangle_count").run(spark, sf01)
+      .select($"node", $"tri").as[(Long, Long)].collect().toMap
+    val li = Tables.load(spark, sf01, "lineitem")
+      .select($"l_orderkey", $"l_partkey").distinct()
+      .as[(Long, Long)].collect()
+    // keySet, NOT `.collect { case (e, occ) ... => e }.toSet`: collect on
+    // a Map with a tuple-valued function rebuilds a MAP, silently
+    // collapsing every edge that shares a first node (observed: 3,445
+    // edges shrank to 1,395 and the brute count read 0).
+    val edges = li.groupBy(_._1).values.flatMap { items =>
+      val pks = items.map(_._2).distinct.sorted
+      for (i <- pks.indices; j <- i + 1 until pks.length)
+        yield (pks(i), pks(j))
+    }.groupBy(identity).filter(_._2.size >= 2).keySet
+    val adj = edges.toSeq.flatMap { case (u, v) => Seq(u -> v, v -> u) }
+      .groupBy(_._1).map { case (n, xs) => n -> xs.map(_._2).toSet }
+    val triBrute = edges.toSeq.map { case (u, v) =>
+      (adj(u) & adj(v)).size.toLong
+    }.sum / 3 // each triangle closes over all 3 of its edges
+    assert(out(-1L) == triBrute, s"total ${out(-1L)} != brute $triBrute")
+    assert(triBrute > 0, "sf0.01 graph unexpectedly triangle-free")
+  }
+
+  test("PPS sampling: per-doc inclusion matches a driver md5 recompute") {
+    val docs = Tables.load(spark, sf, "documents")
+      .select($"doc_id", $"source", $"n_chars").as[(Long, String, Long)]
+      .collect()
+    val wTotal = docs.map(_._3).sum
+    def h28(id: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"${id}_ws".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(7), 16)
+    }
+    val expected = docs.groupBy(_._2).map { case (src, ds) =>
+      val picked = ds.filter(t => h28(t._1) * wTotal < 100L * t._3 * (1L << 28))
+      src -> ((ds.length.toLong, picked.length.toLong, picked.map(_._3).sum))
+    }
+    val got = Catalog.byName("p53_weighted_sample").run(spark, sf)
+      .select($"source", $"docs", $"selected", $"sel_chars")
+      .as[(String, Long, Long, Long)].collect()
+      .map(t => t._1 -> ((t._2, t._3, t._4))).toMap
+    assert(got == expected)
+    // The design must actually select something and not everything.
+    val sel = got.values.map(_._2).sum
+    assert(sel > 0 && sel < docs.length)
+  }
+
+  test("session paths conserve events: one outgoing edge per event, start==end") {
+    val tr = Catalog.byName("p54_session_paths").run(spark, sf)
+      .select($"src", $"dst", $"n").as[(String, String, Long)].collect()
+    val events = Tables.load(spark, sf, "events").count()
+    val inner = tr.filter(_._1 != "_START_").map(_._3).sum
+    assert(inner == events, s"outgoing-edge total $inner != $events events")
+    val starts = tr.filter(_._1 == "_START_").map(_._3).sum
+    val ends = tr.filter(_._2 == "_END_").map(_._3).sum
+    assert(starts == ends, s"sessions open $starts != close $ends")
+    assert(starts > 0)
+  }
+
+  test("daily anomaly trailing stats match a driver window recompute") {
+    val rows = Catalog.byName("p55_daily_anomaly").run(spark, sf)
+      .select($"event_type", $"day", $"cnt", $"trail_sum", $"trail_days",
+        $"hot")
+      .as[(String, Long, Long, Long, Long, Boolean)].collect()
+    rows.groupBy(_._1).foreach { case (_, days) =>
+      val sorted = days.sortBy(_._2)
+      sorted.zipWithIndex.foreach { case ((_, _, cnt, tSum, tDays, hot), i) =>
+        val win = sorted.slice(math.max(0, i - 7), i)
+        assert(tSum == win.map(_._3).sum && tDays == win.length)
+        assert(hot == (win.length >= 3 &&
+          cnt * win.length * 10 > win.map(_._3).sum * 13))
+      }
+    }
+    assert(rows.nonEmpty)
+  }
+
+  test("bloom semi-join admits every true match (no false negatives)") {
+    // sf0.01 — at sf0.001 the %997 build side can be empty.
+    val sf01 = "/root/testdata/sf0.01"
+    val rep = Catalog.byName("p56_bloom_semijoin").run(spark, sf01)
+      .select($"l_returnflag", $"probe_rows", $"admitted_rows",
+        $"matched_rows", $"false_admits")
+      .as[(String, Long, Long, Long, Long)].collect()
+    assert(rep.nonEmpty)
+    rep.foreach { case (flag, probe, adm, mat, fp) =>
+      assert(mat <= adm, s"$flag: false negative (matched $mat > admitted $adm)")
+      assert(adm <= probe && fp == adm - mat)
+    }
+    // Exact matches agree with a plain semi-join recompute.
+    val li = Tables.load(spark, sf01, "lineitem")
+    val exact = li.filter($"l_orderkey" % 997 === 1)
+      .groupBy($"l_returnflag").agg(count(lit(1)).as("m"))
+      .as[(String, Long)].collect().toMap
+    rep.foreach { case (flag, _, _, mat, _) =>
+      assert(mat == exact.getOrElse(flag, 0L))
+    }
+    assert(rep.map(_._4).sum > 0, "build side matched nothing at sf0.01")
+  }
 }

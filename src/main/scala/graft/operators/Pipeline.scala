@@ -3079,13 +3079,32 @@ object Pipeline {
     "p52_triangle_count",
     (s, d) => {
       import s.implicits._
-      val it = T(s, d, "lineitem")
-        .select($"l_orderkey".as("ok"), $"l_partkey".as("pk")).distinct()
-      val e = it.select($"ok", $"pk".as("u"))
-        .join(it.select($"ok", $"pk".as("v")), "ok")
-        .filter($"u" < $"v")
+      // Pair generation WITHOUT a fact self-join: collect the distinct
+      // part set per order (ONE shuffle on l_orderkey, set-merge partial
+      // aggregation map-side) and expand C(n,2) ordered pairs from the
+      // sorted array in a codegen'd higher-order expression. The
+      // fact-side alternative — distinct + self-join on orderkey — costs
+      // three fact shuffles (distinct key, then both join sides); this
+      // form reaches the pair aggregate with one. Orders with one part
+      // are filtered BEFORE the expansion (sequence(0, -1) would DESCEND,
+      // not return empty). Pair blowup is bounded by basket size, a
+      // business constant, not a data-scale variable.
+      val byOrd = T(s, d, "lineitem")
+        .groupBy($"l_orderkey")
+        .agg(sort_array(collect_set($"l_partkey")).as("pks"))
+      val pairs = byOrd.filter(size($"pks") >= 2).select(explode(expr(
+        """flatten(transform(sequence(0, size(pks) - 2),
+             i -> transform(sequence(i + 1, size(pks) - 1),
+               j -> struct(pks[i] AS u, pks[j] AS v))))""")).as("p"))
+        .select($"p.u", $"p.v")
+      // pin: the edge list feeds five consumers (two degree scans, the
+      // key join, both wedge sides via oe, the closing join); unpinned,
+      // each re-executes the pair expansion + support aggregate. On a
+      // cluster the durable form is a checkpoint/table of the (small)
+      // thresholded edge list.
+      val e = pin(pairs
         .groupBy($"u", $"v").agg(count(lit(1)).as("cw"))
-        .filter($"cw" >= 2).select($"u", $"v")
+        .filter($"cw" >= 2).select($"u", $"v"))
       val deg = e.select($"u".as("n")).unionAll(e.select($"v".as("n")))
         .groupBy($"n").agg(count(lit(1)).as("dg"))
       val ked = e.join(deg.select($"n".as("u"), $"dg".as("du")), "u")
@@ -3408,9 +3427,121 @@ object Pipeline {
       ORDER BY a.l_returnflag"""
     })
 
+  /** p57 — exact per-group order statistics (min / lower-median / p90 /
+    * max of n_chars per source) by RANK SELECTION: row_number over a
+    * (n_chars, doc_id) total order per source, pick the rows whose rank
+    * equals the target index — (n+1) div 2 for the lower median,
+    * (9n+9) div 10 = ⌈0.9n⌉ for p90 — and pivot them out with
+    * conditional aggregation. Pure integer index arithmetic: no fp
+    * percentile interpolation to disagree on, and the doc_id tiebreak
+    * makes the selected row unique, so both engines pick the identical
+    * element. The EXACT counterpart of p14's approx_percentile sketches
+    * — this is what you run when the answer must be reproducible
+    * (quality cut-lines, SLA thresholds); the sketch is what you run
+    * when a group outgrows its sort.
+    *
+    * 100 TB shape: one shuffle on the group key, then two window passes
+    * (rank + group size) over a single per-group sort — the canonical
+    * distributed exact-percentile topology (no collect, no global sort);
+    * the rollup emits one row per group. Skewed groups are the limit
+    * (one group = one sort partition) — that cliff is exactly where p14
+    * takes over.
+    */
+  private val p57 = Q(
+    "p57_group_quantiles",
+    (s, d) => {
+      import s.implicits._
+      val bySrc = Window.partitionBy($"source")
+      val ranked = T(s, d, "documents")
+        .select($"source", $"doc_id", $"n_chars")
+        .withColumn("rn", row_number().over(
+          bySrc.orderBy($"n_chars", $"doc_id")))
+        .withColumn("n", count(lit(1)).over(bySrc))
+      ranked.groupBy($"source").agg(
+          max($"n").as("docs"),
+          max(when($"rn" === 1, $"n_chars")).as("min_chars"),
+          max(when($"rn" === expr("(n + 1) div 2"), $"n_chars"))
+            .as("med_chars"),
+          max(when($"rn" === expr("(9 * n + 9) div 10"), $"n_chars"))
+            .as("p90_chars"),
+          max(when($"rn" === $"n", $"n_chars")).as("max_chars"))
+        .orderBy($"source")
+    },
+    Some("""
+      WITH r AS (
+        SELECT source, n_chars,
+          ROW_NUMBER() OVER (PARTITION BY source
+                             ORDER BY n_chars, doc_id) AS rn,
+          COUNT(*) OVER (PARTITION BY source) AS n
+        FROM documents)
+      SELECT source, CAST(MAX(n) AS BIGINT) AS docs,
+        MAX(CASE WHEN rn = 1 THEN n_chars END) AS min_chars,
+        MAX(CASE WHEN rn = (n + 1) // 2 THEN n_chars END) AS med_chars,
+        MAX(CASE WHEN rn = (9 * n + 9) // 10 THEN n_chars END) AS p90_chars,
+        MAX(CASE WHEN rn = n THEN n_chars END) AS max_chars
+      FROM r GROUP BY source ORDER BY source"""))
+
+  /** p58 — token co-occurrence association (PMI core): document-level
+    * co-occurrence counts of the top-50-df vocabulary, scored by the
+    * RATIONAL pointwise-mutual-information core
+    * n_ab·N·10⁶ div (n_a·n_b) — the log wrap is dropped for the same
+    * reason as p51's idf (ln has no cross-engine bit guarantee; the
+    * rational core is a strictly monotone transform, so the ranking is
+    * identical) and the division is INTEGER, so the score is exact.
+    * This is the collocation/phrase-mining statistic (and the
+    * feature-association signal behind vocabulary curation); p32's BPE
+    * pair stats are its adjacent-character sibling.
+    *
+    * 100 TB shape: the corpus-sized work is ONE shuffle — distinct
+    * (doc, token) + the df count; the top-k vocabulary broadcasts and
+    * caps the pair space at vocab² BEFORE the self-join (the join input
+    * is |docs|·|vocab hits|, the classic guard against the unbounded
+    * all-token pair explosion). Final top-20 is a TakeOrdered.
+    */
+  private val p58 = Q(
+    "p58_pmi_pairs",
+    (s, d) => {
+      import s.implicits._
+      val docs = T(s, d, "documents")
+      val dt = docs
+        .select($"doc_id", explode(split($"text", " ")).as("w")).distinct()
+      val vocab = dt.groupBy($"w").agg(count(lit(1)).as("df"))
+        .orderBy($"df".desc, $"w").limit(50)
+      val dtv = dt.join(broadcast(vocab), "w")
+      val nTot = docs.agg(count(lit(1)).as("n_docs"))
+      dtv.select($"doc_id", $"w".as("a"), $"df".as("dfa"))
+        .join(dtv.select($"doc_id", $"w".as("b"), $"df".as("dfb")), "doc_id")
+        .filter($"a" < $"b")
+        .groupBy($"a", $"b", $"dfa", $"dfb").agg(count(lit(1)).as("n_ab"))
+        .filter($"n_ab" >= 5)
+        .crossJoin(broadcast(nTot))
+        .select($"a", $"b", $"dfa", $"dfb", $"n_ab",
+          expr("(n_ab * n_docs * 1000000) div (dfa * dfb)").as("pmi_score"))
+        .orderBy($"pmi_score".desc, $"a", $"b")
+        .limit(20)
+    },
+    Some("""
+      WITH dt AS (
+        SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS w
+        FROM documents),
+      vocab AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS df FROM dt
+                GROUP BY w ORDER BY df DESC, w LIMIT 50),
+      dtv AS (SELECT dt.doc_id, dt.w, vocab.df
+              FROM dt JOIN vocab ON dt.w = vocab.w),
+      n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+      pairs AS (
+        SELECT x.w AS a, y.w AS b, x.df AS dfa, y.df AS dfb,
+          CAST(COUNT(*) AS BIGINT) AS n_ab
+        FROM dtv x JOIN dtv y ON x.doc_id = y.doc_id AND x.w < y.w
+        GROUP BY 1, 2, 3, 4 HAVING COUNT(*) >= 5)
+      SELECT a, b, dfa, dfb, n_ab,
+        (n_ab * n_docs * 1000000) // (dfa * dfb) AS pmi_score
+      FROM pairs CROSS JOIN n
+      ORDER BY pmi_score DESC, a, b LIMIT 20"""))
+
   val all: Seq[Q] = Seq(p01, p02, p03, p04, p05, p06, p07, p08, p09, p10,
     p11, p12, p13, p14, p15, p16, p17, p18, p19, p20, p21, p22, p23, p24,
     p25, p26, p27, p28, p29, p30, p31, p32, p33, p34, p35, p36, p37, p38,
     p39, p40, p41, p42, p43, p44, p45, p46, p47, p48, p49, p50, p51, p52,
-    p53, p54, p55, p56)
+    p53, p54, p55, p56, p57, p58)
 }

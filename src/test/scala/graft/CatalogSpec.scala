@@ -836,4 +836,51 @@ class SemanticsSpec extends AnyFunSuite {
     }
     assert(rep.map(_._4).sum > 0, "build side matched nothing at sf0.01")
   }
+
+  test("group quantiles match a driver sort-and-index recompute") {
+    val docs = Tables.load(spark, sf, "documents")
+      .select($"source", $"doc_id", $"n_chars").as[(String, Long, Long)]
+      .collect()
+    val expected = docs.groupBy(_._1).map { case (src, ds) =>
+      val sorted = ds.sortBy(t => (t._3, t._2)).map(_._3)
+      val n = sorted.length
+      src -> ((n.toLong, sorted.head, sorted((n + 1) / 2 - 1),
+        sorted((9 * n + 9) / 10 - 1), sorted.last))
+    }
+    val got = Catalog.byName("p57_group_quantiles").run(spark, sf)
+      .select($"source", $"docs", $"min_chars", $"med_chars", $"p90_chars",
+        $"max_chars")
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+      .map(t => t._1 -> ((t._2, t._3, t._4, t._5, t._6))).toMap
+    assert(got == expected)
+    got.values.foreach { case (_, mn, med, p90, mx) =>
+      assert(mn <= med && med <= p90 && p90 <= mx)
+    }
+  }
+
+  test("PMI pairs match a driver co-occurrence recompute") {
+    val docs = Tables.load(spark, sf, "documents")
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    val dt = docs.flatMap { case (id, t) =>
+      t.split(" ", -1).distinct.map(w => (id, w))
+    }
+    val df = dt.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val vocab = df.toSeq.sortBy { case (w, c) => (-c, w) }.take(50).toMap
+    val byDoc = dt.filter(t => vocab.contains(t._2)).groupBy(_._1)
+    val nDocs = docs.length.toLong
+    val pairCnt = byDoc.values.toList.flatMap { ws =>
+      val sorted = ws.map(_._2).distinct.sorted
+      (for (i <- sorted.indices; j <- i + 1 until sorted.length)
+        yield (sorted(i), sorted(j))).toList
+    }.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val expected = pairCnt.toSeq.collect { case ((a, b), nab) if nab >= 5 =>
+      (a, b, vocab(a), vocab(b), nab,
+        nab * nDocs * 1000000L / (vocab(a) * vocab(b)))
+    }.sortBy { case (a, b, _, _, _, s) => (-s, a, b) }.take(20)
+    val got = Catalog.byName("p58_pmi_pairs").run(spark, sf)
+      .select($"a", $"b", $"dfa", $"dfb", $"n_ab", $"pmi_score")
+      .as[(String, String, Long, Long, Long, Long)].collect().toSeq
+    assert(got == expected, s"got ${got.take(3)} vs ${expected.take(3)}")
+    assert(got.nonEmpty)
+  }
 }

@@ -29,6 +29,11 @@ case class FunnelDone(userId: Long, vUs: Long, cUs: Long, pUs: Long)
 /** One attribution decision, emitted per purchase as it arrives. */
 case class AttrOut(userId: Long, pUs: Long, attributed: Boolean, lagUs: Long)
 
+/** Session-path twin rows (p54). */
+case class PathEvent(userId: Long, eventId: Long, eventType: String, tsUs: Long)
+case class PathState(lastUs: Long, lastId: Long, lastType: String)
+case class PathEdge(userId: Long, src: String, dst: String)
+
 /** Streaming operators on Spark 4's `transformWithState` — the
   * arbitrary-state successor to `flatMapGroupsWithState` (typed per-key
   * state variables, explicit timers, TTL; RocksDB-backed). The reference's
@@ -239,6 +244,65 @@ object StatefulProcessors {
       .as[FunnelEvent]
       .groupByKey(_.userId)
       .transformWithState(new FunnelProcessor,
+        TimeMode.None(), OutputMode.Append())
+  }
+
+  /** Streaming twin of the p54 batch session-path analysis: per-user
+    * O(1) state — the (ts, event_id, type) of the LAST event seen — and
+    * one transition edge emitted per event: `_START_ → t` when a session
+    * opens (first event, or gap > gapUs), `prev → t` inside a session,
+    * and `last → _END_` the moment a gap closes the previous session.
+    * Aggregating the edge stream reproduces the batch transition matrix
+    * exactly, EXCEPT the `_END_` edges of sessions still open at the end
+    * of the (unbounded) stream — those are unknowable online; a
+    * `_FLUSH_` sentinel event (ts past every real event) closes them,
+    * which is what the equivalence test feeds and what a production
+    * drain does. Exact under the per-key event-time-ordered arrival
+    * contract (see FunnelProcessor); within a trigger, rows are sorted
+    * by the batch total order (ts, event_id).
+    */
+  class SessionPathProcessor(gapUs: Long)
+      extends StatefulProcessor[Long, PathEvent, PathEdge] {
+    @transient private var st: ValueState[PathState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[PathState]("sessPath",
+        Encoders.product[PathState], TTLConfig.NONE)
+
+    override def handleInputRows(user: Long, rows: Iterator[PathEvent],
+        timerValues: TimerValues): Iterator[PathEdge] = {
+      var s = if (st.exists()) st.get() else PathState(-1L, -1L, "")
+      val out = scala.collection.mutable.ListBuffer.empty[PathEdge]
+      rows.toSeq.sortBy(e => (e.tsUs, e.eventId)).foreach { e =>
+        val isFlush = e.eventType == "_FLUSH_"
+        if (s.lastUs < 0) {
+          if (!isFlush) out += PathEdge(user, "_START_", e.eventType)
+        } else if (isFlush || e.tsUs - s.lastUs > gapUs) {
+          out += PathEdge(user, s.lastType, "_END_")
+          if (!isFlush) out += PathEdge(user, "_START_", e.eventType)
+        } else {
+          out += PathEdge(user, s.lastType, e.eventType)
+        }
+        s = if (isFlush) PathState(-1L, -1L, "")
+            else PathState(e.tsUs, e.eventId, e.eventType)
+      }
+      st.update(s)
+      out.iterator
+    }
+  }
+
+  /** Session-path edge stream over raw event frames
+    * (user_id, event_id, event_type, ts). */
+  def sessionPaths(events: DataFrame,
+      gapUs: Long = 1800000000L): Dataset[PathEdge] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.select(col("user_id").cast("long").as("userId"),
+        col("event_id").cast("long").as("eventId"),
+        col("event_type").as("eventType"), unix_micros(col("ts")).as("tsUs"))
+      .as[PathEvent]
+      .groupByKey(_.userId)
+      .transformWithState(new SessionPathProcessor(gapUs),
         TimeMode.None(), OutputMode.Append())
   }
 

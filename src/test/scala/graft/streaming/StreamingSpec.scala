@@ -13,6 +13,8 @@ case class DocCC(doc_id: Long, text: String, lang: String,
     event_time: java.sql.Timestamp)
 
 case class EvCC(user_id: Long, event_type: String, ts: java.sql.Timestamp)
+case class PathEvCC(user_id: Long, event_id: Long, event_type: String,
+    ts: java.sql.Timestamp)
 
 /** Streaming correctness: the same transform applied to a batch frame and
   * to a MemoryStream of the same rows must agree — mirroring the
@@ -677,6 +679,43 @@ class StreamingSpec extends AnyFunSuite {
         s"stream ${got.size} vs batch ${expect.size} attributions")
       assert(got.exists(_._3) && got.exists(!_._3),
         "expected both attributed and organic purchases in the corpus")
+    }
+  }
+
+  test("streaming session paths match the p54 batch transition matrix") {
+    withRocksDb {
+      implicit val sqlCtx = spark.sqlContext
+      val sf = "/root/testdata/sf0.001"
+      val ev = graft.Tables.load(spark, sf, "events")
+        .select($"user_id", $"event_id", $"event_type", $"ts")
+      val rows = ev.orderBy($"ts", $"event_id").as[PathEvCC].collect().toSeq
+      // One _FLUSH_ sentinel per user, past every real event: closes the
+      // sessions still open at end-of-stream so their _END_ edges emit —
+      // the production drain pattern, and what makes stream == batch
+      // EXACT rather than modulo-open-sessions.
+      val maxTs = rows.map(_.ts.getTime).max
+      val flushes = rows.map(_.user_id).distinct.map(u =>
+        PathEvCC(u, Long.MaxValue, "_FLUSH_",
+          new java.sql.Timestamp(maxTs + 3600 * 1000L)))
+      val ms = MemoryStream[PathEvCC]
+      ms.addData(rows)
+      ms.addData(flushes)
+      val q = StatefulProcessors.sessionPaths(ms.toDF())
+        .writeStream.format("memory").queryName("path_sink")
+        .outputMode("append").start()
+      q.processAllAvailable()
+      q.stop()
+      val got = spark.table("path_sink")
+        .groupBy($"src", $"dst").agg(count(lit(1)).as("n"))
+        .as[(String, String, Long)].collect()
+        .map(t => (t._1, t._2) -> t._3).toMap
+      val expect = graft.Catalog.byName("p54_session_paths").run(spark, sf)
+        .as[(String, String, Long)].collect()
+        .map(t => (t._1, t._2) -> t._3).toMap
+      assert(got == expect,
+        s"stream ${got.size} cells vs batch ${expect.size}")
+      assert(got.keys.exists(_._1 == "_START_") &&
+        got.keys.exists(_._2 == "_END_"))
     }
   }
 

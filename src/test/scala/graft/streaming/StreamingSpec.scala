@@ -882,4 +882,58 @@ class StreamingSpec extends AnyFunSuite {
         s"${crossExpected.size} cross-restart attributions missing from run 2")
     }
   }
+
+  test("session-path edges survive a checkpoint restart with state carried") {
+    withRocksDb {
+      val sf = "/root/testdata/sf0.001"
+      val ev = graft.Tables.load(spark, sf, "events")
+        .select($"user_id", $"event_id", $"event_type", $"ts").cache()
+      // Cut INSIDE an intra-session gap (two same-user events ≤ 30 min
+      // apart, the pair closest to the corpus median) so at least one
+      // session is guaranteed to span the restart — a median-of-all-events
+      // cut misses them at sf0.001, where sessions are mostly singletons.
+      val medUs = ev.select(unix_micros($"ts").as("us"))
+        .stat.approxQuantile("us", Array(0.5), 0.0).head.toLong
+      val wU = org.apache.spark.sql.expressions.Window
+        .partitionBy($"user_id").orderBy($"us")
+      val cutUs = ev.select($"user_id", unix_micros($"ts").as("us"))
+        .withColumn("prev", lag($"us", 1).over(wU))
+        .filter($"prev".isNotNull && $"us" - $"prev" <= 1800000000L)
+        .select((($"prev" + $"us") / 2).cast("long").as("cut"))
+        .orderBy(abs($"cut" - medUs)).limit(1)
+        .as[Long].head()
+      // Flush sentinels ride in chunk 2 (ts past every real event), so
+      // run 2 drains the sessions open at end-of-stream and the edge
+      // union can equal the batch matrix EXACTLY.
+      val maxUs = ev.select(max(unix_micros($"ts"))).as[Long].head()
+      val flushes = ev.select($"user_id").distinct()
+        .select($"user_id", ($"user_id" + 1000000000L).as("event_id"),
+          lit("_FLUSH_").as("event_type"),
+          timestamp_micros(lit(maxUs + 3600000000L)).as("ts"))
+      val (run1, run2) = restartRuns(ev.unionByName(flushes), cutUs,
+        df => StatefulProcessors.sessionPaths(df))(
+        df => df.as[PathEdge].collect().toSeq)
+      val gotAll = run1 ++ run2
+      val got = gotAll.groupBy(e => (e.src, e.dst))
+        .map { case (k, es) => k -> es.size.toLong }
+      val expect = graft.Catalog.byName("p54_session_paths").run(spark, sf)
+        .as[(String, String, Long)].collect()
+        .map(t => (t._1, t._2) -> t._3).toMap
+      // Union equality is itself the state-carry proof: a session spanning
+      // the cutoff must continue (prev → curr) in run 2 — a lost state
+      // would emit _START_ → curr instead and break the matrix equality.
+      assert(got == expect,
+        s"restarted stream ${got.size} cells vs batch ${expect.size}")
+      // Guard: the cutoff actually splits at least one session, so the
+      // assertion above really exercised cross-restart state.
+      val spanning = ev.select($"user_id", unix_micros($"ts").as("us"))
+        .groupBy($"user_id").agg(
+          max(when($"us" < cutUs, $"us")).as("before"),
+          min(when($"us" >= cutUs, $"us")).as("after"))
+        .filter($"before".isNotNull && $"after".isNotNull &&
+          $"after" - $"before" <= 1800000000L)
+        .count()
+      assert(spanning > 0, "median cutoff split no session; test is vacuous")
+    }
+  }
 }

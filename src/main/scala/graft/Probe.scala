@@ -37,6 +37,8 @@ object Probe {
     // unrolled rounds?
     if (which == "p42")
       operators.Pipeline.graphAuthorityProbe(spark, dir, time)
+    if (which == "p61")
+      operators.Pipeline.labelPropProbe(spark, dir, time)
     spark.stop()
   }
 }

@@ -3082,21 +3082,24 @@ object Pipeline {
       // Pair generation WITHOUT a fact self-join: collect the distinct
       // part set per order (ONE shuffle on l_orderkey, set-merge partial
       // aggregation map-side) and expand C(n,2) ordered pairs from the
-      // sorted array in a codegen'd higher-order expression. The
+      // sorted array with two chained codegen'd generators. The
       // fact-side alternative — distinct + self-join on orderkey — costs
       // three fact shuffles (distinct key, then both join sides); this
-      // form reaches the pair aggregate with one. Orders with one part
-      // are filtered BEFORE the expansion (sequence(0, -1) would DESCEND,
-      // not return empty). Pair blowup is bounded by basket size, a
-      // business constant, not a data-scale variable.
+      // form reaches the pair aggregate with one. The expansion is
+      // posexplode(pks) → explode(slice(pks, i + 2, …)): both generators
+      // and slice are WSCG-capable, unlike the transform/struct
+      // higher-order form this replaced, which ran interpreted per row
+      // (measured 12.6 → 4.8 s for the 12M-pair expansion at sf1).
+      // slice past the end yields an empty array, so last elements (and
+      // single-part orders) drop out of explode with no filter. Pair
+      // blowup is bounded by basket size, a business constant, not a
+      // data-scale variable.
       val byOrd = T(s, d, "lineitem")
         .groupBy($"l_orderkey")
         .agg(sort_array(collect_set($"l_partkey")).as("pks"))
-      val pairs = byOrd.filter(size($"pks") >= 2).select(explode(expr(
-        """flatten(transform(sequence(0, size(pks) - 2),
-             i -> transform(sequence(i + 1, size(pks) - 1),
-               j -> struct(pks[i] AS u, pks[j] AS v))))""")).as("p"))
-        .select($"p.u", $"p.v")
+      val pairs = byOrd
+        .select(posexplode($"pks").as(Seq("i", "u")), $"pks")
+        .select($"u", explode(expr("slice(pks, i + 2, size(pks))")).as("v"))
       // pin: the edge list feeds five consumers (two degree scans, the
       // key join, both wedge sides via oe, the closing join); unpinned,
       // each re-executes the pair expansion + support aggregate. On a
@@ -3539,9 +3542,273 @@ object Pipeline {
       FROM pairs CROSS JOIN n
       ORDER BY pmi_score DESC, a, b LIMIT 20"""))
 
+  /** p59 — corpus-self bigram LM quality score: count every bigram over
+    * the whole corpus, then score each document by how "typical" its
+    * bigrams are — hit_mass = Σ corpus-count(bigram occurrence), and
+    * lm_score = hit_mass·1000 div n_bigrams (the average corpus support
+    * per bigram, in milli-units). This is the cheap-LM fluency/quality
+    * signal (the non-neural stand-in for perplexity filtering à la
+    * CCNet/Gopher rules): boilerplate and templated text scores high,
+    * novel or garbled text scores low. The log wrap of a true LM is
+    * dropped for the same reason as p51's idf and p58's PMI — ln has no
+    * cross-engine bit guarantee, and the rational core is monotone in
+    * each bigram's support, so the quality RANKING the filter consumes
+    * is unchanged — and the score stays exact integer arithmetic.
+    *
+    * 100 TB shape: bigram expansion is a narrow codegen'd zip_with (no
+    * self-join, no window); the corpus count is ONE shuffle on the
+    * bigram key with map-side partial aggregation; the score join
+    * co-partitions doc-bigrams with counts on that same key, and the
+    * per-doc rollup is the third and final shuffle. No vocabulary cap
+    * is needed for correctness — but at deployment scale the count
+    * table is Zipf-shaped, so AQE's skew split handles the "the the"
+    * head buckets, and the final top-k is a TakeOrdered, not a sort.
+    */
+  private val p59 = Q(
+    "p59_lm_score",
+    (s, d) => {
+      import s.implicits._
+      val toks = T(s, d, "documents")
+        .select($"doc_id", split($"text", " ").as("a"))
+        .filter(size($"a") >= 2)
+      val bg = toks.select($"doc_id", explode(expr(
+        """zip_with(slice(a, 1, size(a) - 1), slice(a, 2, size(a) - 1),
+             (x, y) -> concat(x, ' ', y))""")).as("b"))
+      val cnt = bg.groupBy($"b").agg(count(lit(1)).as("c"))
+      bg.join(cnt, "b")
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_bigrams"), sum($"c").as("hit_mass"))
+        .select($"doc_id", $"n_bigrams", $"hit_mass",
+          expr("(hit_mass * 1000) div n_bigrams").as("lm_score"))
+        .orderBy($"lm_score".desc, $"doc_id")
+        .limit(15)
+    },
+    Some("""
+      WITH toks AS (SELECT doc_id, string_split(text, ' ') AS a
+                    FROM documents
+                    WHERE len(string_split(text, ' ')) >= 2),
+      bg AS (SELECT doc_id, a[CAST(i AS INT)] || ' ' || a[CAST(i AS INT) + 1] AS b
+             FROM toks, UNNEST(range(1, len(a))) AS t(i)),
+      cnt AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS c FROM bg GROUP BY b),
+      per AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+                     CAST(SUM(c) AS BIGINT) AS hit_mass
+              FROM bg JOIN cnt USING (b) GROUP BY doc_id)
+      SELECT doc_id, n_bigrams, hit_mass,
+        (hit_mass * 1000) // n_bigrams AS lm_score
+      FROM per ORDER BY lm_score DESC, doc_id LIMIT 15"""))
+
+  /** p60 — int8 scalar quantization of the embedding column: global
+    * per-dimension min/max, then q = ⌊(x−mn)/(mx−mn)·255 + 0.5⌋ per
+    * element — the compression step every trillion-vector ANN serving
+    * stack runs before indexing (4× smaller than float32; p49's PQ is
+    * the codebook sibling, this is the per-dim affine sibling). The
+    * gate checks integer CHECKSUMS of the quantized codes (sum/min/max
+    * per vector), the quantization error in integer milli-units
+    * (⌊t·255000+0.5⌋ − q·1000 — exact, no float sum to reassociate),
+    * and the count of saturated codes. Each element's float→double
+    * widening, subtraction, division, multiply, and floor is a fixed
+    * IEEE sequence with identical parenthesization on both engines, so
+    * the codes are bit-identical cross-engine.
+    *
+    * 100 TB shape: the stats pass is a posexplode + groupBy(pos) with
+    * map-side combine — 64 result rows no matter the corpus — which
+    * then broadcast as two 64-element arrays (ONE row) to a narrow
+    * per-vector map: transform + sequential aggregate over the array,
+    * zero per-element row explosion on the quantize path, no second
+    * corpus shuffle. The final top-k is a TakeOrdered.
+    */
+  private val p60 = Q(
+    "p60_embed_quantize",
+    (s, d) => {
+      import s.implicits._
+      val emb = T(s, d, "embeddings")
+      val ex = emb.select($"vec_id", posexplode($"embedding").as(Seq("pos", "x")))
+      val st = ex.groupBy($"pos").agg(
+        min($"x".cast(DoubleType)).as("mn"),
+        max($"x".cast(DoubleType)).as("mx"))
+      val stRow = st.agg(
+        expr("transform(array_sort(collect_list(struct(pos, mn))), t -> t.mn)")
+          .as("mns"),
+        expr("transform(array_sort(collect_list(struct(pos, mx))), t -> t.mx)")
+          .as("mxs"))
+      emb.crossJoin(broadcast(stRow))
+        .withColumn("qarr", expr(
+          """transform(sequence(0, size(embedding) - 1), i ->
+               CASE WHEN mxs[i] = mns[i] THEN 0L
+               ELSE CAST(floor(((CAST(embedding[i] AS DOUBLE) - mns[i])
+                 / (mxs[i] - mns[i])) * 255.0D + 0.5D) AS BIGINT) END)"""))
+        .withColumn("qmarr", expr(
+          """transform(sequence(0, size(embedding) - 1), i ->
+               CASE WHEN mxs[i] = mns[i] THEN 0L
+               ELSE CAST(floor(((CAST(embedding[i] AS DOUBLE) - mns[i])
+                 / (mxs[i] - mns[i])) * 255000.0D + 0.5D) AS BIGINT) END)"""))
+        .select($"vec_id",
+          expr("aggregate(qarr, 0L, (acc, x) -> acc + x)").as("q_sum"),
+          expr("array_min(qarr)").as("q_min"),
+          expr("array_max(qarr)").as("q_max"),
+          expr("""aggregate(zip_with(qmarr, qarr, (m, q) -> abs(m - q * 1000)),
+                    0L, (acc, x) -> acc + x)""").as("err_milli"),
+          expr("CAST(size(filter(qarr, x -> x = 0 OR x = 255)) AS BIGINT)")
+            .as("n_extreme"))
+        .orderBy($"q_sum".desc, $"vec_id")
+        .limit(20)
+    },
+    Some("""
+      WITH ex AS (SELECT vec_id, CAST(i AS INT) AS pos,
+                    CAST(embedding[CAST(i AS INT) + 1] AS DOUBLE) AS x
+                  FROM embeddings, UNNEST(range(0, len(embedding))) AS t(i)),
+      st AS (SELECT pos, MIN(x) AS mn, MAX(x) AS mx FROM ex GROUP BY pos),
+      qz AS (SELECT vec_id,
+              CASE WHEN mx = mn THEN CAST(0 AS BIGINT)
+                   ELSE CAST(FLOOR(((x - mn) / (mx - mn)) * 255.0 + 0.5)
+                     AS BIGINT) END AS q,
+              CASE WHEN mx = mn THEN CAST(0 AS BIGINT)
+                   ELSE CAST(FLOOR(((x - mn) / (mx - mn)) * 255000.0 + 0.5)
+                     AS BIGINT) END AS qm
+            FROM ex JOIN st USING (pos))
+      SELECT vec_id, CAST(SUM(q) AS BIGINT) AS q_sum,
+        MIN(q) AS q_min, MAX(q) AS q_max,
+        CAST(SUM(ABS(qm - q * 1000)) AS BIGINT) AS err_milli,
+        CAST(COUNT(*) FILTER (WHERE q = 0 OR q = 255) AS BIGINT) AS n_extreme
+      FROM qz GROUP BY vec_id ORDER BY q_sum DESC, vec_id LIMIT 20"""))
+
+  /** p61 — community detection by synchronous label propagation over the
+    * co-purchase graph (the p52 edge set: parts co-occurring in ≥2
+    * orders): 3 unrolled rounds of "adopt the most frequent neighbor
+    * label", ties broken by the SMALLEST label so every round is a pure
+    * function of the previous labeling — the determinism knob that makes
+    * LPA (normally run async with random tie-breaks) reproducible
+    * cross-engine. Complements p17 (connected components = the
+    * coarsest communities) and p42 (PageRank = per-node authority):
+    * LPA finds DENSE subgroups inside a component, the clustering used
+    * for domain/topic bucketing of a training corpus.
+    *
+    * 100 TB shape: pair expansion reuses p52's one-shuffle basket
+    * topology (collect_set per order + codegen'd C(n,2) expansion — no
+    * fact self-join); each round is a co-partitioned join of labels to
+    * the adjacency on the node key, a counting aggregate, and a
+    * per-node window argmax — three key-local shuffles per round, no
+    * driver-side data movement, lineage pinned between rounds exactly
+    * like p42's fixpoint. Rounds are a fixed constant (3), so the plan
+    * depth is bounded; convergence-to-fixpoint would loop the same
+    * round body under the p17 delta-count guard.
+    */
+  private val p61 = Q(
+    "p61_label_propagation",
+    (s, d) => {
+      import s.implicits._
+      val byOrd = T(s, d, "lineitem").groupBy($"l_orderkey")
+        .agg(sort_array(collect_set($"l_partkey")).as("pks"))
+      // Codegen'd two-generator pair expansion — see p52 for why this
+      // beats the higher-order transform/struct form (12.6 → 4.8 s).
+      val pairs = byOrd
+        .select(posexplode($"pks").as(Seq("i", "u")), $"pks")
+        .select($"u", explode(expr("slice(pks, i + 2, size(pks))")).as("v"))
+      val e = pin(pairs.groupBy($"u", $"v").agg(count(lit(1)).as("cw"))
+        .filter($"cw" >= 2).select($"u", $"v"))
+      labelPropagate(e, rounds = 3)
+        .groupBy(col("label").as("community"))
+        .agg(count(lit(1)).as("csize"), min(col("id")).as("min_member"))
+        .orderBy(col("csize").desc, col("community")).limit(20)
+    },
+    Some("""
+      WITH bask AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      e0 AS (SELECT a.l_partkey AS u, b.l_partkey AS v
+             FROM bask a JOIN bask b ON a.l_orderkey = b.l_orderkey
+              AND a.l_partkey < b.l_partkey),
+      e AS (SELECT u, v FROM e0 GROUP BY u, v HAVING COUNT(*) >= 2),
+      adj AS (SELECT u AS n, v AS m FROM e
+              UNION ALL SELECT v AS n, u AS m FROM e),
+      l0 AS (SELECT DISTINCT n AS id, n AS label FROM adj),
+      c1 AS (SELECT adj.n AS n, l.label, CAST(COUNT(*) AS BIGINT) AS c
+             FROM adj JOIN l0 l ON adj.m = l.id GROUP BY adj.n, l.label),
+      l1 AS (SELECT n AS id, label FROM (SELECT n, label,
+               ROW_NUMBER() OVER (PARTITION BY n ORDER BY c DESC, label) AS rn
+               FROM c1) s WHERE rn = 1),
+      c2 AS (SELECT adj.n AS n, l.label, CAST(COUNT(*) AS BIGINT) AS c
+             FROM adj JOIN l1 l ON adj.m = l.id GROUP BY adj.n, l.label),
+      l2 AS (SELECT n AS id, label FROM (SELECT n, label,
+               ROW_NUMBER() OVER (PARTITION BY n ORDER BY c DESC, label) AS rn
+               FROM c2) s WHERE rn = 1),
+      c3 AS (SELECT adj.n AS n, l.label, CAST(COUNT(*) AS BIGINT) AS c
+             FROM adj JOIN l2 l ON adj.m = l.id GROUP BY adj.n, l.label),
+      l3 AS (SELECT n AS id, label FROM (SELECT n, label,
+               ROW_NUMBER() OVER (PARTITION BY n ORDER BY c DESC, label) AS rn
+               FROM c3) s WHERE rn = 1)
+      SELECT label AS community, CAST(COUNT(*) AS BIGINT) AS csize,
+        MIN(id) AS min_member
+      FROM l3 GROUP BY label ORDER BY csize DESC, community LIMIT 20"""))
+
+  /** The p61 kernel, factored over an arbitrary undirected edge list
+    * (u, v): synchronous label propagation, each node adopting its most
+    * frequent neighbor label with ties to the SMALLEST label — a pure
+    * function of the previous labeling, so reproducible cross-engine.
+    * Argmax by max(struct(c, -label)): lexicographic struct max IS
+    * "highest count, then smallest label" (labels are non-negative longs,
+    * so negation flips the order), and unlike a row_number window it
+    * partial-aggregates map-side and never sorts. Per round: one
+    * co-partitioned join + two key-local aggregates; lineage pinned
+    * between rounds like p42's fixpoint.
+    */
+  private[graft] def labelPropagate(e: DataFrame, rounds: Int): DataFrame = {
+    val adj = e.select(col("u").as("n"), col("v").as("m"))
+      .unionAll(e.select(col("v").as("n"), col("u").as("m")))
+    var labels = adj.select(col("n").as("id")).distinct()
+      .select(col("id"), col("id").as("label"))
+    for (_ <- 1 to rounds) {
+      val cnts = adj.join(labels.select(col("id").as("m"), col("label")), "m")
+        .groupBy(col("n"), col("label")).agg(count(lit(1)).as("c"))
+      labels = pin(cnts
+        .groupBy(col("n"))
+        .agg(max(struct(col("c"), (-col("label")).as("nl"))).as("top"))
+        .select(col("n").as("id"), (-col("top.nl")).as("label")))
+    }
+    labels
+  }
+
+  /** Stage decomposition of p61 (see Probe "p61"): where do the seconds
+    * go — basket expansion + edge threshold, the label init, or the three
+    * propagation rounds?
+    */
+  private[graft] def labelPropProbe(s: SparkSession, d: String,
+      time: String => (=> Long) => Unit): Unit = {
+    import s.implicits._
+    val byOrd = T(s, d, "lineitem").groupBy($"l_orderkey")
+      .agg(sort_array(collect_set($"l_partkey")).as("pks"))
+    val pairs = byOrd
+      .select(posexplode($"pks").as(Seq("i", "u")), $"pks")
+      .select($"u", explode(expr("slice(pks, i + 2, size(pks))")).as("v"))
+    time("p61.byOrd_only")(byOrd.count())
+    time("p61.pairs_only")(pairs.count())
+    var e: DataFrame = null
+    time("p61.edges_pin") {
+      e = pin(pairs.groupBy($"u", $"v").agg(count(lit(1)).as("cw"))
+        .filter($"cw" >= 2).select($"u", $"v"))
+      e.count()
+    }
+    val adj = e.select($"u".as("n"), $"v".as("m"))
+      .unionAll(e.select($"v".as("n"), $"u".as("m")))
+    var labels = adj.select($"n".as("id")).distinct()
+      .select($"id", $"id".as("label"))
+    time("p61.labels_init")(labels.count())
+    for (r <- 1 to 3) {
+      val cnts = adj.join(labels.select($"id".as("m"), $"label"), "m")
+        .groupBy($"n", $"label").agg(count(lit(1)).as("c"))
+      time(s"p61.round$r") {
+        labels = pin(cnts
+          .groupBy($"n")
+          .agg(max(struct($"c", (-$"label").as("nl"))).as("top"))
+          .select($"n".as("id"), (-$"top.nl").as("label")))
+        labels.count()
+      }
+    }
+    time("p61.final_rollup")(labels.groupBy($"label")
+      .agg(count(lit(1)).as("csize")).count())
+  }
+
   val all: Seq[Q] = Seq(p01, p02, p03, p04, p05, p06, p07, p08, p09, p10,
     p11, p12, p13, p14, p15, p16, p17, p18, p19, p20, p21, p22, p23, p24,
     p25, p26, p27, p28, p29, p30, p31, p32, p33, p34, p35, p36, p37, p38,
     p39, p40, p41, p42, p43, p44, p45, p46, p47, p48, p49, p50, p51, p52,
-    p53, p54, p55, p56, p57, p58)
+    p53, p54, p55, p56, p57, p58, p59, p60, p61)
 }

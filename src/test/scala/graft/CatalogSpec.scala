@@ -937,6 +937,29 @@ class SemanticsSpec extends AnyFunSuite {
     assert(anyExtreme >= 0) // top-k slice may exclude them; bound is sanity
   }
 
+  test("dsir weights upweight the target slice") {
+    // The selector is fit on lang='en' — English documents must rank
+    // above their corpus base rate, and the score must be the exact
+    // integer mean of the per-occurrence bucket ratios. Lift is asserted
+    // at sf0.01: the sf0.001 corpus is too small for the 64-bucket fit
+    // to separate languages (top-15 en share ≈ base rate there).
+    val sf01 = "/root/testdata/sf0.01"
+    val rows = Catalog.byName("p62_dsir_weights").run(spark, sf01)
+      .select($"lang", $"n_tokens", $"mass", $"dsir_score")
+      .as[(String, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, nt, mass, sc) =>
+      assert(sc == mass / nt, s"score $sc != $mass div $nt")
+    }
+    val enShare = rows.count(_._1 == "en").toDouble / rows.length
+    val baseRate = {
+      val d = Tables.load(spark, sf01, "documents")
+      d.filter($"lang" === "en").count().toDouble / d.count()
+    }
+    assert(enShare >= baseRate + 0.15,
+      s"top-doc en share $enShare shows no lift over base rate $baseRate")
+  }
+
   test("label propagation separates two bridge-linked triangles") {
     // Barbell graph: triangles {1,2,3} and {4,5,6} joined by edge 3-4.
     // Hand-unrolled sync LPA with min-label ties converges in 3 rounds to

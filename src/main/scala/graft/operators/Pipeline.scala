@@ -3801,6 +3801,77 @@ object Pipeline {
       SELECT doc_id, lang, n_tokens, mass, mass // n_tokens AS dsir_score
       FROM per ORDER BY dsir_score DESC, doc_id LIMIT 15"""))
 
+  /** p63 — keep-best canonical selection: the "which copy do you KEEP"
+    * half of dedup. Documents cluster by identical 60-bit SimHash (p09's
+    * fingerprint — exact dups and token-reorder near-dups collapse), and
+    * each cluster retains its LONGEST member (ties → smallest doc_id):
+    * the standard curation rule that the fullest version of a duplicated
+    * page carries the most training signal. Output is the per-source
+    * retention ledger — docs seen, kept, dropped, and surviving chars —
+    * i.e. what each upstream source actually contributes post-dedup.
+    *
+    * 100 TB shape: fingerprinting is a narrow codegen map; the keep-best
+    * decision is max(struct(n_chars, -doc_id, source)) — a map-side
+    * combinable ARGMAX on the simhash key, not a window sort, so the
+    * cluster shuffle carries one partially-reduced row per (partition,
+    * simhash), not the full corpus; the per-source rollups are
+    * dimension-sized. Compare p17, which materializes the cluster
+    * GRAPH — this entry answers the cheaper operational question (who
+    * survives) with one aggregate.
+    */
+  private val p63 = Q(
+    "p63_keep_best",
+    (s, d) => {
+      import s.implicits._
+      val tokenHashes = expr(
+        """transform(array_distinct(split(text, ' ')),
+                     t -> CAST(conv(substr(md5(t), 1, 15), 16, 10) AS BIGINT))""")
+      val docs = T(s, d, "documents")
+      val withSim = docs.select($"doc_id", $"source", $"n_chars",
+        VectorFunctions.simhash60(tokenHashes).as("simhash"))
+      val winners = withSim.groupBy($"simhash")
+        .agg(max(struct($"n_chars", (-$"doc_id").as("nd"),
+          $"source".as("src"))).as("top"))
+      val kept = winners.groupBy($"top.src".as("source"))
+        .agg(count(lit(1)).as("n_kept"),
+          sum($"top.n_chars").as("kept_chars"))
+      docs.groupBy($"source").agg(count(lit(1)).as("n_docs"))
+        .join(kept, Seq("source"), "left")
+        .select($"source", $"n_docs",
+          coalesce($"n_kept", lit(0L)).as("n_kept"),
+          ($"n_docs" - coalesce($"n_kept", lit(0L))).as("n_dropped"),
+          coalesce($"kept_chars", lit(0L)).as("kept_chars"))
+        .orderBy($"source")
+    },
+    Some("""
+      WITH th AS (
+        SELECT doc_id, source, n_chars,
+          list_transform(list_distinct(string_split(text, ' ')),
+                         t -> ('0x' || substr(md5(t), 1, 15))::BIGINT) AS hs
+        FROM documents),
+      sh AS (
+        SELECT doc_id, source, n_chars,
+          list_sum(list_transform(range(0, 60), j ->
+            CASE WHEN list_sum(list_transform(hs, h ->
+                   CASE WHEN (h >> j) % 2 = 1 THEN 1 ELSE -1 END)) >= 0
+            THEN (1::BIGINT << j) ELSE 0::BIGINT END))::BIGINT AS simhash
+        FROM th),
+      win AS (
+        SELECT source, n_chars,
+          ROW_NUMBER() OVER (PARTITION BY simhash
+                             ORDER BY n_chars DESC, doc_id) AS rn
+        FROM sh),
+      kept AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_kept,
+                 CAST(SUM(n_chars) AS BIGINT) AS kept_chars
+               FROM win WHERE rn = 1 GROUP BY source),
+      tot AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+              FROM documents GROUP BY source)
+      SELECT t.source, n_docs,
+        COALESCE(n_kept, CAST(0 AS BIGINT)) AS n_kept,
+        n_docs - COALESCE(n_kept, CAST(0 AS BIGINT)) AS n_dropped,
+        COALESCE(kept_chars, CAST(0 AS BIGINT)) AS kept_chars
+      FROM tot t LEFT JOIN kept USING (source) ORDER BY source"""))
+
   /** The p61 kernel, factored over an arbitrary undirected edge list
     * (u, v): synchronous label propagation, each node adopting its most
     * frequent neighbor label with ties to the SMALLEST label — a pure
@@ -3872,5 +3943,5 @@ object Pipeline {
     p11, p12, p13, p14, p15, p16, p17, p18, p19, p20, p21, p22, p23, p24,
     p25, p26, p27, p28, p29, p30, p31, p32, p33, p34, p35, p36, p37, p38,
     p39, p40, p41, p42, p43, p44, p45, p46, p47, p48, p49, p50, p51, p52,
-    p53, p54, p55, p56, p57, p58, p59, p60, p61, p62)
+    p53, p54, p55, p56, p57, p58, p59, p60, p61, p62, p63)
 }

@@ -960,6 +960,24 @@ class SemanticsSpec extends AnyFunSuite {
       s"top-doc en share $enShare shows no lift over base rate $baseRate")
   }
 
+  test("keep-best retention ledger conserves the corpus") {
+    // Every document is either kept or dropped exactly once, and each
+    // source's ledger row is internally consistent. At sf0.01 the corpus
+    // contains near-dup clusters, so the selection must actually drop
+    // something (a no-op dedup would be vacuously conservative).
+    val sf01 = "/root/testdata/sf0.01"
+    val rows = Catalog.byName("p63_keep_best").run(spark, sf01)
+      .select($"n_docs", $"n_kept", $"n_dropped", $"kept_chars")
+      .as[(Long, Long, Long, Long)].collect()
+    rows.foreach { case (nd, nk, ndr, kc) =>
+      assert(nk + ndr == nd && nk >= 0 && ndr >= 0, s"ledger row broken")
+      assert(kc >= 0)
+    }
+    val totalDocs = Tables.load(spark, sf01, "documents").count()
+    assert(rows.map(_._1).sum == totalDocs, "sources do not cover corpus")
+    assert(rows.map(_._3).sum > 0, "no near-dup was dropped at sf0.01")
+  }
+
   test("label propagation separates two bridge-linked triangles") {
     // Barbell graph: triangles {1,2,3} and {4,5,6} joined by edge 3-4.
     // Hand-unrolled sync LPA with min-label ties converges in 3 rounds to

@@ -34,6 +34,13 @@ case class PathEvent(userId: Long, eventId: Long, eventType: String, tsUs: Long)
 case class PathState(lastUs: Long, lastId: Long, lastType: String)
 case class PathEdge(userId: Long, src: String, dst: String)
 
+/** Keep-best twin rows (p63): one fingerprinted document in, one winner
+  * CHANGE out; state is the current best member per cluster.
+  */
+case class KeepDocIn(simhash: Long, docId: Long, source: String, nChars: Long)
+case class BestState(nChars: Long, docId: Long, source: String)
+case class WinnerRow(simhash: Long, docId: Long, source: String, nChars: Long)
+
 /** Streaming operators on Spark 4's `transformWithState` — the
   * arbitrary-state successor to `flatMapGroupsWithState` (typed per-key
   * state variables, explicit timers, TTL; RocksDB-backed). The reference's
@@ -303,6 +310,57 @@ object StatefulProcessors {
       .as[PathEvent]
       .groupByKey(_.userId)
       .transformWithState(new SessionPathProcessor(gapUs),
+        TimeMode.None(), OutputMode.Append())
+  }
+
+  /** Streaming twin of the p63 batch keep-best selection: O(1) state per
+    * SimHash cluster (the current best member) and one WINNER CHANGE
+    * emitted whenever an arriving document beats it — a canonical-doc
+    * changelog a downstream index can consume incrementally. Unlike the
+    * funnel/attribution twins, keep-best needs NO arrival-order
+    * contract: argmax is commutative and idempotent, so the final winner
+    * per cluster equals the batch max(struct(n_chars, -doc_id)) under
+    * ANY interleaving or batch split — the equivalence test feeds
+    * deliberately shuffled chunks to prove it. State is bounded by
+    * cluster cardinality, not stream length (and clusters outgrow
+    * nothing: the state row never exceeds one member).
+    */
+  class KeepBestProcessor
+      extends StatefulProcessor[Long, KeepDocIn, WinnerRow] {
+    @transient private var best: ValueState[BestState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      best = getHandle.getValueState[BestState]("best",
+        Encoders.product[BestState], TTLConfig.NONE)
+
+    override def handleInputRows(sim: Long, rows: Iterator[KeepDocIn],
+        timerValues: TimerValues): Iterator[WinnerRow] = {
+      var s = if (best.exists()) best.get() else null
+      var changed = false
+      rows.foreach { r =>
+        val better = s == null || r.nChars > s.nChars ||
+          (r.nChars == s.nChars && r.docId < s.docId)
+        if (better) { s = BestState(r.nChars, r.docId, r.source); changed = true }
+      }
+      if (changed) {
+        best.update(s)
+        Iterator.single(WinnerRow(sim, s.docId, s.source, s.nChars))
+      } else Iterator.empty
+    }
+  }
+
+  /** Keep-best stream over fingerprinted document frames
+    * (simhash, doc_id, source, n_chars).
+    */
+  def keepBest(docs: DataFrame): Dataset[WinnerRow] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("simhash").cast("long").as("simhash"),
+        col("doc_id").cast("long").as("docId"),
+        col("source").as("source"), col("n_chars").cast("long").as("nChars"))
+      .as[KeepDocIn]
+      .groupByKey(_.simhash)
+      .transformWithState(new KeepBestProcessor,
         TimeMode.None(), OutputMode.Append())
   }
 

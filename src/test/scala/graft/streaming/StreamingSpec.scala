@@ -13,6 +13,7 @@ case class DocCC(doc_id: Long, text: String, lang: String,
     event_time: java.sql.Timestamp)
 
 case class EvCC(user_id: Long, event_type: String, ts: java.sql.Timestamp)
+case class KeepCC(simhash: Long, doc_id: Long, source: String, n_chars: Long)
 case class PathEvCC(user_id: Long, event_id: Long, event_type: String,
     ts: java.sql.Timestamp)
 
@@ -934,6 +935,120 @@ class StreamingSpec extends AnyFunSuite {
           $"after" - $"before" <= 1800000000L)
         .count()
       assert(spanning > 0, "median cutoff split no session; test is vacuous")
+    }
+  }
+
+  test("streaming keep-best matches the p63 batch argmax under shuffled arrival") {
+    withRocksDb {
+      implicit val sqlCtx = spark.sqlContext
+      // Same fingerprint as the p63 entry: 60-bit SimHash over distinct
+      // tokens.
+      val tokenHashes = expr(
+        """transform(array_distinct(split(text, ' ')),
+                     t -> CAST(conv(substr(md5(t), 1, 15), 16, 10) AS BIGINT))""")
+      val docs = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+        .select($"doc_id", $"source", $"n_chars",
+          graft.functions.VectorFunctions.simhash60(tokenHashes).as("simhash"))
+      // Deliberately scrambled arrival (md5 of doc_id), split into three
+      // triggers: argmax state is commutative, so the final winner per
+      // cluster must not depend on order or batch boundaries.
+      val rows = docs.select($"simhash", $"doc_id", $"source", $"n_chars")
+        .withColumn("shuf", md5($"doc_id".cast("string")))
+        .orderBy($"shuf").drop("shuf")
+        .as[KeepCC].collect().toSeq
+      val ms = MemoryStream[KeepCC]
+      val q = StatefulProcessors.keepBest(ms.toDF())
+        .writeStream.format("memory").queryName("keepbest_sink")
+        .outputMode("append").start()
+      rows.grouped((rows.size + 2) / 3).foreach { chunk =>
+        ms.addData(chunk)
+        q.processAllAvailable()
+      }
+      q.stop()
+      val changes = spark.table("keepbest_sink")
+        .as[(Long, Long, String, Long)].collect().toSeq
+      // Final winner per cluster = argmax over the changelog (the change
+      // stream only ever improves, so the max IS the last emission).
+      val got = changes.groupBy(_._1).view.mapValues(
+        _.maxBy { case (_, id, _, nc) => (nc, -id) }).toMap.values
+        .map { case (sim, id, src, nc) => (sim, id, src, nc) }.toSet
+      val expect = docs.groupBy($"simhash")
+        .agg(max(struct($"n_chars", (-$"doc_id").as("nd"),
+          $"source".as("src"))).as("top"))
+        .select($"simhash", (-$"top.nd").as("doc_id"), $"top.src",
+          $"top.n_chars")
+        .as[(Long, Long, String, Long)].collect().toSet
+      assert(got == expect,
+        s"stream ${got.size} winners vs batch ${expect.size}")
+      // Supersession actually happened across triggers: more changes than
+      // final winners means at least one cluster's champion was beaten by
+      // a later arrival, so cross-batch state was exercised.
+      assert(changes.size > expect.size,
+        "no winner was ever superseded; the multi-trigger feed is vacuous")
+    }
+  }
+
+  test("keep-best state survives a checkpoint restart: run 2 only improves") {
+    withRocksDb {
+      val tokenHashes = expr(
+        """transform(array_distinct(split(text, ' ')),
+                     t -> CAST(conv(substr(md5(t), 1, 15), 16, 10) AS BIGINT))""")
+      val fp = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+        .select(
+          graft.functions.VectorFunctions.simhash60(tokenHashes).as("simhash"),
+          $"doc_id", $"source", $"n_chars")
+      val cut = fp.select(expr("percentile_approx(doc_id, 0.5)"))
+        .as[Double].head().toLong
+      val in = tmpDir("kb_restart_in")
+      val ckpt = tmpDir("kb_restart_ckpt")
+      def runOnce(): Seq[(Long, Long, String, Long)] = {
+        val sink =
+          scala.collection.mutable.ArrayBuffer.empty[(Long, Long, String, Long)]
+        val src = spark.readStream.schema(fp.schema).parquet(in)
+        val q = StatefulProcessors.keepBest(src).toDF()
+          .writeStream.outputMode("append")
+          .option("checkpointLocation", ckpt)
+          .foreachBatch { (df: DataFrame, _: Long) =>
+            val rows = df.as[(Long, Long, String, Long)].collect().toSeq
+            sink.synchronized { sink ++= rows }; ()
+          }
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+        q.awaitTermination(60000)
+        sink.toSeq
+      }
+      // Run 1 sees the HIGH doc_ids, run 2 the low ones: any cluster that
+      // spans the cut must improve in run 2 (equal-length copies improve
+      // via the smaller-doc_id tiebreak), so restored state is exercised.
+      fp.filter($"doc_id" >= cut).coalesce(1).write.mode("append").parquet(in)
+      val run1 = runOnce()
+      fp.filter($"doc_id" < cut).coalesce(1).write.mode("append").parquet(in)
+      val run2 = runOnce()
+      val w1 = run1.groupBy(_._1).view.mapValues(
+        _.maxBy { case (_, id, _, nc) => (nc, -id) }).toMap
+      // Monotonicity across the restart: a run-2 emission for a cluster
+      // run 1 already decided must STRICTLY beat run 1's champion — only
+      // possible if run 2 restored that champion from the checkpoint (a
+      // cold start would re-emit whatever it saw first).
+      run2.foreach { case (sim, id, _, nc) =>
+        w1.get(sim).foreach { case (_, id1, _, nc1) =>
+          assert(nc > nc1 || (nc == nc1 && id < id1),
+            s"cluster $sim: run-2 winner ($nc, $id) does not beat ($nc1, $id1)")
+        }
+      }
+      val crossImproved = run2.count(r => w1.contains(r._1))
+      assert(crossImproved > 0,
+        "no cluster spanned the restart; the monotonicity check is vacuous")
+      // And the combined changelog still lands on the batch argmax.
+      val got = (run1 ++ run2).groupBy(_._1).view.mapValues(
+        _.maxBy { case (_, id, _, nc) => (nc, -id) }).toMap.values.toSet
+      val expect = fp.groupBy($"simhash")
+        .agg(max(struct($"n_chars", (-$"doc_id").as("nd"),
+          $"source".as("src"))).as("top"))
+        .select($"simhash", (-$"top.nd").as("doc_id"), $"top.src",
+          $"top.n_chars")
+        .as[(Long, Long, String, Long)].collect().toSet
+      assert(got == expect,
+        s"restarted stream ${got.size} winners vs batch ${expect.size}")
     }
   }
 }

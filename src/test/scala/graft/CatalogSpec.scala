@@ -978,6 +978,32 @@ class SemanticsSpec extends AnyFunSuite {
     assert(rows.map(_._3).sum > 0, "no near-dup was dropped at sf0.01")
   }
 
+  test("label propagation converges disjoint cliques to their min label") {
+    // Sync min-tie LPA makes any clique of size >= 3 uniform at its
+    // minimum member id within 2 rounds (size-2 cliques oscillate — the
+    // classic bipartite artifact — so the generator starts at 3). Three
+    // seeded random clique sets, checked against the closed-form answer.
+    val rnd = new scala.util.Random(42)
+    (1 to 3).foreach { _ =>
+      val cliques = (1 to 5).map { _ =>
+        val size = 3 + rnd.nextInt(4)
+        Seq.fill(size)(rnd.nextLong(1000000L)).distinct
+      }.filter(_.size >= 3)
+      val edges = cliques.flatMap(c =>
+        for (i <- c.indices; j <- i + 1 until c.size) yield (c(i), c(j)))
+      val e = edges.toDF("u", "v")
+      val got = operators.Pipeline.labelPropagate(e, rounds = 3)
+        .as[(Long, Long)].collect().toMap
+      cliques.foreach { c =>
+        val expect = c.min
+        c.foreach { id =>
+          assert(got(id) == expect,
+            s"node $id of clique $c labeled ${got(id)}, expected $expect")
+        }
+      }
+    }
+  }
+
   test("label propagation separates two bridge-linked triangles") {
     // Barbell graph: triangles {1,2,3} and {4,5,6} joined by edge 3-4.
     // Hand-unrolled sync LPA with min-label ties converges in 3 rounds to

@@ -978,6 +978,23 @@ class SemanticsSpec extends AnyFunSuite {
     assert(rows.map(_._3).sum > 0, "no near-dup was dropped at sf0.01")
   }
 
+  test("length-bucketed batching never pads more than arrival order") {
+    // Sorted batching is optimal-or-equal per source for fixed-count
+    // batches, and with multiple batches per source on real data it must
+    // win strictly somewhere (else the entry is vacuous).
+    val sf01 = "/root/testdata/sf0.01"
+    val rows = Catalog.byName("p64_length_batches").run(spark, sf01)
+      .select($"n_batches", $"sorted_pad", $"naive_pad")
+      .as[(Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (nb, sp, np) =>
+      assert(nb >= 1 && sp >= 0 && sp <= np,
+        s"sorted padding $sp exceeds naive $np")
+    }
+    assert(rows.exists { case (_, sp, np) => sp < np },
+      "sorted batching never strictly beat arrival order")
+  }
+
   test("label propagation converges disjoint cliques to their min label") {
     // Sync min-tie LPA makes any clique of size >= 3 uniform at its
     // minimum member id within 2 rounds (size-2 cliques oscillate — the

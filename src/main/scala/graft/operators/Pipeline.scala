@@ -3938,6 +3938,86 @@ object Pipeline {
       SELECT sa.source, n_batches, sorted_pad, naive_pad
       FROM sa JOIN na ON sa.source = na.source ORDER BY sa.source"""))
 
+  /** p65 — leakage-safe train/valid/test split: assign whole near-dup
+    * CLUSTERS (p63's SimHash key) to splits by hashing the cluster id
+    * (90/5/5), so no near-duplicate of a training document can land in
+    * evaluation — the contamination-by-construction guard (the
+    * group-wise split every careful eval pipeline runs; p22's doc-level
+    * split is the leaky baseline). The ledger reports per-split cluster
+    * /doc/char counts plus the AUDIT column: how many clusters a naive
+    * doc-level 90/10 split would fracture across train and eval on this
+    * corpus — the leakage this operator exists to prevent (5 clusters
+    * at sf0.01). Group-wise assignment trades exact split ratios for
+    * integrity: a large cluster drags its whole mass into one split.
+    *
+    * 100 TB shape: fingerprint is a narrow codegen map; the split tag
+    * is a pure per-row md5 — no shuffle at all until the per-split
+    * rollup (3 rows) and the distinct-cluster counts (cluster-keyed,
+    * map-side combinable); the audit is one extra aggregate over the
+    * same keys. Nothing here scales with anything but the corpus scan.
+    */
+  private val p65 = Q(
+    "p65_leakage_split",
+    (s, d) => {
+      import s.implicits._
+      val tokenHashes = expr(
+        """transform(array_distinct(split(text, ' ')),
+                     t -> CAST(conv(substr(md5(t), 1, 15), 16, 10) AS BIGINT))""")
+      def pct(key: String) = expr(
+        s"""CAST(conv(substr(md5(CAST($key AS STRING) || '_split'), 1, 15),
+              16, 10) AS BIGINT) % 100""")
+      val tagged = T(s, d, "documents")
+        .select($"doc_id", $"n_chars",
+          VectorFunctions.simhash60(tokenHashes).as("cluster"))
+        .withColumn("split",
+          when(pct("cluster") < 90, "train")
+            .when(pct("cluster") < 95, "valid").otherwise("test"))
+        .withColumn("naive_split",
+          when(pct("doc_id") < 90, "train").otherwise("eval"))
+      val frac = tagged.groupBy($"cluster")
+        .agg(countDistinct($"naive_split").as("ns"))
+        .agg(count(when($"ns" > 1, 1)).as("naive_fractured"))
+      tagged.groupBy($"split")
+        .agg(countDistinct($"cluster").as("n_clusters"),
+          count(lit(1)).as("n_docs"), sum($"n_chars").as("total_chars"))
+        .crossJoin(broadcast(frac))
+        .orderBy($"split")
+    },
+    Some("""
+      WITH th AS (
+        SELECT doc_id, n_chars,
+          list_transform(list_distinct(string_split(text, ' ')),
+                         t -> ('0x' || substr(md5(t), 1, 15))::BIGINT) AS hs
+        FROM documents),
+      sh AS (
+        SELECT doc_id, n_chars,
+          list_sum(list_transform(range(0, 60), j ->
+            CASE WHEN list_sum(list_transform(hs, h ->
+                   CASE WHEN (h >> j) % 2 = 1 THEN 1 ELSE -1 END)) >= 0
+            THEN (1::BIGINT << j) ELSE 0::BIGINT END))::BIGINT AS cluster
+        FROM th),
+      tagged AS (
+        SELECT doc_id, n_chars, cluster,
+          CASE WHEN ('0x' || substr(md5(CAST(cluster AS VARCHAR) || '_split'),
+                       1, 15))::BIGINT % 100 < 90 THEN 'train'
+               WHEN ('0x' || substr(md5(CAST(cluster AS VARCHAR) || '_split'),
+                       1, 15))::BIGINT % 100 < 95 THEN 'valid'
+               ELSE 'test' END AS split,
+          CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '_split'),
+                       1, 15))::BIGINT % 100 < 90 THEN 'train'
+               ELSE 'eval' END AS naive_split
+        FROM sh),
+      frac AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS naive_fractured FROM (
+          SELECT cluster FROM tagged GROUP BY cluster
+          HAVING COUNT(DISTINCT naive_split) > 1))
+      SELECT split, CAST(COUNT(DISTINCT cluster) AS BIGINT) AS n_clusters,
+        CAST(COUNT(*) AS BIGINT) AS n_docs,
+        CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+        naive_fractured
+      FROM tagged CROSS JOIN frac
+      GROUP BY split, naive_fractured ORDER BY split"""))
+
   /** The p61 kernel, factored over an arbitrary undirected edge list
     * (u, v): synchronous label propagation, each node adopting its most
     * frequent neighbor label with ties to the SMALLEST label — a pure
@@ -4009,5 +4089,5 @@ object Pipeline {
     p11, p12, p13, p14, p15, p16, p17, p18, p19, p20, p21, p22, p23, p24,
     p25, p26, p27, p28, p29, p30, p31, p32, p33, p34, p35, p36, p37, p38,
     p39, p40, p41, p42, p43, p44, p45, p46, p47, p48, p49, p50, p51, p52,
-    p53, p54, p55, p56, p57, p58, p59, p60, p61, p62, p63, p64)
+    p53, p54, p55, p56, p57, p58, p59, p60, p61, p62, p63, p64, p65)
 }

@@ -978,6 +978,29 @@ class SemanticsSpec extends AnyFunSuite {
     assert(rows.map(_._3).sum > 0, "no near-dup was dropped at sf0.01")
   }
 
+  test("leakage-safe split covers the corpus and the naive split leaks") {
+    // Group-wise assignment: every doc lands in exactly one split, every
+    // cluster in exactly one split by construction, and the audit column
+    // must show the doc-level baseline WOULD have fractured clusters —
+    // otherwise the corpus doesn't exercise the guard.
+    val sf01 = "/root/testdata/sf0.01"
+    val rows = Catalog.byName("p65_leakage_split").run(spark, sf01)
+      .select($"split", $"n_clusters", $"n_docs", $"total_chars",
+        $"naive_fractured")
+      .as[(String, Long, Long, Long, Long)].collect()
+    assert(rows.map(_._1).sorted.toSeq == Seq("test", "train", "valid"))
+    val docs = Tables.load(spark, sf01, "documents")
+    assert(rows.map(_._3).sum == docs.count(), "docs not partitioned")
+    assert(rows.map(_._4).sum ==
+      docs.agg(sum($"n_chars")).as[Long].head(), "chars not conserved")
+    val trainShare = rows.find(_._1 == "train").get._3.toDouble /
+      rows.map(_._3).sum
+    assert(trainShare > 0.7 && trainShare < 0.98,
+      s"train share $trainShare implausible for a 90% hash split")
+    assert(rows.head._5 > 0,
+      "doc-level baseline fractured no cluster; the guard is vacuous here")
+  }
+
   test("length-bucketed batching never pads more than arrival order") {
     // Sorted batching is optimal-or-equal per source for fixed-count
     // batches, and with multiple batches per source on real data it must

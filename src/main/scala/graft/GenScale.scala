@@ -39,10 +39,25 @@ object GenScale {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    def replicate(df: DataFrame, keyCols: Seq[String]): DataFrame =
+    def replicate(df: DataFrame, keyCols: Seq[String]): DataFrame = {
+      // Guard the stride contract: replica r adds r·Stride to every key,
+      // so any source key ≥ Stride makes replicas OVERLAP — colliding
+      // keys silently merge entities (baskets, users, docs) and the
+      // "scale-up" becomes a superlinear merged-graph artifact. This
+      // bites when pointing GenScale at an already-replicated dir
+      // (target/sf1 keys span ~9×Stride); always re-derive bigger
+      // replicas from the SHIPPED sf0.1. Fail loudly instead.
+      val maxRow = df.select(keyCols.map(c => max(col(c).cast("long"))): _*)
+        .first()
+      val maxKey = keyCols.indices.map(maxRow.getLong).max
+      require(maxKey < Stride,
+        s"source max key $maxKey >= stride $Stride for $keyCols — " +
+          "replicas would collide; replicate from the shipped TESTDATA, " +
+          "not from an already-replicated dir")
       (0 until copies).map { r =>
         keyCols.foldLeft(df)((d, c) => d.withColumn(c, col(c) + lit(r * Stride)))
       }.reduce(_ union _)
+    }
 
     def write(name: String, df: DataFrame): Unit = {
       val tmp = s"$dst/_tmp_$name"

@@ -49,11 +49,16 @@ object GenScale {
       // replicas from the SHIPPED sf0.1. Fail loudly instead.
       val maxRow = df.select(keyCols.map(c => max(col(c).cast("long"))): _*)
         .first()
-      val maxKey = keyCols.indices.map(maxRow.getLong).max
-      require(maxKey < Stride,
-        s"source max key $maxKey >= stride $Stride for $keyCols — " +
-          "replicas would collide; replicate from the shipped TESTDATA, " +
-          "not from an already-replicated dir")
+      // An empty table (or an all-null key column) aggregates to NULL —
+      // no keys means no possible collision, so only check present maxima.
+      val maxKeys = keyCols.indices
+        .flatMap(i => Option(maxRow.get(i)).map(_.asInstanceOf[Long]))
+      maxKeys.foreach { maxKey =>
+        require(maxKey < Stride,
+          s"source max key $maxKey >= stride $Stride for $keyCols — " +
+            "replicas would collide; replicate from the shipped TESTDATA, " +
+            "not from an already-replicated dir")
+      }
       (0 until copies).map { r =>
         keyCols.foldLeft(df)((d, c) => d.withColumn(c, col(c) + lit(r * Stride)))
       }.reduce(_ union _)

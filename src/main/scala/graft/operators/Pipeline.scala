@@ -3621,7 +3621,12 @@ object Pipeline {
     "p60_embed_quantize",
     (s, d) => {
       import s.implicits._
-      val emb = T(s, d, "embeddings")
+      // Empty vectors would quantize to q_sum=0 / NULL q_min here while
+      // the oracle's UNNEST omits them entirely — drop them up front so
+      // both engines agree on the row set. (Longer-than-stats vectors
+      // can't occur: the stats arrays are derived from this same data,
+      // so their length is the global max vector length.)
+      val emb = T(s, d, "embeddings").filter(size($"embedding") >= 1)
       val ex = emb.select($"vec_id", posexplode($"embedding").as(Seq("pos", "x")))
       val st = ex.groupBy($"pos").agg(
         min($"x".cast(DoubleType)).as("mn"),
@@ -4022,12 +4027,15 @@ object Pipeline {
     * (u, v): synchronous label propagation, each node adopting its most
     * frequent neighbor label with ties to the SMALLEST label — a pure
     * function of the previous labeling, so reproducible cross-engine.
-    * Argmax by max(struct(c, -label)): lexicographic struct max IS
-    * "highest count, then smallest label" (labels are non-negative longs,
-    * so negation flips the order), and unlike a row_number window it
-    * partial-aggregates map-side and never sorts. Per round: one
-    * co-partitioned join + two key-local aggregates; lineage pinned
-    * between rounds like p42's fixpoint.
+    * Argmax by min(struct(-c, label)): lexicographic struct min IS
+    * "highest count, then smallest label". The COUNT is negated (a
+    * count is always ≥ 1, so negation can't overflow), not the label —
+    * which keeps the tie order correct for ARBITRARY labels, including
+    * negative node ids and Long.MinValue, since the label travels
+    * unmodified. Unlike a row_number window this partial-aggregates
+    * map-side and never sorts. Per round: one co-partitioned join + two
+    * key-local aggregates; lineage pinned between rounds like p42's
+    * fixpoint.
     */
   private[graft] def labelPropagate(e: DataFrame, rounds: Int): DataFrame = {
     val adj = e.select(col("u").as("n"), col("v").as("m"))
@@ -4039,8 +4047,8 @@ object Pipeline {
         .groupBy(col("n"), col("label")).agg(count(lit(1)).as("c"))
       labels = pin(cnts
         .groupBy(col("n"))
-        .agg(max(struct(col("c"), (-col("label")).as("nl"))).as("top"))
-        .select(col("n").as("id"), (-col("top.nl")).as("label")))
+        .agg(min(struct((-col("c")).as("nc"), col("label"))).as("top"))
+        .select(col("n").as("id"), col("top.label").as("label")))
     }
     labels
   }
@@ -4076,8 +4084,8 @@ object Pipeline {
       time(s"p61.round$r") {
         labels = pin(cnts
           .groupBy($"n")
-          .agg(max(struct($"c", (-$"label").as("nl"))).as("top"))
-          .select($"n".as("id"), (-$"top.nl").as("label")))
+          .agg(min(struct((-$"c").as("nc"), $"label")).as("top"))
+          .select($"n".as("id"), $"top.label".as("label")))
         labels.count()
       }
     }

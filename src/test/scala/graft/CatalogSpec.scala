@@ -1056,4 +1056,18 @@ class SemanticsSpec extends AnyFunSuite {
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
       4L -> 3L, 5L -> 3L, 6L -> 3L), s"got $got")
   }
+
+  test("label propagation tie-break survives negative and extreme node ids") {
+    // Same barbell shape shifted to negative / extreme ids: the tie-break
+    // negates the COUNT (always small positive), not the label, so
+    // "smallest label wins" must hold for negative ids and Long.MinValue
+    // without overflow. Expected labels mirror the positive-id barbell.
+    val a = Long.MinValue // most negative long — would overflow if negated
+    val e = Seq((a, -2L), (a, -1L), (-2L, -1L), (-1L, 4L),
+      (4L, 5L), (4L, 6L), (5L, 6L)).toDF("u", "v")
+    val got = operators.Pipeline.labelPropagate(e, rounds = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(a -> a, -2L -> a, -1L -> a,
+      4L -> -1L, 5L -> -1L, 6L -> -1L), s"got $got")
+  }
 }

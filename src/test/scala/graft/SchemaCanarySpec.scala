@@ -98,6 +98,55 @@ class SchemaCanarySpec extends AnyFunSuite {
     assert(sfDirs.nonEmpty, "no /root/testdata/sf* dirs found")
   }
 
+  // The DERIVED views (partsupp, extended lineitem — Tables.scala) have
+  // their own dtype contract the DuckDB oracle re-derives independently;
+  // a base-table re-encode can shift a derived column even when every
+  // base dtype above still passes (e.g. l_shipdate DATE→TIMESTAMP flips
+  // l_commitdate/l_receiptdate through the timestampadd). Pin them too —
+  // schema analysis only, no materialization, so this runs in seconds.
+  private val expectedDerived: Map[String, Map[String, DataType]] = Map(
+    "partsupp" -> Map(
+      "ps_partkey" -> LongType,
+      "ps_suppkey" -> LongType,
+      "ps_availqty" -> IntegerType,
+      "ps_supplycost" -> DecimalType(12, 2)),
+    "lineitem_ext" -> Map(
+      "l_shipmode" -> StringType))
+
+  for (dir <- sfDirs) {
+    test(s"$dir derived partsupp/lineitem_ext schemas match oracle assumptions") {
+      Tables.load(spark, dir, "lineitem").createOrReplaceTempView("lineitem")
+      val derived = Map(
+        "partsupp" -> spark.sql(Tables.partsuppSpark),
+        "lineitem_ext" -> spark.sql(Tables.lineitemExtSpark))
+      for ((view, want) <- expectedDerived) {
+        val actual = derived(view).schema.fields
+          .map(f => f.name -> f.dataType).toMap
+        for ((col, dt) <- want) {
+          val got = actual.get(col)
+          assert(got.contains(dt),
+            s"$view.$col: expected $dt, got ${got.getOrElse("MISSING")} " +
+              s"— a base-table re-encode shifted a derived column; " +
+              s"re-align Tables derivation + DuckDB oracle twin")
+        }
+      }
+      // The derived dates must track l_shipdate's temporal family (NTZ or
+      // LTZ — both oracle-green per r05) and must be TEMPORAL: a drift to
+      // long/string would flip q12/q21's date predicates to errors or
+      // lexicographic order silently.
+      val shipType = derived("lineitem_ext").schema("l_shipdate").dataType
+      for (col <- Seq("l_commitdate", "l_receiptdate")) {
+        val got = derived("lineitem_ext").schema(col).dataType
+        assert(got == TimestampType || got.isInstanceOf[TimestampNTZType]
+            || got == DateType,
+          s"lineitem_ext.$col: expected a temporal type, got $got")
+        assert(got == shipType,
+          s"lineitem_ext.$col ($got) drifted from l_shipdate ($shipType) — " +
+            s"timestampadd no longer preserves the base encoding")
+      }
+    }
+  }
+
   for (dir <- sfDirs; table <- Tables.all) {
     test(s"$dir/$table post-load schema matches catalog assumptions") {
       val df = Tables.load(spark, dir, table)

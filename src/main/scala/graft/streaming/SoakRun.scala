@@ -58,9 +58,16 @@ object SoakRun {
       case "q12" => StreamQueries.q12(bids, sizeMs = 2000).toDF()
       case "q5agg" =>
         // The stateful half of q5 (hopping count per auction); the
-        // ranking half is batch-only and replays per batch in NexmarkRun.
-        StreamQueries.q5(
-          bids.withWatermark("b_date_time", "5 seconds")).toDF()
+        // ranking half is batch-only (row_number is unsupported on
+        // streams) and replays per batch in NexmarkRun — here only the
+        // window-state aggregation is under test.
+        bids.withWatermark("b_date_time", "5 seconds")
+          .groupBy(
+            org.apache.spark.sql.functions.window(
+              col("b_date_time"), "10 seconds", "5 seconds").as("win"),
+            col("auction"))
+          .agg(org.apache.spark.sql.functions.count(
+            org.apache.spark.sql.functions.lit(1)).as("n_bids"))
       case other => sys.error(s"unsupported soak shape: $other")
     }
     // q5agg aggregates emit on watermark close in append mode; update

@@ -4357,10 +4357,333 @@ object Pipeline {
           AS BIGINT) AS gini_ppm
       FROM g ORDER BY gini_ppm DESC, doc_id LIMIT 20"""))
 
+  /** p71 — MinHash estimator calibration: for every LSH candidate pair
+    * (the p08 4×1 band topology), bucket by the number of matching
+    * signature components (the MinHash Jaccard ESTIMATE, matches/k) and
+    * report the exact shingle-Jaccard distribution inside each bucket —
+    * the est-vs-truth audit that decides whether a signature length k is
+    * long enough before a 100 TB dedup run commits to it. Integer core:
+    * est_ppm = matches·250000, exact_ppm = |∩|·10⁶ DIV |∪|; the bucket
+    * average is an integer division of exact sums.
+    *
+    * 100 TB shape: identical wide-op profile to p08 (band-bucket shuffle
+    * generates candidates, the verify join touches candidate pairs only);
+    * the calibration rollup partial-combines to ≤ k rows.
+    */
+  private val p71 = Q(
+    "p71_minhash_calibration",
+    (s, d) => {
+      import s.implicits._
+      val sigs = sigsDf(s, d, 4)
+      val cand = lshCandidates(sigs, bands = 4, rowsPerBand = 1)
+      val a = sigs.select($"doc_id".as("id_a"), $"sh".as("sh_a"),
+        $"m0".as("a0"), $"m1".as("a1"), $"m2".as("a2"), $"m3".as("a3"))
+      val b = sigs.select($"doc_id".as("id_b"), $"sh".as("sh_b"),
+        $"m0".as("b0"), $"m1".as("b1"), $"m2".as("b2"), $"m3".as("b3"))
+      cand.join(a, "id_a").join(b, "id_b")
+        .withColumn("matches", (0 until 4).map(i =>
+          when(col(s"a$i") === col(s"b$i"), 1L).otherwise(0L)).reduce(_ + _))
+        .withColumn("inter",
+          size(array_intersect($"sh_a", $"sh_b")).cast(LongType))
+        .withColumn("exact_ppm", expr(
+          "inter * 1000000L DIV (size(sh_a) + size(sh_b) - inter)"))
+        .groupBy($"matches")
+        .agg(count(lit(1)).as("n_pairs"),
+          expr("sum(exact_ppm) DIV count(1)").as("avg_exact_ppm"),
+          min($"exact_ppm").as("min_exact_ppm"),
+          max($"exact_ppm").as("max_exact_ppm"))
+        .select($"matches", ($"matches" * lit(250000L)).as("est_ppm"),
+          $"n_pairs", $"avg_exact_ppm", $"min_exact_ppm", $"max_exact_ppm")
+        .orderBy($"matches")
+    },
+    Some(s"""
+      WITH $candCtesDuck,
+      j AS (
+        SELECT c.id_a, c.id_b,
+          CAST((CASE WHEN sa.m0 = sb.m0 THEN 1 ELSE 0 END)
+             + (CASE WHEN sa.m1 = sb.m1 THEN 1 ELSE 0 END)
+             + (CASE WHEN sa.m2 = sb.m2 THEN 1 ELSE 0 END)
+             + (CASE WHEN sa.m3 = sb.m3 THEN 1 ELSE 0 END) AS BIGINT) AS matches,
+          CAST(length(list_filter(sa.sh, x -> list_contains(sb.sh, x)))
+            AS BIGINT) AS inter,
+          CAST(length(sa.sh) + length(sb.sh) AS BIGINT) AS tot
+        FROM cand c JOIN sigs sa ON sa.doc_id = c.id_a
+                    JOIN sigs sb ON sb.doc_id = c.id_b)
+      SELECT matches, matches * 250000 AS est_ppm,
+        CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        CAST(SUM(inter * 1000000 // (tot - inter)) // COUNT(*) AS BIGINT)
+          AS avg_exact_ppm,
+        CAST(MIN(inter * 1000000 // (tot - inter)) AS BIGINT) AS min_exact_ppm,
+        CAST(MAX(inter * 1000000 // (tot - inter)) AS BIGINT) AS max_exact_ppm
+      FROM j GROUP BY matches ORDER BY matches"""))
+
+  /** p72 — shard-boundary overlap detection: boundary 3-grams where some
+    * document's trailing tokens equal another document's leading tokens —
+    * the signature of one text split across shard/page boundaries during
+    * extraction (the stitching pass re-joins such pairs before dedup).
+    * k = 3 for the same reason as p24's shingle k: the synthetic ~40-word
+    * vocabulary makes longer verbatim boundaries never collide; real
+    * deployments use k ≈ 8–16.
+    *
+    * 100 TB shape: one narrow map emits (prefix, suffix) per doc, two
+    * partial-combined aggregates keyed on the gram, and the ender⋈starter
+    * join is on gram-level rollups — output and join cardinality are
+    * bounded by |vocab|ᵏ, never by corpus rows, so no doc-pair list is
+    * ever materialized (contrast p08, whose pair output is the documented
+    * quadratic scale-out exclusion).
+    */
+  private val p72 = Q(
+    "p72_boundary_overlap",
+    (s, d) => {
+      import s.implicits._
+      val b = T(s, d, "documents")
+        .select($"doc_id", split($"text", " ").as("sp"))
+        .select($"doc_id",
+          array_join(slice($"sp", 1, 3), " ").as("pre"),
+          array_join(slice($"sp", -3, 3), " ").as("suf"))
+      val en = b.groupBy($"suf".as("g"))
+        .agg(count(lit(1)).as("n_enders"), min($"doc_id").as("first_ender"))
+      val st = b.groupBy($"pre".as("g"))
+        .agg(count(lit(1)).as("n_starters"), min($"doc_id").as("first_starter"))
+      en.join(st, "g")
+        .select($"g", $"n_enders", $"first_ender", $"n_starters",
+          $"first_starter")
+        .orderBy($"g")
+    },
+    Some("""
+      WITH t AS (SELECT doc_id, string_split(text, ' ') AS sp FROM documents),
+      b AS (SELECT doc_id, array_to_string(sp[1:3], ' ') AS pre,
+              array_to_string(sp[-3:], ' ') AS suf FROM t),
+      en AS (SELECT suf AS g, CAST(COUNT(*) AS BIGINT) AS n_enders,
+               MIN(doc_id) AS first_ender FROM b GROUP BY suf),
+      st AS (SELECT pre AS g, CAST(COUNT(*) AS BIGINT) AS n_starters,
+               MIN(doc_id) AS first_starter FROM b GROUP BY pre)
+      SELECT g, n_enders, first_ender, n_starters, first_starter
+      FROM en JOIN st USING (g) ORDER BY g"""))
+
+  /** p73 — pairwise source divergence (χ² distance between per-source
+    * unigram distributions, in ppm): the corpus-mixing audit that ranks
+    * which sources are near-duplicates of each other distribution-wise
+    * (merge candidates) vs genuinely diverse. Fully integer: per-source
+    * token probabilities quantize to ppm by integer division, each shared
+    * term contributes (pa−pb)² DIV (pa+pb), and tokens absent from the
+    * other source contribute their full ppm mass via the per-source
+    * quantized totals — so cross-engine sums are exact with zero float
+    * accumulation.
+    *
+    * 100 TB shape: token counting is the p25 two-phase shuffle sized by
+    * |sources|·|vocab|, not corpus rows; the source-pair join is keyed on
+    * token over that vocab-sized rollup (≤ |vocab|·|sources|² rows);
+    * per-source totals broadcast back. Corpus text is read exactly once.
+    */
+  private val p73 = Q(
+    "p73_source_chi2",
+    (s, d) => {
+      import s.implicits._
+      val tc = T(s, d, "documents")
+        .select($"source", explode(split($"text", " ")).as("t"))
+        .groupBy($"source", $"t").agg(count(lit(1)).as("c"))
+      val tot = tc.groupBy($"source").agg(sum($"c").as("tot"))
+      val ppm = tc.join(broadcast(tot), "source")
+        .select($"source", $"t", expr("c * 1000000L DIV tot").as("p"))
+      val ptot = ppm.groupBy($"source").agg(sum($"p").as("p_all"))
+      val a = ppm.select($"source".as("sa"), $"t", $"p".as("pa"))
+      val b = ppm.select($"source".as("sb"), $"t".as("tb"), $"p".as("pb"))
+      val sh = a.join(b, a("t") === b("tb") && a("sa") < b("sb"))
+        .groupBy($"sa", $"sb")
+        .agg(sum(expr("((pa - pb) * (pa - pb)) DIV (pa + pb)"))
+            .as("chi_shared"),
+          sum($"pa").as("pa_sh"), sum($"pb").as("pb_sh"),
+          count(lit(1)).as("n_shared"))
+      sh.join(broadcast(ptot.select($"source".as("sa"), $"p_all".as("pa_all"))), "sa")
+        .join(broadcast(ptot.select($"source".as("sb"), $"p_all".as("pb_all"))), "sb")
+        .select($"sa", $"sb",
+          ($"chi_shared" + ($"pa_all" - $"pa_sh") + ($"pb_all" - $"pb_sh"))
+            .as("chi2_ppm"),
+          $"n_shared")
+        .orderBy($"sa", $"sb")
+    },
+    Some("""
+      WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS t
+                   FROM documents),
+      tc AS (SELECT source, t, CAST(COUNT(*) AS BIGINT) AS c
+             FROM tok GROUP BY source, t),
+      tot AS (SELECT source, CAST(SUM(c) AS BIGINT) AS tot
+              FROM tc GROUP BY source),
+      ppm AS (SELECT tc.source, t, c * 1000000 // tot AS p
+              FROM tc JOIN tot USING (source)),
+      ptot AS (SELECT source, CAST(SUM(p) AS BIGINT) AS p_all
+               FROM ppm GROUP BY source),
+      sh AS (SELECT a.source AS sa, b.source AS sb,
+               CAST(SUM(((a.p - b.p) * (a.p - b.p)) // (a.p + b.p))
+                 AS BIGINT) AS chi_shared,
+               CAST(SUM(a.p) AS BIGINT) AS pa_sh,
+               CAST(SUM(b.p) AS BIGINT) AS pb_sh,
+               CAST(COUNT(*) AS BIGINT) AS n_shared
+             FROM ppm a JOIN ppm b ON a.t = b.t AND a.source < b.source
+             GROUP BY a.source, b.source)
+      SELECT sa, sb,
+        CAST(chi_shared + (x.p_all - pa_sh) + (y.p_all - pb_sh) AS BIGINT)
+          AS chi2_ppm,
+        n_shared
+      FROM sh JOIN ptot x ON x.source = sa JOIN ptot y ON y.source = sb
+      ORDER BY sa, sb"""))
+
+  /** p74 — label-centroid confusion matrix: assign every embedding to its
+    * nearest per-label centroid and cross-tabulate (own label × nearest
+    * label) — the cheap mislabel/label-noise audit run before training on
+    * a labeled corpus. Exact cross-engine without a single accumulated
+    * float: elements quantize to integer milli-units (the p66 pattern),
+    * centroids stay as (element-sum vector S_L, count n_L), and the
+    * squared distance to a centroid is computed n²-scaled —
+    * D(v,L) = Σᵢ (n_L·vᵢ − S_L,i)² in DECIMAL(38,0) — so the only float
+    * op is the final D/n² used for ORDERING (one IEEE division, identical
+    * everywhere; ties break on the label id).
+    *
+    * 100 TB shape: centroid stats are a partial-combined aggregate to
+    * |labels|·dim rows that broadcast back as |labels| rows; scoring is a
+    * narrow broadcast nested-loop over |labels| candidates per row; the
+    * argmin is a map-side min(struct) — one shuffle keyed by vec_id, then
+    * a dozens-of-rows rollup.
+    */
+  private val p74 = Q(
+    "p74_label_confusion",
+    (s, d) => {
+      import s.implicits._
+      val e = T(s, d, "embeddings").filter(size($"embedding") === 64)
+        .select($"vec_id", $"label", expr(
+          """transform(embedding, x ->
+               CAST(floor(CAST(x AS DOUBLE) * 1000.0D + 0.5D) AS BIGINT))""")
+          .as("e3"))
+      val cen = e.select($"label", posexplode($"e3").as(Seq("i", "x")))
+        .groupBy($"label", $"i")
+        .agg(sum($"x").as("s"), count(lit(1)).as("n"))
+        .groupBy($"label")
+        .agg(expr("transform(array_sort(collect_list(struct(i, s))), z -> z.s)")
+            .as("cs"),
+          max($"n").as("cn"))
+        .select($"label".as("cand"), $"cs", $"cn")
+      e.crossJoin(broadcast(cen))
+        .withColumn("d2", expr(
+          """aggregate(
+               zip_with(e3, cs, (x, c) ->
+                 CAST(cn * x - c AS DECIMAL(38,0)) *
+                 CAST(cn * x - c AS DECIMAL(38,0))),
+               CAST(0 AS DECIMAL(38,0)), (acc, v) -> acc + v)"""))
+        .withColumn("ratio",
+          $"d2".cast(DoubleType) / ($"cn" * $"cn").cast(DoubleType))
+        .groupBy($"vec_id", $"label")
+        .agg(min(struct($"ratio", $"cand")).as("m"))
+        .groupBy($"label", $"m.cand".as("nearest"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy($"label", $"nearest")
+    },
+    Some("""
+      WITH e AS (SELECT vec_id, label, list_transform(embedding, x ->
+                   CAST(floor(CAST(x AS DOUBLE) * 1000.0 + 0.5) AS BIGINT)) AS e3
+                 FROM embeddings WHERE len(embedding) = 64),
+      ex AS (SELECT vec_id, label, CAST(i AS INT) AS i,
+               e3[CAST(i AS INT) + 1] AS x
+             FROM e, UNNEST(range(0, 64)) t(i)),
+      cen AS (SELECT label, list(s ORDER BY i) AS cs, MAX(n) AS cn FROM
+                (SELECT label, i, CAST(SUM(x) AS BIGINT) AS s,
+                   CAST(COUNT(*) AS BIGINT) AS n FROM ex GROUP BY label, i)
+              GROUP BY label),
+      dd AS (SELECT v.vec_id, v.label AS own, c.label AS cand,
+               CAST(list_sum(list_transform(range(0, 64), k ->
+                 CAST(c.cn * v.e3[CAST(k AS INT) + 1]
+                      - c.cs[CAST(k AS INT) + 1] AS DECIMAL(38,0))
+                 * CAST(c.cn * v.e3[CAST(k AS INT) + 1]
+                        - c.cs[CAST(k AS INT) + 1] AS DECIMAL(38,0))))
+                 AS DECIMAL(38,0)) AS d2,
+               c.cn AS cn
+             FROM e v CROSS JOIN cen c),
+      nn AS (SELECT vec_id, own, cand,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                 ORDER BY CAST(d2 AS DOUBLE) / (CAST(cn AS DOUBLE) * cn),
+                          cand) AS rk
+             FROM dd)
+      SELECT own AS label, cand AS nearest, CAST(COUNT(*) AS BIGINT) AS n
+      FROM nn WHERE rk = 1 GROUP BY own, cand ORDER BY label, nearest"""))
+
+  /** p75 — token-budget epoch allocation (water-filling under a repeat
+    * cap): given a global token budget of half the corpus and
+    * temperature-smoothed per-source weights (the p67 √-recipe), allocate
+    * quota proportionally, cap any source at 0.5 epochs, and redistribute
+    * the capped surplus to uncapped sources in one round — the "how many
+    * epochs of each source under the compute budget" step of a training
+    * data recipe. Every share is an integer DIV; the one double is p67's
+    * IEEE sqrt pinned to milli-units.
+    *
+    * 100 TB shape: one map-side-combined aggregate to |sources| rows; the
+    * global totals and the redistribution totals broadcast back as single
+    * rows. The corpus is read once; nothing wide ever shuffles.
+    */
+  private val p75 = Q(
+    "p75_budget_epochs",
+    (s, d) => {
+      import s.implicits._
+      val w = T(s, d, "documents").groupBy($"source")
+        .agg(sum(size(split($"text", " ")).cast(LongType)).as("toks"))
+        .withColumn("w_milli", expr(
+          "CAST(floor(sqrt(CAST(toks AS DOUBLE)) * 1000.0D + 0.5D) AS BIGINT)"))
+      val g = w.agg(sum($"toks").as("tot"), sum($"w_milli").as("w_tot"))
+      val a1 = w.crossJoin(broadcast(g))
+        .withColumn("alloc0", expr("(tot DIV 2) * w_milli DIV w_tot"))
+        .withColumn("cap_toks", expr("toks * 500000L DIV 1000000L"))
+        .withColumn("capped",
+          when($"alloc0" > $"cap_toks", 1L).otherwise(0L))
+        .withColumn("quota1",
+          when($"alloc0" > $"cap_toks", $"cap_toks").otherwise($"alloc0"))
+      val l = a1.agg(
+        sum(when($"capped" === 0, $"w_milli").otherwise(0L)).as("w_unc"),
+        (max($"tot").cast(LongType) / lit(2L)).cast(LongType)
+          .minus(sum($"quota1")).as("leftover"))
+      a1.crossJoin(broadcast(l))
+        .withColumn("quota_final", $"quota1" +
+          when($"capped" === 0 && $"w_unc" > 0,
+            expr("leftover * w_milli DIV w_unc")).otherwise(0L))
+        .withColumn("epochs_ppm", expr("quota_final * 1000000L DIV toks"))
+        .select($"source", $"toks", $"alloc0", $"capped", $"quota_final",
+          $"epochs_ppm")
+        .orderBy($"source")
+    },
+    Some("""
+      WITH ts AS (SELECT source,
+              CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS toks
+            FROM documents GROUP BY source),
+      w AS (SELECT source, toks,
+              CAST(floor(sqrt(CAST(toks AS DOUBLE)) * 1000.0 + 0.5) AS BIGINT)
+                AS w_milli FROM ts),
+      g AS (SELECT CAST(SUM(toks) AS BIGINT) AS tot,
+              CAST(SUM(w_milli) AS BIGINT) AS w_tot FROM w),
+      a1 AS (SELECT source, toks, w_milli,
+               (g.tot // 2) * w_milli // g.w_tot AS alloc0,
+               toks * 500000 // 1000000 AS cap_toks,
+               CASE WHEN (g.tot // 2) * w_milli // g.w_tot
+                    > toks * 500000 // 1000000 THEN 1 ELSE 0 END AS capped
+             FROM w CROSS JOIN g),
+      a2 AS (SELECT *, CASE WHEN capped = 1 THEN cap_toks ELSE alloc0 END
+               AS quota1 FROM a1),
+      l AS (SELECT CAST(SUM(CASE WHEN capped = 0 THEN w_milli ELSE 0 END)
+                AS BIGINT) AS w_unc,
+              (SELECT tot // 2 FROM g) - CAST(SUM(quota1) AS BIGINT)
+                AS leftover
+            FROM a2)
+      SELECT source, toks, CAST(alloc0 AS BIGINT) AS alloc0,
+        CAST(capped AS BIGINT) AS capped,
+        CAST(quota1 + CASE WHEN capped = 0 AND l.w_unc > 0
+               THEN l.leftover * w_milli // l.w_unc ELSE 0 END AS BIGINT)
+          AS quota_final,
+        CAST((quota1 + CASE WHEN capped = 0 AND l.w_unc > 0
+                THEN l.leftover * w_milli // l.w_unc ELSE 0 END)
+             * 1000000 // toks AS BIGINT) AS epochs_ppm
+      FROM a2 CROSS JOIN l ORDER BY source"""))
+
   val all: Seq[Q] = Seq(p01, p02, p03, p04, p05, p06, p07, p08, p09, p10,
     p11, p12, p13, p14, p15, p16, p17, p18, p19, p20, p21, p22, p23, p24,
     p25, p26, p27, p28, p29, p30, p31, p32, p33, p34, p35, p36, p37, p38,
     p39, p40, p41, p42, p43, p44, p45, p46, p47, p48, p49, p50, p51, p52,
     p53, p54, p55, p56, p57, p58, p59, p60, p61, p62, p63, p64, p65, p66,
-    p67, p68, p69, p70)
+    p67, p68, p69, p70, p71, p72, p73, p74, p75)
 }

@@ -36,7 +36,10 @@ class CatalogSpec extends AnyFunSuite {
     "p24_decontaminate",
     // single-nation / single-size filters can land on an empty slice of
     // the ~10-supplier sf0.001 tables; the sf0.01 oracle checks them.
-    "sql_tpch_q02", "sql_tpch_q11", "sql_tpch_q20")
+    "sql_tpch_q02", "sql_tpch_q11", "sql_tpch_q20",
+    // p71 rolls up p08's candidate pairs (empty at sf0.001, above); p72's
+    // boundary 3-grams need ~50²/40³ collisions — expect none at 50 docs.
+    "p71_minhash_calibration", "p72_boundary_overlap")
 
   for ((name, q) <- Catalog.byName.toSeq.sortBy(_._1)) {
     test(s"$name runs on sf0.001") {
@@ -1167,5 +1170,111 @@ class SemanticsSpec extends AnyFunSuite {
       .as[(Long, Long)].collect().toMap
     assert(got == Map(a -> a, -2L -> a, -1L -> a,
       4L -> -1L, 5L -> -1L, 6L -> -1L), s"got $got")
+  }
+
+  test("minhash calibration buckets partition p08's candidate pairs") {
+    // sf0.01 — the candidate set is empty at sf0.001 (p08 is mayBeEmpty).
+    val sf = "/root/testdata/sf0.01"
+    val pairs = Catalog.byName("p08_minhash_lsh_pairs").run(spark, sf).count()
+    val rows = Catalog.byName("p71_minhash_calibration").run(spark, sf)
+      .select($"matches", $"est_ppm", $"n_pairs", $"avg_exact_ppm",
+        $"min_exact_ppm", $"max_exact_ppm")
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    // Same candidate generation → the buckets partition the pair list.
+    assert(rows.map(_._3).sum == pairs)
+    rows.foreach { case (m, est, n, avg, mn, mx) =>
+      assert(m >= 1 && m <= 4, "candidates share at least one band")
+      assert(est == m * 250000L && n >= 1)
+      assert(mn >= 0 && mn <= avg && avg <= mx && mx <= 1000000L)
+    }
+  }
+
+  test("boundary overlap grams agree with direct prefix/suffix filters") {
+    val sf = "/root/testdata/sf0.01" // no 3-gram collisions at 50 docs
+    val rows = Catalog.byName("p72_boundary_overlap").run(spark, sf)
+      .as[(String, Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    val docs = Tables.load(spark, sf, "documents")
+      .select($"doc_id", split($"text", " ").as("sp"))
+      .select($"doc_id", array_join(slice($"sp", 1, 3), " ").as("pre"),
+        array_join(slice($"sp", -3, 3), " ").as("suf"))
+      .as[(Long, String, String)].collect()
+    rows.foreach { case (g, ne, fe, ns, fs) =>
+      val enders = docs.filter(_._3 == g).map(_._1)
+      val starters = docs.filter(_._2 == g).map(_._1)
+      assert(ne == enders.length && fe == enders.min, s"enders of '$g'")
+      assert(ns == starters.length && fs == starters.min, s"starters of '$g'")
+    }
+  }
+
+  test("source chi2 matches an exact scalar recompute and is pair-complete") {
+    val sf = "/root/testdata/sf0.001"
+    val docs = Tables.load(spark, sf, "documents")
+      .select($"source", $"text").as[(String, String)].collect()
+    val bySrc = docs.groupBy(_._1).map { case (s, ds) =>
+      val toks = ds.flatMap(_._2.split(" "))
+      val tot = toks.length.toLong
+      s -> toks.groupBy(identity).map { case (t, xs) =>
+        t -> xs.length * 1000000L / tot
+      }
+    }
+    val rows = Catalog.byName("p73_source_chi2").run(spark, sf)
+      .select($"sa", $"sb", $"chi2_ppm", $"n_shared")
+      .as[(String, String, Long, Long)].collect()
+    val k = bySrc.size.toLong
+    assert(rows.length == (k * (k - 1) / 2).toInt, "one row per source pair")
+    rows.foreach { case (a, b, chi, nsh) =>
+      val pa = bySrc(a); val pb = bySrc(b)
+      val shared = pa.keySet intersect pb.keySet
+      val chiShared = shared.toSeq.map { t =>
+        val x = pa(t); val y = pb(t); (x - y) * (x - y) / (x + y)
+      }.sum
+      val exp = chiShared +
+        (pa.values.sum - shared.toSeq.map(pa).sum) +
+        (pb.values.sum - shared.toSeq.map(pb).sum)
+      assert(chi == exp, s"($a,$b): $chi != $exp")
+      assert(nsh == shared.size)
+    }
+  }
+
+  test("label confusion counts cover every vector exactly once") {
+    val sf = "/root/testdata/sf0.001"
+    val perLabel = Tables.load(spark, sf, "embeddings")
+      .filter(size($"embedding") === 64)
+      .groupBy($"label").count().as[(Int, Long)].collect().toMap
+    val rows = Catalog.byName("p74_label_confusion").run(spark, sf)
+      .select($"label", $"nearest", $"n").as[(Int, Int, Long)].collect()
+    assert(rows.map(_._3).sum == perLabel.values.sum,
+      "every vector assigned exactly once")
+    rows.groupBy(_._1).foreach { case (l, rs) =>
+      assert(rs.map(_._3).sum == perLabel(l), s"label $l row sum")
+    }
+    // The diagonal must beat a uniform assignment (own centroid includes
+    // the vector itself, so affinity is structural, not a data accident).
+    val diag = rows.filter(r => r._1 == r._2).map(_._3).sum
+    assert(diag * perLabel.size >= perLabel.values.sum,
+      "nearest-centroid no better than uniform assignment")
+  }
+
+  test("budget epochs respect the cap and never exceed the budget") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = Catalog.byName("p75_budget_epochs").run(spark, sf)
+      .select($"source", $"toks", $"alloc0", $"capped", $"quota_final",
+        $"epochs_ppm")
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    val budget = rows.map(_._2).sum / 2
+    assert(rows.map(_._5).sum <= budget, "allocation exceeds the budget")
+    rows.foreach { case (src, toks, alloc0, capped, qf, ppm) =>
+      assert(ppm == qf * 1000000L / toks, s"$src epochs_ppm")
+      if (capped == 1L) {
+        // capped → exactly the cap, and the cap actually binds
+        assert(qf == toks * 500000L / 1000000L && qf <= alloc0, s"$src cap")
+      } else {
+        // uncapped → proportional share plus non-negative redistribution
+        assert(qf >= alloc0, s"$src redistribution")
+      }
+    }
   }
 }

@@ -884,6 +884,48 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming transition edges match the p68 batch matrix") {
+    // The gap-free degenerate of SessionPathProcessor IS the transition
+    // twin: with gapUs = Long.MaxValue no session ever closes, so the
+    // emitted edges are exactly each user's consecutive (prev → curr)
+    // pairs plus one _START_ marker per user — p68's full Markov matrix
+    // is the non-_START_ rollup. No flush sentinels needed: a transition
+    // emits the moment its second event arrives.
+    withRocksDb {
+      implicit val sqlCtx = spark.sqlContext
+      val sf = "/root/testdata/sf0.001"
+      val ev = graft.Tables.load(spark, sf, "events")
+        .select($"user_id", $"event_id", $"event_type", $"ts")
+      val rows = ev.orderBy($"ts", $"event_id").as[PathEvCC].collect().toSeq
+      val ms = MemoryStream[PathEvCC]
+      ms.addData(rows)
+      val q = StatefulProcessors.sessionPaths(ms.toDF(), gapUs = Long.MaxValue)
+        .writeStream.format("memory").queryName("trans_sink")
+        .outputMode("append").start()
+      q.processAllAvailable()
+      q.stop()
+      val got = spark.table("trans_sink").filter($"src" =!= "_START_")
+        .groupBy($"src", $"dst").agg(count(lit(1)).as("n"))
+        .as[(String, String, Long)].collect()
+        .map(t => (t._1, t._2) -> t._3).toMap
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"user_id").orderBy($"ts", $"event_id")
+      val expect = ev.withColumn("prev", lag($"event_type", 1).over(w))
+        .filter($"prev".isNotNull)
+        .groupBy($"prev", $"event_type").agg(count(lit(1)).as("n"))
+        .as[(String, String, Long)].collect()
+        .map(t => (t._1, t._2) -> t._3).toMap
+      assert(got == expect, s"stream ${got.size} cells vs batch ${expect.size}")
+      assert(got.values.sum == expect.values.sum && got.nonEmpty)
+      // The p68 catalog entry is the top-20 of exactly this matrix.
+      val top = graft.Catalog.byName("p68_transition_matrix").run(spark, sf)
+        .select($"prev", $"cur", $"n").as[(String, String, Long)].collect()
+      top.foreach { case (p, c, n) =>
+        assert(expect((p, c)) == n, s"top-20 cell ($p,$c)")
+      }
+    }
+  }
+
   test("session-path edges survive a checkpoint restart with state carried") {
     withRocksDb {
       val sf = "/root/testdata/sf0.001"

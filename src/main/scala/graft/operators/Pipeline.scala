@@ -4680,10 +4680,58 @@ object Pipeline {
              * 1000000 // toks AS BIGINT) AS epochs_ppm
       FROM a2 CROSS JOIN l ORDER BY source"""))
 
+  /** p76 — cross-source template/copy matrix: for every source pair, how
+    * many identical 10-token document OPENINGS they share (md5 of the
+    * head) — the verbatim-boilerplate complement of p73's
+    * distribution-level divergence (shared scraper templates, syndicated
+    * headers, and mirror sites show up here long before whole-document
+    * fingerprints collide; p02/p01 found zero full-text cross-source
+    * copies in this corpus while 10-token heads collide 22 ways at
+    * sf0.01).
+    *
+    * 100 TB shape: one shuffle keyed by head digest to a (digest, source)
+    * rollup — the pair expansion happens on that rollup, bounded by
+    * C(|sources|, 2) per digest, never on documents; the final matrix
+    * partial-combines to ≤ |sources|² rows.
+    */
+  private val p76 = Q(
+    "p76_copy_matrix",
+    (s, d) => {
+      import s.implicits._
+      val fp = T(s, d, "documents")
+        .groupBy(md5(array_join(slice(split($"text", " "), 1, 10), " "))
+            .as("f"),
+          $"source")
+        .agg(count(lit(1)).as("n_docs"), min($"doc_id").as("first_doc"))
+      val a = fp.select($"f", $"source".as("sa"), $"n_docs".as("na"),
+        $"first_doc".as("fa"))
+      val b = fp.select($"f".as("f2"), $"source".as("sb"),
+        $"n_docs".as("nb"), $"first_doc".as("fb"))
+      a.join(b, a("f") === b("f2") && a("sa") < b("sb"))
+        .groupBy($"sa", $"sb")
+        .agg(count(lit(1)).as("n_shared_heads"),
+          sum($"na").as("n_docs_a"), sum($"nb").as("n_docs_b"),
+          min($"fa").as("example_a"), min($"fb").as("example_b"))
+        .orderBy($"sa", $"sb")
+    },
+    Some("""
+      WITH fp AS (SELECT
+              md5(array_to_string(string_split(text, ' ')[1:10], ' ')) AS f,
+              source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+              MIN(doc_id) AS first_doc
+            FROM documents GROUP BY 1, 2)
+      SELECT a.source AS sa, b.source AS sb,
+        CAST(COUNT(*) AS BIGINT) AS n_shared_heads,
+        CAST(SUM(a.n_docs) AS BIGINT) AS n_docs_a,
+        CAST(SUM(b.n_docs) AS BIGINT) AS n_docs_b,
+        MIN(a.first_doc) AS example_a, MIN(b.first_doc) AS example_b
+      FROM fp a JOIN fp b ON a.f = b.f AND a.source < b.source
+      GROUP BY 1, 2 ORDER BY sa, sb"""))
+
   val all: Seq[Q] = Seq(p01, p02, p03, p04, p05, p06, p07, p08, p09, p10,
     p11, p12, p13, p14, p15, p16, p17, p18, p19, p20, p21, p22, p23, p24,
     p25, p26, p27, p28, p29, p30, p31, p32, p33, p34, p35, p36, p37, p38,
     p39, p40, p41, p42, p43, p44, p45, p46, p47, p48, p49, p50, p51, p52,
     p53, p54, p55, p56, p57, p58, p59, p60, p61, p62, p63, p64, p65, p66,
-    p67, p68, p69, p70, p71, p72, p73, p74, p75)
+    p67, p68, p69, p70, p71, p72, p73, p74, p75, p76)
 }

@@ -39,7 +39,9 @@ class CatalogSpec extends AnyFunSuite {
     "sql_tpch_q02", "sql_tpch_q11", "sql_tpch_q20",
     // p71 rolls up p08's candidate pairs (empty at sf0.001, above); p72's
     // boundary 3-grams need ~50²/40³ collisions — expect none at 50 docs.
-    "p71_minhash_calibration", "p72_boundary_overlap")
+    "p71_minhash_calibration", "p72_boundary_overlap",
+    // 10-token heads over a ~40-word vocab cannot collide in 50 docs
+    "p76_copy_matrix")
 
   for ((name, q) <- Catalog.byName.toSeq.sortBy(_._1)) {
     test(s"$name runs on sf0.001") {
@@ -1255,6 +1257,26 @@ class SemanticsSpec extends AnyFunSuite {
     val diag = rows.filter(r => r._1 == r._2).map(_._3).sum
     assert(diag * perLabel.size >= perLabel.values.sum,
       "nearest-centroid no better than uniform assignment")
+  }
+
+  test("copy matrix cells agree with a direct head-fingerprint recompute") {
+    val sf = "/root/testdata/sf0.01" // heads cannot collide in 50 docs
+    val docs = Tables.load(spark, sf, "documents")
+      .select($"doc_id", $"source",
+        array_join(slice(split($"text", " "), 1, 10), " ").as("head"))
+      .as[(Long, String, String)].collect()
+    val rows = Catalog.byName("p76_copy_matrix").run(spark, sf)
+      .select($"sa", $"sb", $"n_shared_heads", $"n_docs_a", $"n_docs_b")
+      .as[(String, String, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    val byHead = docs.groupBy(_._3)
+    rows.foreach { case (sa, sb, nsh, na, nb) =>
+      val shared = byHead.values.filter(ds =>
+        ds.exists(_._2 == sa) && ds.exists(_._2 == sb)).toSeq
+      assert(nsh == shared.size, s"($sa,$sb) shared heads")
+      assert(na == shared.map(_.count(_._2 == sa)).sum, s"($sa,$sb) docs_a")
+      assert(nb == shared.map(_.count(_._2 == sb)).sum, s"($sa,$sb) docs_b")
+    }
   }
 
   test("budget epochs respect the cap and never exceed the budget") {

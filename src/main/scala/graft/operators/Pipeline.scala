@@ -4728,10 +4728,397 @@ object Pipeline {
       FROM fp a JOIN fp b ON a.f = b.f AND a.source < b.source
       GROUP BY 1, 2 ORDER BY sa, sb"""))
 
+  /** p77 — SimHash near-neighbor search via banding (the Manku/Google
+    * dedup topology): split the 60-bit p09 fingerprint into 4 bands of 15
+    * bits; docs matching on ANY band become candidate pairs; verify with
+    * the exact Hamming distance (bit_count of xor). Complements p08/p15:
+    * MinHash-LSH approximates SET similarity, SimHash banding approximates
+    * per-bit fingerprint proximity — the two production near-dup routes.
+    *
+    * 100 TB shape: one shuffle keyed by (band, band_value) — identical to
+    * the MinHash band-bucket topology — with the p15 block-cap answer
+    * applied FROM THE START: each band bucket keeps its first 64 docs (by
+    * doc_id — deterministic, both engines), so candidate pairs are bounded
+    * at C(64,2) per bucket and total output stays linear in bucket count
+    * no matter how hot a template bucket gets (this synthetic small-vocab
+    * corpus makes ~14% of random pairs collide on a band — exactly the
+    * pathology the cap exists for). Only verified near-dups (Hamming ≤ 18
+    * over the 60-bit fingerprint) are emitted; the verify is narrow
+    * codegen on two longs (no text past the fingerprint scan).
+    */
+  private val p77 = Q(
+    "p77_simhash_neighbors",
+    (s, d) => {
+      import s.implicits._
+      val tokenHashes = expr(
+        """transform(array_distinct(split(text, ' ')),
+                     t -> CAST(conv(substr(md5(t), 1, 15), 16, 10) AS BIGINT))""")
+      val sh = T(s, d, "documents")
+        .select($"doc_id", VectorFunctions.simhash60(tokenHashes).as("sh"))
+      val wB = Window.partitionBy($"j", $"band_val").orderBy($"doc_id")
+      val bands = sh
+        .select($"doc_id", $"sh", explode(sequence(lit(0), lit(3))).as("j"))
+        .withColumn("band_val",
+          expr("shiftright(sh, CAST(j * 15 AS INT)) & 32767"))
+        .withColumn("rk", row_number().over(wB))
+        .filter($"rk" <= 64)
+      val a = bands.select($"j", $"band_val",
+        $"doc_id".as("id_a"), $"sh".as("sh_a"))
+      val b = bands.select($"j".as("j2"), $"band_val".as("bv2"),
+        $"doc_id".as("id_b"), $"sh".as("sh_b"))
+      a.join(b, $"j" === $"j2" && $"band_val" === $"bv2" && $"id_a" < $"id_b")
+        .select($"id_a", $"id_b", $"sh_a", $"sh_b").distinct()
+        .select($"id_a", $"id_b",
+          expr("CAST(bit_count(sh_a ^ sh_b) AS INT)").as("hamming"))
+        .filter($"hamming" <= 18)
+        .orderBy($"id_a", $"id_b")
+    },
+    Some("""
+      WITH th AS (
+        SELECT doc_id,
+          list_transform(list_distinct(string_split(text, ' ')),
+                         t -> ('0x' || substr(md5(t), 1, 15))::BIGINT) AS hs
+        FROM documents),
+      shq AS (
+        SELECT doc_id,
+          list_sum(list_transform(range(0, 60), j ->
+            CASE WHEN list_sum(list_transform(hs, h ->
+                   CASE WHEN (h >> j) % 2 = 1 THEN 1 ELSE -1 END)) >= 0
+            THEN (1::BIGINT << j) ELSE 0::BIGINT END))::BIGINT AS sh
+        FROM th),
+      bands AS (
+        SELECT * FROM (
+          SELECT doc_id, sh, g.j, (sh >> (15 * g.j)) & 32767 AS band_val,
+            row_number() OVER (PARTITION BY g.j, (sh >> (15 * g.j)) & 32767
+                               ORDER BY doc_id) AS rk
+          FROM shq CROSS JOIN generate_series(0, 3) g(j)) WHERE rk <= 64),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+          a.sh AS sh_a, b.sh AS sh_b
+        FROM bands a JOIN bands b
+          ON a.j = b.j AND a.band_val = b.band_val AND a.doc_id < b.doc_id)
+      SELECT id_a, id_b, CAST(bit_count(xor(sh_a, sh_b)) AS INT) AS hamming
+      FROM cand
+      WHERE bit_count(xor(sh_a, sh_b)) <= 18
+      ORDER BY id_a, id_b"""))
+
+  /** p78 — ANN recall audit: recall@10 of the LSH route (p12's
+    * signed-random-projection buckets) against the exact brute-force
+    * top-10 (p10), over a fixed 10-query panel (vec_id 0..9) — the
+    * calibration every approximate index needs BEFORE a 100 TB build
+    * commits to it (the embedding analogue of p71's MinHash estimator
+    * audit).
+    *
+    * 100 TB shape: the query panel is constant-size and broadcasts; the
+    * corpus is scanned once, scored narrow against all 10 queries; the
+    * exact top-10 per query runs through the native TopKPerKey operator
+    * (bounded heap per key — no per-query full sort); the LSH side touches
+    * only bucket-mates. Output is 10 rows.
+    */
+  private val p78 = Q(
+    "p78_ann_recall",
+    (s, d) => {
+      import s.implicits._
+      val emb = T(s, d, "embeddings")
+      val qs = emb.filter($"vec_id" < 10)
+        .select($"vec_id".as("qid"), $"embedding".as("qvec"),
+          VectorFunctions.lsh_bucket($"embedding").as("qbucket"))
+      val corpus = emb.filter($"vec_id" >= 10)
+        .select($"vec_id", $"embedding",
+          VectorFunctions.lsh_bucket($"embedding").as("bucket"))
+      val scored = corpus.crossJoin(broadcast(qs))
+        .select($"qid", $"vec_id", $"bucket", $"qbucket",
+          dec(VectorFunctions.cosine_similarity($"embedding", $"qvec"), 18, 6)
+            .as("cos_sim"))
+      val brute = graft.plans.TopK.perKey(scored,
+          Seq($"qid"), Seq($"cos_sim".desc, $"vec_id".asc), 10)
+        .select($"qid", $"vec_id")
+      val inBucket = scored.filter($"bucket" === $"qbucket")
+      val approx = graft.plans.TopK.perKey(inBucket,
+          Seq($"qid"), Seq($"cos_sim".desc, $"vec_id".asc), 10)
+        .select($"qid".as("aqid"), $"vec_id".as("avid"))
+      val cand = inBucket.groupBy($"qid")
+        .agg(count(lit(1)).as("n_candidates"))
+      val hits = brute.join(approx,
+          $"qid" === $"aqid" && $"vec_id" === $"avid")
+        .groupBy($"qid").agg(count(lit(1)).as("n_hits"))
+      qs.select($"qid")
+        .join(cand, Seq("qid"), "left_outer")
+        .join(hits, Seq("qid"), "left_outer")
+        .select($"qid",
+          coalesce($"n_candidates", lit(0L)).as("n_candidates"),
+          coalesce($"n_hits", lit(0L)).as("n_hits"),
+          (coalesce($"n_hits", lit(0L)) * 100000L).as("recall_ppm"))
+        .orderBy($"qid")
+    },
+    Some(s"""
+      WITH b AS (SELECT vec_id, embedding,
+                   ${lshBucketDuck("embedding")} AS bucket FROM embeddings),
+      q AS (SELECT vec_id AS qid, embedding AS qvec, bucket AS qbucket
+            FROM b WHERE vec_id < 10),
+      c AS (SELECT vec_id, embedding, bucket FROM b WHERE vec_id >= 10),
+      scored AS (
+        SELECT q.qid, c.vec_id, c.bucket, q.qbucket,
+          CAST(${foldDotDuck("c.embedding", "q.qvec")} /
+               (sqrt(${foldDotDuck("c.embedding", "c.embedding")}) *
+                sqrt(${foldDotDuck("q.qvec", "q.qvec")})) AS DECIMAL(18,6))
+            AS cos_sim
+        FROM c CROSS JOIN q),
+      brute AS (
+        SELECT qid, vec_id FROM (
+          SELECT qid, vec_id, row_number() OVER
+            (PARTITION BY qid ORDER BY cos_sim DESC, vec_id) AS rk
+          FROM scored) WHERE rk <= 10),
+      ib AS (SELECT * FROM scored WHERE bucket = qbucket),
+      approx AS (
+        SELECT qid, vec_id FROM (
+          SELECT qid, vec_id, row_number() OVER
+            (PARTITION BY qid ORDER BY cos_sim DESC, vec_id) AS rk
+          FROM ib) WHERE rk <= 10),
+      cand AS (SELECT qid, CAST(COUNT(*) AS BIGINT) AS n_candidates
+               FROM ib GROUP BY qid),
+      hits AS (SELECT br.qid, CAST(COUNT(*) AS BIGINT) AS n_hits
+               FROM brute br JOIN approx a
+                 ON a.qid = br.qid AND a.vec_id = br.vec_id
+               GROUP BY br.qid)
+      SELECT q.qid,
+        CAST(COALESCE(cand.n_candidates, 0) AS BIGINT) AS n_candidates,
+        CAST(COALESCE(hits.n_hits, 0) AS BIGINT) AS n_hits,
+        CAST(COALESCE(hits.n_hits, 0) * 100000 AS BIGINT) AS recall_ppm
+      FROM q LEFT JOIN cand ON cand.qid = q.qid
+             LEFT JOIN hits ON hits.qid = q.qid
+      ORDER BY q.qid"""))
+
+  /** p79 — shuffle-shard assignment: the terminal step of every
+    * pretraining pipeline — give each document a deterministic
+    * pseudo-random position and a shard, then audit shard balance. The
+    * "random" order is a multiplicative hash of doc_id (odd constant mod
+    * 2^32 → bijective for our id range, so positions are tie-free and the
+    * permutation is a pure function of the row — reproducible across
+    * engines, runs, and repartitioning; no RNG).
+    *
+    * 100 TB shape: shard = h % 16 is narrow (NO global sort — a global
+    * rank would serialize on one reducer); the within-shard order is a
+    * per-shard window, parallel across shards, range-partitionable within
+    * one if a shard itself outgrows a task. Output: 16 balance rows with
+    * the first-3 write order proven cross-engine.
+    */
+  private val p79 = Q(
+    "p79_shuffle_shards",
+    (s, d) => {
+      import s.implicits._
+      val docs = T(s, d, "documents")
+        .select($"doc_id",
+          size(split($"text", " ")).cast(LongType).as("n_tok"))
+        .withColumn("h", ($"doc_id" * lit(2654435761L)) % lit(4294967296L))
+        .withColumn("shard", ($"h" % 16).cast(IntegerType))
+      val w = Window.partitionBy($"shard").orderBy($"h", $"doc_id")
+      val pos = docs.withColumn("pos", row_number().over(w))
+      val head3 = pos.filter($"pos" <= 3)
+        .groupBy($"shard")
+        .agg(array_join(transform(array_sort(collect_list(struct($"pos",
+            $"doc_id"))), x => x.getField("doc_id").cast(StringType)), ",")
+          .as("first3"))
+      pos.groupBy($"shard")
+        .agg(count(lit(1)).as("n_docs"), sum($"n_tok").as("sum_tokens"),
+          min($"h").as("min_h"), max($"h").as("max_h"))
+        .join(head3, Seq("shard"))
+        .orderBy($"shard")
+    },
+    Some("""
+      WITH dh AS (
+        SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+          (doc_id * 2654435761) % 4294967296 AS h
+        FROM documents),
+      sh AS (SELECT *, CAST(h % 16 AS INT) AS shard,
+               row_number() OVER (PARTITION BY h % 16 ORDER BY h, doc_id)
+                 AS pos
+             FROM dh),
+      h3 AS (SELECT shard,
+               string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY pos)
+                 AS first3
+             FROM sh WHERE pos <= 3 GROUP BY shard)
+      SELECT sh.shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        CAST(SUM(n_tok) AS BIGINT) AS sum_tokens,
+        MIN(h) AS min_h, MAX(h) AS max_h, ANY_VALUE(h3.first3) AS first3
+      FROM sh JOIN h3 ON h3.shard = sh.shard
+      GROUP BY sh.shard ORDER BY sh.shard"""))
+
+  /** p80 — curriculum phase assignment: order documents by a difficulty
+    * proxy (type-token ratio in exact ppm — low repetition reads as
+    * "harder") and cut each SOURCE into 4 equal phases with ntile; report
+    * per-(source, phase) volume so a training scheduler can feed phases in
+    * order. Per-source (not global) quantiles keep the window partitioned —
+    * a global ntile would serialize the corpus through one reducer; the
+    * per-domain curriculum is also the form the data-mixing literature
+    * actually uses.
+    *
+    * 100 TB shape: one window partitioned by source (parallel across
+    * sources; range-partition within a source if one dominates), then a
+    * (source, phase) rollup that partial-aggregates map-side.
+    */
+  private val p80 = Q(
+    "p80_curriculum_phases",
+    (s, d) => {
+      import s.implicits._
+      val scored = T(s, d, "documents")
+        .select($"doc_id", $"source",
+          size(split($"text", " ")).cast(LongType).as("n_tok"),
+          size(array_distinct(split($"text", " "))).cast(LongType)
+            .as("n_distinct"))
+        .withColumn("score_ppm", expr("n_distinct * 1000000L DIV n_tok"))
+      val w = Window.partitionBy($"source").orderBy($"score_ppm", $"doc_id")
+      scored.withColumn("phase", ntile(4).over(w))
+        .groupBy($"source", $"phase")
+        .agg(count(lit(1)).as("n_docs"), sum($"n_tok").as("sum_tokens"),
+          min($"score_ppm").as("min_score"), max($"score_ppm").as("max_score"))
+        .orderBy($"source", $"phase")
+    },
+    Some("""
+      WITH sc AS (
+        SELECT doc_id, source,
+          CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+          CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+            AS n_distinct
+        FROM documents),
+      ph AS (
+        SELECT *, n_distinct * 1000000 // n_tok AS score_ppm
+        FROM sc),
+      np AS (
+        SELECT source, n_tok, score_ppm,
+          ntile(4) OVER (PARTITION BY source ORDER BY score_ppm, doc_id)
+            AS phase
+        FROM ph)
+      SELECT source, CAST(phase AS INT) AS phase,
+        CAST(COUNT(*) AS BIGINT) AS n_docs,
+        CAST(SUM(n_tok) AS BIGINT) AS sum_tokens,
+        MIN(score_ppm) AS min_score, MAX(score_ppm) AS max_score
+      FROM np GROUP BY source, phase ORDER BY source, phase"""))
+
+  /** p81 — dedup attrition funnel: per-source retention through two dedup
+    * stages — exact content dedup (keep global min doc_id per md5(text),
+    * the p01 rule), then template-head dedup on the survivors (keep min
+    * per 10-token-opening digest, the p76 fingerprint) — the "which
+    * sources lose how much to dedup" attribution report every corpus
+    * curation run publishes.
+    *
+    * 100 TB shape: two digest-keyed windows (the canonical dedup
+    * shuffles — text never travels past its digests) and one source
+    * rollup; retention ratios are exact integer ppm.
+    */
+  private val p81 = Q(
+    "p81_dedup_attrition",
+    (s, d) => {
+      import s.implicits._
+      val base = T(s, d, "documents")
+        .select($"doc_id", $"source", md5($"text").as("dg"),
+          md5(array_join(slice(split($"text", " "), 1, 10), " ")).as("hg"))
+      val s1 = base.withColumn("keep1",
+        when(min($"doc_id").over(Window.partitionBy($"dg")) === $"doc_id", 1L)
+          .otherwise(0L))
+      val s2 = s1.filter($"keep1" === 1L).withColumn("keep2",
+        when(min($"doc_id").over(Window.partitionBy($"hg")) === $"doc_id", 1L)
+          .otherwise(0L))
+        .groupBy($"source").agg(sum($"keep2").as("n2"))
+      s1.groupBy($"source")
+        .agg(count(lit(1)).as("n0"), sum($"keep1").as("n1"))
+        .join(s2, Seq("source"), "left_outer")
+        .select($"source", $"n0", $"n1",
+          coalesce($"n2", lit(0L)).as("n2"),
+          expr("n1 * 1000000L DIV n0").as("ret1_ppm"),
+          expr("coalesce(n2, 0L) * 1000000L DIV n0").as("ret2_ppm"))
+        .orderBy($"source")
+    },
+    Some("""
+      WITH base AS (
+        SELECT doc_id, source, md5(text) AS dg,
+          md5(array_to_string(string_split(text, ' ')[1:10], ' ')) AS hg
+        FROM documents),
+      s1 AS (
+        SELECT *, CASE WHEN MIN(doc_id) OVER (PARTITION BY dg) = doc_id
+                  THEN 1 ELSE 0 END AS keep1
+        FROM base),
+      k2 AS (
+        SELECT source,
+          CASE WHEN MIN(doc_id) OVER (PARTITION BY hg) = doc_id
+               THEN 1 ELSE 0 END AS keep2
+        FROM (SELECT * FROM s1 WHERE keep1 = 1)),
+      s2 AS (
+        SELECT source, CAST(SUM(keep2) AS BIGINT) AS n2
+        FROM k2 GROUP BY source),
+      r AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n0,
+          CAST(SUM(keep1) AS BIGINT) AS n1
+        FROM s1 GROUP BY source)
+      SELECT r.source, r.n0, r.n1,
+        CAST(COALESCE(s2.n2, 0) AS BIGINT) AS n2,
+        r.n1 * 1000000 // r.n0 AS ret1_ppm,
+        COALESCE(s2.n2, 0) * 1000000 // r.n0 AS ret2_ppm
+      FROM r LEFT JOIN s2 ON s2.source = r.source
+      ORDER BY r.source"""))
+
+  /** p82 — prefix-containment dedup audit: documents that are a strict
+    * token-prefix of a LONGER document (truncated rescrapes, partial
+    * mirrors — invisible to exact dedup and to head-template counting
+    * because the CONTAINER also shares the head). Blocking: pairs are only
+    * tested within equal 10-token-opening digests (a prefix of ≥10 tokens
+    * forces equal heads), so the verify join is bounded by head-group
+    * sizes, never |docs|².
+    *
+    * 100 TB shape: one shuffle on the head digest; the startswith verify
+    * runs inside blocks only; per-source rollup partial-aggregates. Hot
+    * template heads (the p76 finding) are exactly the skew the p15 cap +
+    * salt answer handles if a block explodes.
+    */
+  private val p82 = Q(
+    "p82_prefix_contain",
+    (s, d) => {
+      import s.implicits._
+      val dd = T(s, d, "documents")
+        .select($"doc_id", $"source", $"text", $"n_chars",
+          md5(array_join(slice(split($"text", " "), 1, 10), " ")).as("hg"))
+      val a = dd.select($"hg", $"doc_id".as("id_a"), $"source".as("src_a"),
+        $"text".as("t_a"), $"n_chars".as("c_a"))
+      val b = dd.select($"hg".as("hg2"), $"doc_id".as("id_b"),
+        $"text".as("t_b"), $"n_chars".as("c_b"))
+      val pairs = a.join(b,
+          $"hg" === $"hg2" && $"c_b" > $"c_a" &&
+            expr("startswith(t_b, concat(t_a, ' '))"))
+        .groupBy($"src_a")
+        .agg(countDistinct($"id_a").as("n_contained"),
+          count(lit(1)).as("n_pairs"))
+      T(s, d, "documents").groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"))
+        .join(pairs, $"source" === $"src_a", "left_outer")
+        .select($"source", $"n_docs",
+          coalesce($"n_contained", lit(0L)).as("n_contained"),
+          coalesce($"n_pairs", lit(0L)).as("n_pairs"))
+        .orderBy($"source")
+    },
+    Some("""
+      WITH dd AS (
+        SELECT doc_id, source, text, n_chars,
+          md5(array_to_string(string_split(text, ' ')[1:10], ' ')) AS hg
+        FROM documents),
+      pr AS (
+        SELECT a.source AS src_a,
+          CAST(COUNT(DISTINCT a.doc_id) AS BIGINT) AS n_contained,
+          CAST(COUNT(*) AS BIGINT) AS n_pairs
+        FROM dd a JOIN dd b
+          ON a.hg = b.hg AND b.n_chars > a.n_chars
+         AND starts_with(b.text, a.text || ' ')
+        GROUP BY a.source)
+      SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        CAST(COALESCE(ANY_VALUE(pr.n_contained), 0) AS BIGINT) AS n_contained,
+        CAST(COALESCE(ANY_VALUE(pr.n_pairs), 0) AS BIGINT) AS n_pairs
+      FROM documents d LEFT JOIN pr ON pr.src_a = d.source
+      GROUP BY d.source ORDER BY d.source"""))
+
   val all: Seq[Q] = Seq(p01, p02, p03, p04, p05, p06, p07, p08, p09, p10,
     p11, p12, p13, p14, p15, p16, p17, p18, p19, p20, p21, p22, p23, p24,
     p25, p26, p27, p28, p29, p30, p31, p32, p33, p34, p35, p36, p37, p38,
     p39, p40, p41, p42, p43, p44, p45, p46, p47, p48, p49, p50, p51, p52,
     p53, p54, p55, p56, p57, p58, p59, p60, p61, p62, p63, p64, p65, p66,
-    p67, p68, p69, p70, p71, p72, p73, p74, p75, p76)
+    p67, p68, p69, p70, p71, p72, p73, p74, p75, p76, p77, p78, p79, p80,
+    p81, p82)
 }

@@ -41,7 +41,10 @@ class CatalogSpec extends AnyFunSuite {
     // boundary 3-grams need ~50²/40³ collisions — expect none at 50 docs.
     "p71_minhash_calibration", "p72_boundary_overlap",
     // 10-token heads over a ~40-word vocab cannot collide in 50 docs
-    "p76_copy_matrix")
+    "p76_copy_matrix",
+    // banded simhash candidates need band-value collisions — sparse at 50
+    // docs, and the hamming≤18 verify can legitimately reject them all
+    "p77_simhash_neighbors")
 
   for ((name, q) <- Catalog.byName.toSeq.sortBy(_._1)) {
     test(s"$name runs on sf0.001") {
@@ -1297,6 +1300,119 @@ class SemanticsSpec extends AnyFunSuite {
         // uncapped → proportional share plus non-negative redistribution
         assert(qf >= alloc0, s"$src redistribution")
       }
+    }
+  }
+
+  test("simhash neighbor pairs verify against recomputed fingerprints") {
+    val sf = "/root/testdata/sf0.01"
+    val sh = Catalog.byName("p09_simhash").run(spark, sf)
+      .as[(Long, Long)].collect().toMap
+    val pairs = Catalog.byName("p77_simhash_neighbors").run(spark, sf)
+      .select($"id_a", $"id_b", $"hamming").as[(Long, Long, Int)].collect()
+    assert(pairs.nonEmpty)
+    assert(pairs.distinct.length == pairs.length, "pairs are distinct")
+    pairs.foreach { case (a, b, h) =>
+      assert(a < b, s"pair order ($a,$b)")
+      val exact = java.lang.Long.bitCount(sh(a) ^ sh(b))
+      assert(h == exact && h <= 18, s"($a,$b): hamming $h != $exact")
+      val shares = (0 until 4).exists(j =>
+        ((sh(a) >> (15 * j)) & 32767L) == ((sh(b) >> (15 * j)) & 32767L))
+      assert(shares, s"($a,$b) share no band — not a valid candidate")
+    }
+  }
+
+  test("ann recall audit rows are internally consistent") {
+    val sf = "/root/testdata/sf0.01"
+    val rows = Catalog.byName("p78_ann_recall").run(spark, sf)
+      .select($"qid", $"n_candidates", $"n_hits", $"recall_ppm")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(rows.map(_._1).sorted.toSeq == (0L until 10L))
+    rows.foreach { case (q, cand, hits, ppm) =>
+      assert(hits <= 10 && hits <= cand, s"q$q hits bound")
+      assert(ppm == hits * 100000L, s"q$q recall_ppm formula")
+    }
+    // the LSH route must find SOMETHING on this corpus (buckets are
+    // populated at 500 vectors / 16 buckets)
+    assert(rows.map(_._3).sum > 0, "zero recall everywhere")
+  }
+
+  test("shuffle shards partition the corpus with the claimed write order") {
+    val sf = "/root/testdata/sf0.01"
+    val docs = Tables.load(spark, sf, "documents")
+      .select($"doc_id").as[Long].collect()
+    val byShard = docs.map { id =>
+      val h = (id * 2654435761L) % 4294967296L; (h % 16, h, id)
+    }.groupBy(_._1)
+    val rows = Catalog.byName("p79_shuffle_shards").run(spark, sf)
+      .select($"shard", $"n_docs", $"min_h", $"max_h", $"first3")
+      .as[(Int, Long, Long, Long, String)].collect()
+    assert(rows.map(_._2).sum == docs.length, "every doc in exactly one shard")
+    rows.foreach { case (sh, n, mn, mx, first3) =>
+      val mine = byShard(sh.toLong)
+      assert(n == mine.length && mn == mine.map(_._2).min
+        && mx == mine.map(_._2).max, s"shard $sh stats")
+      val expected = mine.sortBy(t => (t._2, t._3)).take(3)
+        .map(_._3).mkString(",")
+      assert(first3 == expected, s"shard $sh write order")
+    }
+  }
+
+  test("curriculum phases are balanced and score-ordered within source") {
+    val sf = "/root/testdata/sf0.01"
+    val rows = Catalog.byName("p80_curriculum_phases").run(spark, sf)
+      .select($"source", $"phase", $"n_docs", $"min_score", $"max_score")
+      .as[(String, Int, Long, Long, Long)].collect()
+    rows.groupBy(_._1).foreach { case (src, ph) =>
+      assert(ph.map(_._2).sorted.toSeq == (1 to ph.length), s"$src phases")
+      val sizes = ph.map(_._3)
+      assert(sizes.max - sizes.min <= 1, s"$src ntile balance")
+      ph.sortBy(_._2).sliding(2).foreach {
+        case Array(lo, hi) =>
+          assert(lo._5 <= hi._4, s"$src phase ${lo._2}→${hi._2} ordering")
+        case _ =>
+      }
+    }
+  }
+
+  test("dedup attrition funnel matches direct digest counts") {
+    val sf = "/root/testdata/sf0.01"
+    val rows = Catalog.byName("p81_dedup_attrition").run(spark, sf)
+      .select($"source", $"n0", $"n1", $"n2", $"ret1_ppm", $"ret2_ppm")
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+    rows.foreach { case (src, n0, n1, n2, r1, r2) =>
+      assert(n2 <= n1 && n1 <= n0, s"$src funnel monotone")
+      assert(r1 == n1 * 1000000L / n0 && r2 == n2 * 1000000L / n0, s"$src ppm")
+    }
+    val docs = Tables.load(spark, sf, "documents")
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    // stage 1 = distinct texts; stage 2 = distinct 10-token heads among
+    // the stage-1 survivors (min doc_id per text)
+    val survivors1 = docs.groupBy(_._2).map(_._2.minBy(_._1)).toSeq
+    assert(rows.map(_._3).sum == survivors1.length, "global n1")
+    val n2 = survivors1.groupBy(_._2.split(" ").take(10).mkString(" ")).size
+    assert(rows.map(_._4).sum == n2, "global n2")
+  }
+
+  test("prefix containment agrees with a direct quadratic recompute") {
+    val sf = "/root/testdata/sf0.01"
+    val docs = Tables.load(spark, sf, "documents")
+      .select($"doc_id", $"source", $"text").as[(Long, String, String)]
+      .collect()
+    val contained = for {
+      a <- docs
+      b <- docs
+      if b._3.length > a._3.length && b._3.startsWith(a._3 + " ")
+    } yield (a._1, a._2)
+    val expPairs = contained.groupBy(_._2).view.mapValues(_.length).toMap
+    val expDocs = contained.distinct.groupBy(_._2).view.mapValues(_.length)
+      .toMap
+    val rows = Catalog.byName("p82_prefix_contain").run(spark, sf)
+      .select($"source", $"n_contained", $"n_pairs")
+      .as[(String, Long, Long)].collect()
+    assert(rows.length == docs.map(_._2).distinct.length, "all sources")
+    rows.foreach { case (src, nc, np) =>
+      assert(nc == expDocs.getOrElse(src, 0).toLong, s"$src n_contained")
+      assert(np == expPairs.getOrElse(src, 0).toLong, s"$src n_pairs")
     }
   }
 }

@@ -4839,12 +4839,14 @@ object Pipeline {
         .select($"qid".as("aqid"), $"vec_id".as("avid"))
       val cand = inBucket.groupBy($"qid")
         .agg(count(lit(1)).as("n_candidates"))
-      val hits = brute.join(approx,
+      // the top-10 sets and per-query rollups are ≤ 10·|panel| rows —
+      // pin them broadcast so no stage shuffles on their account
+      val hits = brute.join(broadcast(approx),
           $"qid" === $"aqid" && $"vec_id" === $"avid")
         .groupBy($"qid").agg(count(lit(1)).as("n_hits"))
       qs.select($"qid")
-        .join(cand, Seq("qid"), "left_outer")
-        .join(hits, Seq("qid"), "left_outer")
+        .join(broadcast(cand), Seq("qid"), "left_outer")
+        .join(broadcast(hits), Seq("qid"), "left_outer")
         .select($"qid",
           coalesce($"n_candidates", lit(0L)).as("n_candidates"),
           coalesce($"n_hits", lit(0L)).as("n_hits"),

@@ -466,6 +466,14 @@ object Pipeline {
     * shuffle on the bucket key, verify narrow). Threshold 0.4 reflects
     * this synthetic corpus (max pairwise cosine ≈ 0.51); real near-dup
     * corpora use ≥0.9.
+    *
+    * Scale contract: the within-bucket verify is quadratic in bucket
+    * size, and the oracle-checked 4-plane/16-bucket config keeps buckets
+    * corpus-proportional — so like p08 this entry is gated through sf1
+    * and EXCLUDED from decade scale-ups by contract. The production form
+    * raises the plane count so buckets stay O(1) (lsh_bucket's plane
+    * matrix generalizes) and caps blocks like p15/p77; the capped SimHash
+    * route (p77) is the gated-at-every-decade near-dup path.
     */
   private val p13 = Q(
     "p13_embedding_neardup",
@@ -5116,11 +5124,148 @@ object Pipeline {
       FROM documents d LEFT JOIN pr ON pr.src_a = d.source
       GROUP BY d.source ORDER BY d.source"""))
 
+  /** p83 — quality-filter bias audit: compare a single GLOBAL quality
+    * threshold (score above the corpus mean — the naive filter) against a
+    * per-source top-decile rule, per source. A global cut over/under-
+    * selects whole sources whose score distributions sit above/below the
+    * corpus mean (the classic low-resource-language bias in corpus
+    * filtering); the per-source decile is calibration-free. All exact
+    * integer: the global rule is the cross-multiply score·N ≥ Σscore (no
+    * mean division), the decile rule is rank·10 ≤ n_source.
+    *
+    * 100 TB shape: the global threshold is ONE broadcast scalar row; the
+    * decile rank is a window partitioned by source (parallel across
+    * sources — no global sort anywhere); one (source) rollup.
+    */
+  private val p83 = Q(
+    "p83_filter_bias",
+    (s, d) => {
+      import s.implicits._
+      val scored = T(s, d, "documents")
+        .select($"doc_id", $"source",
+          size(split($"text", " ")).cast(LongType).as("n_tok"),
+          size(array_distinct(split($"text", " "))).cast(LongType)
+            .as("n_distinct"))
+        .withColumn("score_ppm", expr("n_distinct * 1000000L DIV n_tok"))
+      val tot = scored.agg(count(lit(1)).as("n_total"),
+        sum($"score_ppm").as("sum_score"))
+      val w = Window.partitionBy($"source")
+        .orderBy($"score_ppm".desc, $"doc_id")
+      scored.crossJoin(broadcast(tot))
+        .withColumn("sel_global",
+          when($"score_ppm" * $"n_total" >= $"sum_score", 1L).otherwise(0L))
+        .withColumn("rk", row_number().over(w))
+        .withColumn("n_src", count(lit(1)).over(Window.partitionBy($"source")))
+        .withColumn("sel_decile",
+          when($"rk" * 10 <= $"n_src", 1L).otherwise(0L))
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum($"sel_global").as("n_sel_global"),
+          sum($"sel_decile").as("n_sel_decile"))
+        .withColumn("global_sel_ppm",
+          expr("n_sel_global * 1000000L DIV n_docs"))
+        .orderBy($"source")
+    },
+    Some("""
+      WITH sc AS (
+        SELECT doc_id, source,
+          CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+          CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+            AS n_distinct
+        FROM documents),
+      sp AS (SELECT *, n_distinct * 1000000 // n_tok AS score_ppm FROM sc),
+      tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total,
+                CAST(SUM(score_ppm) AS BIGINT) AS sum_score FROM sp),
+      fl AS (
+        SELECT source,
+          CASE WHEN score_ppm * tot.n_total >= tot.sum_score
+               THEN 1 ELSE 0 END AS sel_global,
+          CASE WHEN row_number() OVER
+                 (PARTITION BY source ORDER BY score_ppm DESC, doc_id) * 10
+               <= COUNT(*) OVER (PARTITION BY source)
+               THEN 1 ELSE 0 END AS sel_decile
+        FROM sp CROSS JOIN tot)
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        CAST(SUM(sel_global) AS BIGINT) AS n_sel_global,
+        CAST(SUM(sel_decile) AS BIGINT) AS n_sel_decile,
+        CAST(SUM(sel_global) AS BIGINT) * 1000000 // COUNT(*)
+          AS global_sel_ppm
+      FROM fl GROUP BY source ORDER BY source"""))
+
+  /** p84 — duplicated-n-gram coverage: the share of each source's tokens
+    * that sit inside an 8-gram occurring ≥2 times corpus-wide — the exact
+    * metric behind "remove duplicated n-grams" passes (RefinedWeb/MassiveText
+    * style) and the cheapest predictor of how much exact-substring dedup
+    * would delete. Overlapping dup grams are NOT double-counted: covered
+    * token positions go through a distinct on (doc_id, position).
+    *
+    * 100 TB shape: grams travel as md5 digests; the corpus-wide gram
+    * count is one digest-keyed shuffle with map-side partials (hot
+    * boilerplate grams arrive as partial counts, the p30 skew argument);
+    * the join-back is on the same key; the coverage expansion is a narrow
+    * 8× generator chain; the distinct is doc_id-clustered. Everything is
+    * linear in corpus tokens.
+    */
+  private val p84 = Q(
+    "p84_dup_ngram_coverage",
+    (s, d) => {
+      import s.implicits._
+      val tk = T(s, d, "documents")
+        .select($"doc_id", $"source", split($"text", " ").as("ts"))
+        .withColumn("n_tok", size($"ts").cast(LongType))
+      val grams = tk.filter($"n_tok" >= 8)
+        .select($"doc_id", posexplode(expr(
+          """transform(sequence(1, CAST(n_tok AS INT) - 7),
+                       i -> md5(array_join(slice(ts, i, 8), ' ')))"""))
+          .as(Seq("off", "g")))
+        .select($"doc_id", ($"off" + 1).as("pos"), $"g")
+      val dup = grams.groupBy($"g").agg(count(lit(1)).as("n_occ"))
+        .filter($"n_occ" >= 2).select($"g")
+      val covered = grams.join(dup, Seq("g"))
+        .select($"doc_id", explode(sequence($"pos", $"pos" + 7)).as("p"))
+        .distinct()
+        .groupBy($"doc_id").agg(count(lit(1)).as("cov"))
+      tk.select($"doc_id", $"source", $"n_tok")
+        .join(covered, Seq("doc_id"), "left_outer")
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"), sum($"n_tok").as("sum_tokens"),
+          sum(coalesce($"cov", lit(0L))).as("covered_tokens"))
+        .withColumn("coverage_ppm",
+          expr("covered_tokens * 1000000L DIV sum_tokens"))
+        .orderBy($"source")
+    },
+    Some("""
+      WITH tk AS (
+        SELECT doc_id, source, string_split(text, ' ') AS ts,
+          CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        FROM documents),
+      gp AS (
+        SELECT doc_id, ts, unnest(range(1, CAST(n_tok AS INT) - 6)) AS pos
+        FROM tk WHERE n_tok >= 8),
+      gr AS (
+        SELECT doc_id, pos,
+          md5(array_to_string(ts[pos:pos+7], ' ')) AS g
+        FROM gp),
+      dup AS (SELECT g FROM gr GROUP BY g HAVING COUNT(*) >= 2),
+      cv AS (
+        SELECT doc_id, unnest(range(pos, pos + 8)) AS p
+        FROM gr JOIN dup USING (g)),
+      cov AS (SELECT DISTINCT doc_id, p FROM cv),
+      covd AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS cov
+               FROM cov GROUP BY doc_id)
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        CAST(SUM(n_tok) AS BIGINT) AS sum_tokens,
+        CAST(SUM(COALESCE(covd.cov, 0)) AS BIGINT) AS covered_tokens,
+        CAST(SUM(COALESCE(covd.cov, 0)) AS BIGINT) * 1000000
+          // CAST(SUM(n_tok) AS BIGINT) AS coverage_ppm
+      FROM tk LEFT JOIN covd USING (doc_id)
+      GROUP BY source ORDER BY source"""))
+
   val all: Seq[Q] = Seq(p01, p02, p03, p04, p05, p06, p07, p08, p09, p10,
     p11, p12, p13, p14, p15, p16, p17, p18, p19, p20, p21, p22, p23, p24,
     p25, p26, p27, p28, p29, p30, p31, p32, p33, p34, p35, p36, p37, p38,
     p39, p40, p41, p42, p43, p44, p45, p46, p47, p48, p49, p50, p51, p52,
     p53, p54, p55, p56, p57, p58, p59, p60, p61, p62, p63, p64, p65, p66,
     p67, p68, p69, p70, p71, p72, p73, p74, p75, p76, p77, p78, p79, p80,
-    p81, p82)
+    p81, p82, p83, p84)
 }

@@ -1393,6 +1393,62 @@ class SemanticsSpec extends AnyFunSuite {
     assert(rows.map(_._4).sum == n2, "global n2")
   }
 
+  test("filter bias selections match exact driver-side recomputes") {
+    val sf = "/root/testdata/sf0.01"
+    val scores = Tables.load(spark, sf, "documents")
+      .select($"doc_id", $"source", split($"text", " ").as("ts"))
+      .select($"doc_id", $"source", size($"ts").cast("long").as("n"),
+        size(array_distinct($"ts")).cast("long").as("nd"))
+      .withColumn("s", expr("nd * 1000000L DIV n"))
+      .select($"doc_id", $"source", $"s").as[(Long, String, Long)].collect()
+    val nTot = scores.length.toLong
+    val sumS = scores.map(_._3).sum
+    val expGlobal = scores.filter(r => r._3 * nTot >= sumS)
+      .groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val rows = Catalog.byName("p83_filter_bias").run(spark, sf)
+      .select($"source", $"n_docs", $"n_sel_global", $"n_sel_decile")
+      .as[(String, Long, Long, Long)].collect()
+    rows.foreach { case (src, n, g, d) =>
+      assert(g == expGlobal.getOrElse(src, 0L), s"$src global selection")
+      assert(d == n / 10, s"$src decile count is exactly floor(n/10)")
+    }
+    // the audit must actually expose bias: global selection rates differ
+    // across sources while the decile rule is uniform by construction
+    assert(rows.map(_._3).distinct.length > 1, "no bias visible")
+  }
+
+  test("dup ngram coverage matches a direct recompute") {
+    val sf = "/root/testdata/sf0.01"
+    val docs = Tables.load(spark, sf, "documents")
+      .select($"doc_id", $"source", $"text").as[(Long, String, String)]
+      .collect()
+    val grams = docs.flatMap { case (id, _, t) =>
+      val ts = t.split(" ")
+      ts.sliding(8).zipWithIndex.collect {
+        case (g, i) if g.length == 8 => (id, i, g.mkString(" "))
+      }
+    }
+    val dup = grams.groupBy(_._3).filter(_._2.length >= 2).keySet
+    val covered = grams.filter(g => dup(g._3))
+      .flatMap { case (id, i, _) => (i until i + 8).map(p => (id, p)) }
+      .distinct.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val byDoc = docs.map(d => (d._1, (d._2, d._3.split(" ").length.toLong)))
+      .toMap
+    val expBySrc = byDoc.toSeq.groupBy(_._2._1).map { case (src, ds) =>
+      src -> (ds.map(_._2._2).sum,
+        ds.map(d => covered.getOrElse(d._1, 0L)).sum)
+    }
+    val rows = Catalog.byName("p84_dup_ngram_coverage").run(spark, sf)
+      .select($"source", $"sum_tokens", $"covered_tokens", $"coverage_ppm")
+      .as[(String, Long, Long, Long)].collect()
+    assert(rows.map(_._3).sum > 0, "corpus has no duplicated 8-grams")
+    rows.foreach { case (src, toks, cov, ppm) =>
+      val (expToks, expCov) = expBySrc(src)
+      assert(toks == expToks && cov == expCov, s"$src coverage")
+      assert(ppm == cov * 1000000L / toks, s"$src ppm")
+    }
+  }
+
   test("prefix containment agrees with a direct quadratic recompute") {
     val sf = "/root/testdata/sf0.01"
     val docs = Tables.load(spark, sf, "documents")

@@ -274,8 +274,8 @@ object Pipeline {
   /** The sh/sigs/bands/cand CTE chain of the 4×1 LSH oracle — shared body
     * for the p08 and p17 oracles (p17 prepends WITH RECURSIVE).
     */
-  private val candCtesDuck = s"""
-      sh AS (SELECT doc_id, $shinglesSqlDuck AS sh FROM documents),
+  private def candCtesFromDuck(table: String) = s"""
+      sh AS (SELECT doc_id, $shinglesSqlDuck AS sh FROM $table),
       sigs AS (SELECT doc_id, sh, ${minhashSqlDuck("sh")} FROM sh),
       bands AS (
         SELECT doc_id, 0 AS band, m0 AS h FROM sigs UNION ALL
@@ -286,6 +286,8 @@ object Pipeline {
         SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
         FROM bands a JOIN bands b ON a.band = b.band AND a.h = b.h
           AND a.doc_id < b.doc_id)"""
+
+  private val candCtesDuck = candCtesFromDuck("documents")
 
   def minhashLshPairs(s: SparkSession, d: String,
       bands: Int = 4, rowsPerBand: Int = 1): DataFrame = {
@@ -1040,15 +1042,32 @@ object Pipeline {
             .partitionBy(md5($"text"))))
         .filter($"doc_id" === $"keep_id")
         .drop("keep_id")
-      // Stage 3: near-dup removal over the whole corpus — drop id_b of
-      // every verified pair (id_a < id_b), keeping one representative.
-      // Deliberately NOT broadcast: the remove-set is ids-only but grows
-      // with the corpus's dup rate — at 100 TB it can be billions of ids,
-      // so the shuffled anti-join on doc_id (the plan's one SortMergeJoin)
-      // is the form that survives; Spark still flips it to broadcast on
-      // its own when runtime stats say the set is small.
-      val removed = minhashLshPairs(s, d)
-        .filter($"jaccard" >= 0.5)
+      // Stage 3: near-dup removal AMONG THE EXACT-DEDUP SURVIVORS — drop
+      // id_b of every verified pair (id_a < id_b), keeping one
+      // representative. Running candidate generation AFTER stage 2 is the
+      // production order for a structural reason: exact-duplicate families
+      // (the dominant dup mass in a web crawl, and the 100-copy stress the
+      // sf10 replica corpus applies) collapse to one doc each BEFORE the
+      // LSH band join, so the pair space is quadratic only in genuine
+      // near-dup families, never in copy counts — candidates-first spilled
+      // its sort at sf10 on exactly those families.
+      // The remove-set anti-join is deliberately NOT broadcast: it's
+      // ids-only but grows with the corpus's near-dup rate — at 100 TB it
+      // can be billions of ids, so the shuffled anti-join on doc_id is the
+      // form that survives; Spark still flips it to broadcast on its own
+      // when runtime stats say the set is small.
+      val sigs = withMinhash(
+        keepExact.select($"doc_id", $"text", shinglesCol.as("sh")), 4)
+      val shTbl = sigs.select($"doc_id", $"sh")
+      val removed = lshCandidates(sigs, bands = 4, rowsPerBand = 1)
+        .join(shTbl.withColumnRenamed("doc_id", "id_a")
+          .withColumnRenamed("sh", "sh_a"), "id_a")
+        .join(shTbl.withColumnRenamed("doc_id", "id_b")
+          .withColumnRenamed("sh", "sh_b"), "id_b")
+        .filter(size(array_intersect($"sh_a", $"sh_b")).cast(DoubleType) /
+          (size($"sh_a") + size($"sh_b") -
+            size(array_intersect($"sh_a", $"sh_b"))).cast(DoubleType)
+          >= 0.5)
         .select($"id_b".as("doc_id")).distinct()
       val kept = keepExact.join(removed, Seq("doc_id"), "left_anti")
       // Stage 4: per-language corpus stats over the kept set.
@@ -1061,14 +1080,7 @@ object Pipeline {
         .orderBy($"lang")
     },
     Some(s"""
-      WITH $candCtesDuck,
-      pairs AS (
-        SELECT id_a, id_b,
-          CAST(length(list_filter(sa.sh, x -> list_contains(sb.sh, x))) AS DOUBLE)
-            / (length(sa.sh) + length(sb.sh) - length(list_filter(sa.sh, x -> list_contains(sb.sh, x)))) AS jac
-        FROM cand JOIN sh sa ON sa.doc_id = id_a JOIN sh sb ON sb.doc_id = id_b),
-      removed AS (SELECT DISTINCT id_b AS doc_id FROM pairs WHERE jac >= 0.5),
-      quality AS (
+      WITH quality AS (
         SELECT * FROM documents
         WHERE n_chars >= 200 AND length(string_split(text, ' ')) >= 30),
       keep_exact AS (
@@ -1076,6 +1088,13 @@ object Pipeline {
           SELECT *, MIN(doc_id) OVER (PARTITION BY md5(text)) AS keep_id
           FROM quality) q
         WHERE doc_id = keep_id),
+      ${candCtesFromDuck("keep_exact")},
+      pairs AS (
+        SELECT id_a, id_b,
+          CAST(length(list_filter(sa.sh, x -> list_contains(sb.sh, x))) AS DOUBLE)
+            / (length(sa.sh) + length(sb.sh) - length(list_filter(sa.sh, x -> list_contains(sb.sh, x)))) AS jac
+        FROM cand JOIN sh sa ON sa.doc_id = id_a JOIN sh sb ON sb.doc_id = id_b),
+      removed AS (SELECT DISTINCT id_b AS doc_id FROM pairs WHERE jac >= 0.5),
       kept AS (
         SELECT * FROM keep_exact
         WHERE doc_id NOT IN (SELECT doc_id FROM removed))

@@ -5280,11 +5280,233 @@ object Pipeline {
       FROM tk LEFT JOIN covd USING (doc_id)
       GROUP BY source ORDER BY source"""))
 
+  /** p85 — Count-Min Sketch token frequencies: a 4×256 counter matrix
+    * (depth 4 independent md5-derived hash rows) over the corpus token
+    * stream, then the CMS point estimate (min over the 4 rows) for every
+    * vocabulary token, reported for the top-20 tokens by exact count next
+    * to the exact count and the (always ≥0) overcount. Completes the
+    * sketch family (HLL distinct p14, SpaceSaving heavy hitters p19,
+    * percentile p57) with the classic frequency sketch; all integer, so
+    * the estimate is bit-identical cross-engine.
+    *
+    * 100 TB shape: exact counts are one digest-keyed shuffle with
+    * map-side partials (the p01 topology); the counter matrix is ≤1024
+    * rows aggregated FROM the count table (equivalent to per-occurrence
+    * increments, but touches vocab rows not token instances) and is
+    * broadcast for the estimate join; top-20 is a TakeOrdered. At any
+    * scale the sketch itself stays 4×256 longs — the whole point.
+    */
+  private val p85 = Q(
+    "p85_cms_freq",
+    (s, d) => {
+      import s.implicits._
+      val exact = T(s, d, "documents")
+        .select(explode(split($"text", " ")).as("t"))
+        .filter(length($"t") > 0)
+        .groupBy($"t").agg(count(lit(1)).as("exact"))
+      val cells = exact.select($"t", $"exact", posexplode(expr(
+        """transform(sequence(0, 3),
+             r -> CAST(conv(substr(md5(concat(t, '_cms', CAST(r AS STRING))),
+                            1, 15), 16, 10) AS BIGINT) % 256)"""))
+        .as(Seq("r", "b")))
+      val counters = cells.groupBy($"r", $"b").agg(sum($"exact").as("cnt"))
+      cells.join(broadcast(counters), Seq("r", "b"))
+        .groupBy($"t", $"exact").agg(min($"cnt").as("est"))
+        .withColumn("overcount", $"est" - $"exact")
+        .orderBy($"exact".desc, $"t").limit(20)
+    },
+    Some("""
+      WITH tk AS (
+        SELECT unnest(string_split(text, ' ')) AS t FROM documents),
+      exact AS (
+        SELECT t, CAST(COUNT(*) AS BIGINT) AS exact
+        FROM tk WHERE len(t) > 0 GROUP BY t),
+      cells AS (
+        SELECT t, exact, r,
+          ('0x' || substr(md5(t || '_cms' || CAST(r AS VARCHAR)), 1, 15))
+            ::BIGINT % 256 AS b
+        FROM exact CROSS JOIN (SELECT unnest(range(0, 4)) AS r)),
+      counters AS (
+        SELECT r, b, CAST(SUM(exact) AS BIGINT) AS cnt
+        FROM cells GROUP BY r, b),
+      est AS (
+        SELECT t, exact, CAST(MIN(cnt) AS BIGINT) AS est
+        FROM cells JOIN counters USING (r, b) GROUP BY t, exact)
+      SELECT t, exact, est, est - exact AS overcount
+      FROM est ORDER BY exact DESC, t LIMIT 20"""))
+
+  /** p86 — content-defined chunking (FastCDC/rsync style, token
+    * granularity): a rolling 4-token window hash cuts a chunk boundary
+    * wherever hash % 16 == 0, so chunk boundaries survive insertions and
+    * deletions (unlike fixed-size blocks) and shared passages land in
+    * identical chunks. Chunks travel as md5 digests; a digest occurring
+    * ≥2× corpus-wide marks its tokens as shared. Reports, per source, the
+    * chunk count, mean implied by (n_chunks, sum_tokens), and the
+    * shared-token share — the storage-dedup twin of p84's n-gram metric.
+    *
+    * 100 TB shape: chunking is per-row narrow array work (linear in
+    * tokens, expected chunk length 16); the only shuffle is the
+    * digest-keyed occurrence count, and the join-back is on the same key
+    * (one co-partitioned exchange, p84's topology). Boundary hashes are
+    * md5-derived, so both engines cut identically.
+    */
+  private val p86 = Q(
+    "p86_cdc_chunks",
+    (s, d) => {
+      import s.implicits._
+      val ct = T(s, d, "documents")
+        .select($"doc_id", $"source", split($"text", " ").as("ts"))
+        .withColumn("n_tok", size($"ts"))
+        .withColumn("cuts", expr(
+          """concat(array(0),
+               CASE WHEN n_tok >= 5 THEN
+                 filter(sequence(4, n_tok - 1),
+                   i -> CAST(conv(substr(md5(array_join(
+                          slice(ts, i - 3, 4), ' ')), 1, 15), 16, 10)
+                        AS BIGINT) % 16 = 0)
+               ELSE array() END,
+               array(n_tok))"""))
+      val cf = ct.select($"doc_id", $"source", explode(expr(
+        """transform(sequence(1, size(cuts) - 1),
+             k -> named_struct(
+               'g', md5(array_join(slice(ts, element_at(cuts, k) + 1,
+                      element_at(cuts, k + 1) - element_at(cuts, k)), ' ')),
+               'ln', CAST(element_at(cuts, k + 1) - element_at(cuts, k)
+                          AS BIGINT)))""")).as("c"))
+        .select($"doc_id", $"source", $"c.g".as("g"), $"c.ln".as("ln"))
+      val occ = cf.groupBy($"g").agg(count(lit(1)).as("n_occ"))
+      cf.join(occ, Seq("g"))
+        .groupBy($"source")
+        .agg(countDistinct($"doc_id").as("n_docs"),
+          count(lit(1)).as("n_chunks"),
+          sum($"ln").as("sum_tokens"),
+          sum(when($"n_occ" >= 2, 1L).otherwise(0L)).as("n_shared_chunks"),
+          sum(when($"n_occ" >= 2, $"ln").otherwise(0L)).as("shared_tokens"))
+        .withColumn("shared_token_ppm",
+          expr("shared_tokens * 1000000L DIV sum_tokens"))
+        .orderBy($"source")
+    },
+    Some("""
+      WITH tk AS (
+        SELECT doc_id, source, string_split(text, ' ') AS ts,
+          len(string_split(text, ' ')) AS n_tok
+        FROM documents),
+      ct AS (
+        SELECT doc_id, source, ts,
+          list_concat(list_concat([0],
+            CASE WHEN n_tok >= 5 THEN
+              list_filter(range(4, n_tok),
+                i -> ('0x' || substr(md5(array_to_string(
+                       ts[i-3:i], ' ')), 1, 15))::BIGINT % 16 = 0)
+            ELSE [] END),
+            [n_tok]) AS cuts
+        FROM tk),
+      ck AS (
+        SELECT doc_id, source,
+          unnest(list_transform(range(1, len(cuts)), k -> struct_pack(
+            g := md5(array_to_string(ts[cuts[k]+1:cuts[k+1]], ' ')),
+            ln := cuts[k+1] - cuts[k]))) AS c
+        FROM ct),
+      cf AS (SELECT doc_id, source, c.g AS g, CAST(c.ln AS BIGINT) AS ln
+             FROM ck),
+      occ AS (SELECT g, COUNT(*) AS n_occ FROM cf GROUP BY g)
+      SELECT source,
+        CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        CAST(COUNT(*) AS BIGINT) AS n_chunks,
+        CAST(SUM(ln) AS BIGINT) AS sum_tokens,
+        CAST(SUM(CASE WHEN n_occ >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_shared_chunks,
+        CAST(SUM(CASE WHEN n_occ >= 2 THEN ln ELSE 0 END) AS BIGINT)
+          AS shared_tokens,
+        CAST(SUM(CASE WHEN n_occ >= 2 THEN ln ELSE 0 END) AS BIGINT)
+          * 1000000 // CAST(SUM(ln) AS BIGINT) AS shared_token_ppm
+      FROM cf JOIN occ USING (g)
+      GROUP BY source ORDER BY source"""))
+
+  /** p87 — fuzzy dedup by edit distance, star-blocked: block on the md5
+    * of the first 3 tokens, compare each non-head member against only the
+    * block head (min doc_id) — the star pattern, LINEAR in members, the
+    * same scale contract as p15's representative star — with
+    * levenshtein() on the first 400 chars (prefix edit distance, the
+    * standard cost bound for long documents). A member is a fuzzy dup if
+    * lev·10 ≤ max(prefix lengths) — the exact cross-multiply form of
+    * "edit distance ≤ 10% of length", no division. Recall contract
+    * (documented): edits inside the first 3 tokens move a doc out of its
+    * block — head-stable near-dups (template families, prefix clones)
+    * are the target class.
+    *
+    * 100 TB shape: one shuffle on the block digest; candidate count
+    * equals non-head member count (no quadratic pair list anywhere); the
+    * head text joins back on head_id (same-key co-partition); the
+    * levenshtein cost is capped at 400×400 char-ops per member.
+    */
+  private val p87 = Q(
+    "p87_fuzzy_editdist",
+    (s, d) => {
+      import s.implicits._
+      val ds = T(s, d, "documents")
+        .select($"doc_id", $"source", $"n_chars",
+          substring($"text", 1, 400).as("head_txt"),
+          least($"n_chars", lit(400L)).as("hlen"),
+          md5(expr("array_join(slice(split(text, ' '), 1, 3), ' ')"))
+            .as("blk"))
+      val heads = ds.groupBy($"blk").agg(min($"doc_id").as("head_id"))
+      val pr = ds.join(heads, Seq("blk"))
+        .filter($"doc_id" =!= $"head_id")
+        .join(ds.select($"doc_id".as("head_id"), $"head_txt".as("h_txt"),
+          $"hlen".as("h_len")), Seq("head_id"))
+        .withColumn("lev", levenshtein($"head_txt", $"h_txt").cast(LongType))
+        .withColumn("fuzzy",
+          when($"lev" * 10 <= greatest($"hlen", $"h_len"), 1L).otherwise(0L))
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_candidates"), sum($"fuzzy").as("n_fuzzy"),
+          sum($"lev").as("sum_lev"))
+      ds.groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct($"blk").as("n_blocks"))
+        .join(pr, Seq("source"), "left_outer")
+        .select($"source", $"n_docs", $"n_blocks",
+          coalesce($"n_candidates", lit(0L)).as("n_candidates"),
+          coalesce($"n_fuzzy", lit(0L)).as("n_fuzzy"),
+          coalesce($"sum_lev", lit(0L)).as("sum_lev"))
+        .orderBy($"source")
+    },
+    Some("""
+      WITH ds AS (
+        SELECT doc_id, source, n_chars,
+          substr(text, 1, 400) AS head_txt,
+          CAST(least(n_chars, 400) AS BIGINT) AS hlen,
+          md5(array_to_string(string_split(text, ' ')[1:3], ' ')) AS blk
+        FROM documents),
+      hd AS (SELECT blk, MIN(doc_id) AS head_id FROM ds GROUP BY blk),
+      pr AS (
+        SELECT a.source,
+          CAST(COUNT(*) AS BIGINT) AS n_candidates,
+          CAST(SUM(CASE WHEN levenshtein(a.head_txt, b.head_txt) * 10
+                        <= greatest(a.hlen, b.hlen)
+                   THEN 1 ELSE 0 END) AS BIGINT) AS n_fuzzy,
+          CAST(SUM(levenshtein(a.head_txt, b.head_txt)) AS BIGINT)
+            AS sum_lev
+        FROM ds a
+        JOIN hd h USING (blk)
+        JOIN ds b ON b.doc_id = h.head_id
+        WHERE a.doc_id <> h.head_id
+        GROUP BY a.source)
+      SELECT d.source,
+        CAST(COUNT(*) AS BIGINT) AS n_docs,
+        CAST(COUNT(DISTINCT d.blk) AS BIGINT) AS n_blocks,
+        CAST(COALESCE(ANY_VALUE(pr.n_candidates), 0) AS BIGINT)
+          AS n_candidates,
+        CAST(COALESCE(ANY_VALUE(pr.n_fuzzy), 0) AS BIGINT) AS n_fuzzy,
+        CAST(COALESCE(ANY_VALUE(pr.sum_lev), 0) AS BIGINT) AS sum_lev
+      FROM ds d LEFT JOIN pr ON pr.source = d.source
+      GROUP BY d.source ORDER BY d.source"""))
+
   val all: Seq[Q] = Seq(p01, p02, p03, p04, p05, p06, p07, p08, p09, p10,
     p11, p12, p13, p14, p15, p16, p17, p18, p19, p20, p21, p22, p23, p24,
     p25, p26, p27, p28, p29, p30, p31, p32, p33, p34, p35, p36, p37, p38,
     p39, p40, p41, p42, p43, p44, p45, p46, p47, p48, p49, p50, p51, p52,
     p53, p54, p55, p56, p57, p58, p59, p60, p61, p62, p63, p64, p65, p66,
     p67, p68, p69, p70, p71, p72, p73, p74, p75, p76, p77, p78, p79, p80,
-    p81, p82, p83, p84)
+    p81, p82, p83, p84, p85, p86, p87)
 }

@@ -1471,4 +1471,125 @@ class SemanticsSpec extends AnyFunSuite {
       assert(np == expPairs.getOrElse(src, 0).toLong, s"$src n_pairs")
     }
   }
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+  private def h60(s: String): Long =
+    java.lang.Long.parseLong(md5hex(s).take(15), 16)
+
+  test("CMS estimates equal a driver-side sketch replay and dominate exact") {
+    val sf = "/root/testdata/sf0.01"
+    val toks = Tables.load(spark, sf, "documents")
+      .select($"text").as[String].collect()
+      .flatMap(_.split(" ", -1)).filter(_.nonEmpty)
+    val exact = toks.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val counters = scala.collection.mutable.Map.empty[(Int, Long), Long]
+    for ((t, c) <- exact; r <- 0 until 4) {
+      val b = h60(s"${t}_cms$r") % 256
+      counters((r, b)) = counters.getOrElse((r, b), 0L) + c
+    }
+    def est(t: String): Long =
+      (0 until 4).map(r => counters((r, h60(s"${t}_cms$r") % 256))).min
+    val got = Catalog.byName("p85_cms_freq").run(spark, sf)
+      .select($"t", $"exact", $"est", $"overcount")
+      .as[(String, Long, Long, Long)].collect()
+    assert(got.length == 20, "top-20 rows")
+    val top = exact.toSeq.sortBy { case (t, c) => (-c, t) }.take(20)
+    assert(got.map(r => (r._1, r._2)).toSeq == top, "top-20 by exact count")
+    got.foreach { case (t, ex, e, oc) =>
+      assert(e == est(t), s"$t estimate replay")
+      assert(e >= ex && oc == e - ex, s"$t CMS never undercounts")
+    }
+  }
+
+  test("CDC chunking matches a driver replay and conserves tokens") {
+    val sf = "/root/testdata/sf0.01"
+    val docs = Tables.load(spark, sf, "documents")
+      .select($"doc_id", $"source", $"text").as[(Long, String, String)]
+      .collect()
+    val chunks = docs.flatMap { case (id, src, t) =>
+      val ts = t.split(" ", -1)
+      val n = ts.length
+      val bpos =
+        if (n >= 5) (4 until n).filter(i =>
+          h60(ts.slice(i - 4, i).mkString(" ")) % 16 == 0)
+        else Seq.empty[Int]
+      val cuts = (0 +: bpos) :+ n
+      cuts.sliding(2).map { case Seq(a, b) =>
+        (id, src, md5hex(ts.slice(a, b).mkString(" ")), (b - a).toLong)
+      }
+    }
+    val occ = chunks.groupBy(_._3).view.mapValues(_.length).toMap
+    val expBySrc = chunks.groupBy(_._2).map { case (src, cs) =>
+      src -> ((cs.length.toLong, cs.map(_._4).sum,
+        cs.count(c => occ(c._3) >= 2).toLong,
+        cs.filter(c => occ(c._3) >= 2).map(_._4).sum))
+    }
+    val rows = Catalog.byName("p86_cdc_chunks").run(spark, sf)
+      .select($"source", $"n_chunks", $"sum_tokens", $"n_shared_chunks",
+        $"shared_tokens", $"shared_token_ppm")
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+    assert(rows.map(_._4).sum > 0, "corpus has no shared chunks")
+    rows.foreach { case (src, nc, st, nsc, sht, ppm) =>
+      val (eNc, eSt, eNsc, eSht) = expBySrc(src)
+      assert((nc, st, nsc, sht) == ((eNc, eSt, eNsc, eSht)), s"$src chunks")
+      assert(ppm == sht * 1000000L / st, s"$src ppm")
+    }
+    // conservation: every token lands in exactly one chunk
+    val tokBySrc = docs.groupBy(_._2).view
+      .mapValues(_.map(_._3.split(" ", -1).length.toLong).sum).toMap
+    rows.foreach { case (src, _, st, _, _, _) =>
+      assert(st == tokBySrc(src), s"$src token conservation")
+    }
+  }
+
+  test("fuzzy edit-distance dedup matches a driver star recompute") {
+    val sf = "/root/testdata/sf0.01"
+    val docs = Tables.load(spark, sf, "documents")
+      .select($"doc_id", $"source", $"text", $"n_chars")
+      .as[(Long, String, String, Long)].collect()
+    def lev(a: String, b: String): Long = {
+      val prev = Array.range(0, b.length + 1)
+      val cur = new Array[Int](b.length + 1)
+      for (i <- 1 to a.length) {
+        cur(0) = i
+        for (j <- 1 to b.length) {
+          val c = if (a(i - 1) == b(j - 1)) 0 else 1
+          cur(j) = math.min(math.min(cur(j - 1) + 1, prev(j) + 1),
+            prev(j - 1) + c)
+        }
+        Array.copy(cur, 0, prev, 0, b.length + 1)
+      }
+      prev(b.length).toLong
+    }
+    val withBlk = docs.map { d =>
+      (d._1, d._2, d._3.take(400), math.min(d._4, 400L),
+        md5hex(d._3.split(" ", -1).take(3).mkString(" ")))
+    }
+    val heads = withBlk.groupBy(_._5).view.mapValues(_.minBy(_._1)).toMap
+    val cand = withBlk.filter(d => heads(d._5)._1 != d._1)
+    val exp = cand.groupBy(_._2).map { case (src, cs) =>
+      val levs = cs.map { c =>
+        val h = heads(c._5)
+        (lev(c._3, h._3), math.max(c._4, h._4))
+      }
+      src -> ((cs.length.toLong,
+        levs.count { case (l, mx) => l * 10 <= mx }.toLong,
+        levs.map(_._1).sum))
+    }
+    val rows = Catalog.byName("p87_fuzzy_editdist").run(spark, sf)
+      .select($"source", $"n_docs", $"n_blocks", $"n_candidates",
+        $"n_fuzzy", $"sum_lev")
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+    assert(rows.map(_._4).sum > 0, "no candidate pairs — blocking degenerate")
+    val nDocs = docs.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val nBlk = withBlk.groupBy(_._2).view
+      .mapValues(_.map(_._5).distinct.length.toLong).toMap
+    rows.foreach { case (src, nd, nb, ncand, nf, sl) =>
+      assert(nd == nDocs(src) && nb == nBlk(src), s"$src docs/blocks")
+      val (eC, eF, eL) = exp.getOrElse(src, (0L, 0L, 0L))
+      assert((ncand, nf, sl) == ((eC, eF, eL)), s"$src star comparisons")
+    }
+  }
 }

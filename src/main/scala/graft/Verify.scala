@@ -102,6 +102,16 @@ object Verify {
       System.err.println(s"[verify] nx_input dump failed: ${e.getMessage}")
     }
 
+    // GRAFT_VERIFY_ORACLES_ONLY=1 regenerates oracle_sql.json WITHOUT
+    // re-running/re-writing any query: wrapOracle only needs each query's
+    // SCHEMA (sf-independent — the canary pins it), so the plan is built
+    // against the cheap GRAFT_VERIFY_SCHEMA_SF dir while {SF} still
+    // substitutes the real sfDir. Needed because a names-restricted Verify
+    // overwrites oracle_sql.json with just that subset — after a large
+    // gate run is patched entry-by-entry, this recovers the full map in
+    // minutes instead of re-running the board.
+    val oraclesOnly = sys.env.get("GRAFT_VERIFY_ORACLES_ONLY").contains("1")
+    val schemaSf = sys.env.getOrElse("GRAFT_VERIFY_SCHEMA_SF", sfDir)
     val oracles = scala.collection.mutable.SortedMap.empty[String, String]
     Catalog.byName.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.isEmpty || only(name) }
@@ -109,9 +119,10 @@ object Verify {
       val substituted = q.oracle.map(_.replace("{NX}", nxDir)
         .replace("{SF}", Paths.get(sfDir).toAbsolutePath.toString))
       try {
-        val raw = q.run(spark, sfDir)
-        Catalog.finalizeDoubles(raw).coalesce(1).write.mode("overwrite")
-          .parquet(s"$outDir/$name")
+        val raw = q.run(spark, if (oraclesOnly) schemaSf else sfDir)
+        if (!oraclesOnly)
+          Catalog.finalizeDoubles(raw).coalesce(1).write.mode("overwrite")
+            .parquet(s"$outDir/$name")
         substituted.foreach(sql => oracles += name -> wrapOracle(sql, raw.schema))
       } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")

@@ -5502,11 +5502,459 @@ object Pipeline {
       FROM ds d LEFT JOIN pr ON pr.source = d.source
       GROUP BY d.source ORDER BY d.source"""))
 
+  /** p88 — robust winnowing fingerprints (the MOSS/local-fingerprint
+    * scheme): hash every 4-token gram, then keep the MINIMUM hash of each
+    * sliding window of 4 gram positions — the selected set is guaranteed
+    * to contain at least one fingerprint from every 7-token stretch, so
+    * any shared passage ≥ 7 tokens yields a shared fingerprint no matter
+    * how the documents are aligned (position-robust, unlike fixed-stride
+    * sampling). Reports, per doc, the gram count, the winnowed
+    * fingerprint count, and how many of its fingerprints also occur in
+    * another document (the overlap signal a plagiarism/near-dup pass
+    * would block on).
+    *
+    * 100 TB shape: gram hashing and window-min selection are per-row
+    * narrow array work (no explode until AFTER winnowing cuts the set
+    * ~w-fold); the only shuffles are the fingerprint-keyed occurrence
+    * count and the same-key join back — p84/p86's digest topology with a
+    * w× smaller key stream.
+    */
+  private val p88 = Q(
+    "p88_winnowing",
+    (s, d) => {
+      import s.implicits._
+      val fp = T(s, d, "documents")
+        .select($"doc_id", split($"text", " ").as("ts"))
+        .withColumn("hs", expr(
+          """CASE WHEN size(ts) >= 4 THEN
+               transform(sequence(1, size(ts) - 3),
+                 i -> CAST(conv(substr(md5(array_join(
+                        slice(ts, i, 4), ' ')), 1, 15), 16, 10) AS BIGINT))
+             ELSE CAST(array() AS ARRAY<BIGINT>) END"""))
+        .withColumn("fps", expr(
+          """CASE WHEN size(hs) >= 4 THEN
+               array_distinct(transform(sequence(1, size(hs) - 3),
+                 j -> array_min(slice(hs, j, 4))))
+             WHEN size(hs) >= 1 THEN array(array_min(hs))
+             ELSE CAST(array() AS ARRAY<BIGINT>) END"""))
+        .select($"doc_id", size($"hs").cast(LongType).as("n_grams"),
+          $"fps")
+      val ex = fp.select($"doc_id", explode($"fps").as("fp"))
+      val idx = ex.groupBy($"fp").agg(countDistinct($"doc_id").as("nd"))
+      val shared = ex.join(idx, Seq("fp")).filter($"nd" >= 2)
+        .groupBy($"doc_id").agg(count(lit(1)).as("n_shared_fps"))
+      fp.select($"doc_id", $"n_grams", size($"fps").cast(LongType).as("n_fps"))
+        .join(shared, Seq("doc_id"), "left_outer")
+        .select($"doc_id", $"n_grams", $"n_fps",
+          coalesce($"n_shared_fps", lit(0L)).as("n_shared_fps"))
+        .orderBy($"doc_id")
+    },
+    Some("""
+      WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts
+                 FROM documents),
+      g AS (SELECT doc_id,
+              CASE WHEN len(ts) >= 4 THEN
+                list_transform(range(1, len(ts) - 2),
+                  i -> ('0x' || substr(md5(array_to_string(
+                         ts[i:i+3], ' ')), 1, 15))::BIGINT)
+              ELSE [] END AS hs
+            FROM t),
+      f AS (SELECT doc_id, CAST(len(hs) AS BIGINT) AS n_grams,
+              CASE WHEN len(hs) >= 4 THEN
+                list_distinct(list_transform(range(1, len(hs) - 2),
+                  j -> list_min(hs[j:j+3])))
+              WHEN len(hs) >= 1 THEN [list_min(hs)]
+              ELSE [] END AS fps
+            FROM g),
+      e AS (SELECT doc_id, unnest(fps) AS fp FROM f),
+      ix AS (SELECT fp, COUNT(DISTINCT doc_id) AS nd FROM e GROUP BY fp),
+      sh AS (SELECT e.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared
+             FROM e JOIN ix USING (fp) WHERE nd >= 2 GROUP BY e.doc_id)
+      SELECT f.doc_id, f.n_grams, CAST(len(f.fps) AS BIGINT) AS n_fps,
+        COALESCE(sh.n_shared, 0) AS n_shared_fps
+      FROM f LEFT JOIN sh ON sh.doc_id = f.doc_id
+      ORDER BY f.doc_id"""))
+
+  /** p89 — mutual-kNN pairs inside LSH buckets: each vector's 3 nearest
+    * bucket-mates by exact cosine, kept only when the relation is MUTUAL
+    * (a ∈ knn(b) AND b ∈ knn(a)) — the standard edge filter for
+    * agglomerative near-dup clustering and hard-pair mining, because
+    * one-sided neighbors in dense regions are mostly hubness noise.
+    *
+    * 100 TB shape: p12's signed-random-projection bucket is the shuffle
+    * key, so the quadratic compare is confined to bucket-local blocks
+    * (bucket count scales with corpus size by adding hyperplanes — same
+    * contract as p13); the mutual filter is a self-join of the tiny
+    * (vec_id, neighbor) edge list on the reversed key.
+    */
+  private val p89 = Q(
+    "p89_mutual_knn",
+    (s, d) => {
+      import s.implicits._
+      val b = T(s, d, "embeddings")
+        .withColumn("bucket", VectorFunctions.lsh_bucket($"embedding"))
+      val sim = b.as("a").join(b.as("n"),
+          col("a.bucket") === col("n.bucket") &&
+            col("a.vec_id") =!= col("n.vec_id"))
+        .select(col("a.vec_id").as("src"), col("n.vec_id").as("dst"),
+          dec(VectorFunctions.cosine_similarity(
+            col("a.embedding"), col("n.embedding")), 18, 6).as("cos_sim"))
+      val w = Window.partitionBy($"src")
+        .orderBy($"cos_sim".desc, $"dst")
+      val knn = sim.withColumn("rk", row_number.over(w)).filter($"rk" <= 3)
+        .select($"src", $"dst", $"cos_sim")
+      knn.as("x").join(knn.as("y"),
+          col("x.src") === col("y.dst") && col("x.dst") === col("y.src") &&
+            col("x.src") < col("x.dst"))
+        .select(col("x.src").as("id_a"), col("x.dst").as("id_b"),
+          col("x.cos_sim").as("cos_sim"))
+        .orderBy($"id_a", $"id_b")
+    },
+    Some(s"""
+      WITH b AS (SELECT vec_id, embedding,
+                   ${lshBucketDuck("embedding")} AS bucket
+                 FROM embeddings),
+      sim AS (
+        SELECT a.vec_id AS src, n.vec_id AS dst,
+          CAST(${foldDotDuck("a.embedding", "n.embedding")} /
+               (sqrt(${foldDotDuck("a.embedding", "a.embedding")}) *
+                sqrt(${foldDotDuck("n.embedding", "n.embedding")}))
+            AS DECIMAL(18,6)) AS cos_sim
+        FROM b a JOIN b n
+          ON a.bucket = n.bucket AND a.vec_id <> n.vec_id),
+      knn AS (
+        SELECT src, dst, cos_sim FROM (
+          SELECT src, dst, cos_sim,
+            row_number() OVER (PARTITION BY src
+                               ORDER BY cos_sim DESC, dst) AS rk
+          FROM sim) WHERE rk <= 3)
+      SELECT x.src AS id_a, x.dst AS id_b, x.cos_sim AS cos_sim
+      FROM knn x JOIN knn y ON x.src = y.dst AND x.dst = y.src
+      WHERE x.src < x.dst
+      ORDER BY id_a, id_b"""))
+
+  /** p90 — span-corruption masking audit (T5/UL2-style pretraining prep):
+    * a token position opens a 3-token mask span when
+    * md5(doc_id, position) % 8 == 0, so a position is masked iff it or
+    * either of its two predecessors triggers. Being hash-driven, the plan
+    * is reproducible (the property that matters for pretraining-data
+    * audits: the SAME spans mask on every rerun and on both engines).
+    * Reports per source the token count, masked count, and realized
+    * corruption rate vs the nominal ~32.2 % (1 − (7/8)³).
+    *
+    * 100 TB shape: completely narrow — the mask count is a per-row
+    * filter-over-sequence fold (no explode, no per-token rows); the only
+    * shuffle is the final per-source aggregate.
+    */
+  private val p90 = Q(
+    "p90_span_mask",
+    (s, d) => {
+      import s.implicits._
+      T(s, d, "documents")
+        .select($"doc_id", $"source", split($"text", " ").as("ts"))
+        .withColumn("n_tok", size($"ts").cast(LongType))
+        .withColumn("n_masked", expr(
+          """CAST(size(filter(sequence(1, size(ts)), p ->
+               CAST(conv(substr(md5(concat(CAST(doc_id AS STRING), '_',
+                      CAST(p AS STRING), '_sm')), 1, 15), 16, 10)
+                    AS BIGINT) % 8 = 0
+               OR (p >= 2 AND
+                 CAST(conv(substr(md5(concat(CAST(doc_id AS STRING), '_',
+                        CAST(p - 1 AS STRING), '_sm')), 1, 15), 16, 10)
+                      AS BIGINT) % 8 = 0)
+               OR (p >= 3 AND
+                 CAST(conv(substr(md5(concat(CAST(doc_id AS STRING), '_',
+                        CAST(p - 2 AS STRING), '_sm')), 1, 15), 16, 10)
+                      AS BIGINT) % 8 = 0))) AS BIGINT)"""))
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum($"n_tok").as("sum_tokens"),
+          sum($"n_masked").as("sum_masked"))
+        .withColumn("mask_rate",
+          dec($"sum_masked" / $"sum_tokens", 18, 6))
+        .orderBy($"source")
+    },
+    Some("""
+      WITH m AS (
+        SELECT doc_id, source,
+          CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+          CAST(len(list_filter(range(1, len(string_split(text, ' ')) + 1),
+            p -> ('0x' || substr(md5(doc_id || '_' || p || '_sm'),
+                    1, 15))::BIGINT % 8 = 0
+              OR (p >= 2 AND
+                ('0x' || substr(md5(doc_id || '_' || (p - 1) || '_sm'),
+                   1, 15))::BIGINT % 8 = 0)
+              OR (p >= 3 AND
+                ('0x' || substr(md5(doc_id || '_' || (p - 2) || '_sm'),
+                   1, 15))::BIGINT % 8 = 0))) AS BIGINT) AS n_masked
+        FROM documents)
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        CAST(SUM(n_tok) AS BIGINT) AS sum_tokens,
+        CAST(SUM(n_masked) AS BIGINT) AS sum_masked,
+        CAST(CAST(SUM(n_masked) AS DOUBLE) / CAST(SUM(n_tok) AS DOUBLE)
+          AS DECIMAL(18,6)) AS mask_rate
+      FROM m GROUP BY source ORDER BY source"""))
+
+  /** p91 — square-root source rebalancing (the multilingual/multi-source
+    * mixing rule: sample counts ∝ √n so big sources stop drowning small
+    * ones): per source, quota = ⌊√n_eligible⌋·3 over the quality-eligible
+    * docs (n_chars ≥ 150), filled by a deterministic md5 lottery — rank
+    * by (md5(doc_id), doc_id) and keep rank ≤ quota. The kept-set is
+    * content-addressed (reproducible across reruns/engines), and
+    * sum_kept_chars pins WHICH docs were kept, not just how many.
+    *
+    * √n on a BIGINT count is cross-engine exact: IEEE sqrt is correctly
+    * rounded, both engines floor the same double.
+    *
+    * 100 TB shape: the quota is a per-source scalar (broadcastable); the
+    * lottery rank is one window shuffle on source — same topology as any
+    * per-key top-k, and TopKRewrite-eligible if quotas were uniform.
+    */
+  private val p91 = Q(
+    "p91_sqrt_balance",
+    (s, d) => {
+      import s.implicits._
+      val el = T(s, d, "documents")
+        .filter($"n_chars" >= 150)
+        .select($"doc_id", $"source", $"n_chars",
+          md5(concat($"doc_id".cast(StringType), lit("_bal"))).as("tk"))
+      val quo = el.groupBy($"source")
+        .agg(count(lit(1)).as("n_eligible"))
+        .withColumn("quota",
+          expr("CAST(floor(sqrt(CAST(n_eligible AS DOUBLE))) AS BIGINT) * 3"))
+      val w = Window.partitionBy($"source").orderBy($"tk", $"doc_id")
+      val kept = el.withColumn("rk", row_number.over(w).cast(LongType))
+        .join(broadcast(quo), Seq("source"))
+        .filter($"rk" <= $"quota")
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_kept"),
+          sum($"n_chars").as("sum_kept_chars"))
+      val tot = T(s, d, "documents").groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"))
+      tot.join(quo, Seq("source"), "left_outer")
+        .join(kept, Seq("source"), "left_outer")
+        .select($"source", $"n_docs",
+          coalesce($"n_eligible", lit(0L)).as("n_eligible"),
+          coalesce($"quota", lit(0L)).as("quota"),
+          coalesce($"n_kept", lit(0L)).as("n_kept"),
+          coalesce($"sum_kept_chars", lit(0L)).as("sum_kept_chars"))
+        .orderBy($"source")
+    },
+    Some("""
+      WITH el AS (
+        SELECT doc_id, source, n_chars,
+          md5(doc_id || '_bal') AS tk
+        FROM documents WHERE n_chars >= 150),
+      quo AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_eligible,
+          CAST(floor(sqrt(CAST(COUNT(*) AS DOUBLE))) AS BIGINT) * 3 AS quota
+        FROM el GROUP BY source),
+      rk AS (
+        SELECT source, doc_id, n_chars,
+          CAST(row_number() OVER (PARTITION BY source
+                                  ORDER BY tk, doc_id) AS BIGINT) AS rk
+        FROM el),
+      kept AS (
+        SELECT rk.source, CAST(COUNT(*) AS BIGINT) AS n_kept,
+          CAST(SUM(rk.n_chars) AS BIGINT) AS sum_kept_chars
+        FROM rk JOIN quo USING (source) WHERE rk.rk <= quo.quota
+        GROUP BY rk.source),
+      tot AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+              FROM documents GROUP BY source)
+      SELECT tot.source, tot.n_docs,
+        COALESCE(quo.n_eligible, 0) AS n_eligible,
+        COALESCE(quo.quota, 0) AS quota,
+        COALESCE(kept.n_kept, 0) AS n_kept,
+        COALESCE(kept.sum_kept_chars, 0) AS sum_kept_chars
+      FROM tot LEFT JOIN quo ON quo.source = tot.source
+      LEFT JOIN kept ON kept.source = tot.source
+      ORDER BY tot.source"""))
+
+  /** p92 — lexical diversity: per-doc type-token ratio and Simpson
+    * repeat-concentration (Σc·(c−1) / n·(n−1), the probability two
+    * sampled token instances are the same type — the division-free
+    * integer core), aggregated per lang. Low diversity flags
+    * template/spam text that per-token quality scores (p04) miss.
+    *
+    * Exact rational interior (integer sums are order-independent), ONE
+    * double division per output ratio — the Catalog determinism rule.
+    *
+    * 100 TB shape: two hash shuffles, both map-side combinable
+    * ((doc, token) count, then per-doc stats), final per-lang rollup is
+    * tiny.
+    */
+  private val p92 = Q(
+    "p92_lexical_diversity",
+    (s, d) => {
+      import s.implicits._
+      val tok = T(s, d, "documents")
+        .select($"doc_id", $"lang", explode(split($"text", " ")).as("t"))
+      val cnt = tok.groupBy($"doc_id", $"lang", $"t")
+        .agg(count(lit(1)).as("c"))
+      val doc = cnt.groupBy($"doc_id", $"lang")
+        .agg(sum($"c").as("n"),
+          count(lit(1)).as("ty"),
+          sum($"c" * ($"c" - 1)).as("simp_num"))
+      doc.groupBy($"lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum($"n").as("sum_tokens"),
+          sum($"ty").as("sum_types"),
+          sum($"simp_num").as("sum_simp_num"),
+          sum($"n" * ($"n" - 1)).as("sum_simp_den"))
+        .withColumn("ttr", dec($"sum_types" / $"sum_tokens", 18, 6))
+        .withColumn("simpson",
+          dec($"sum_simp_num" / $"sum_simp_den", 18, 6))
+        .orderBy($"lang")
+    },
+    Some("""
+      WITH tok AS (
+        SELECT doc_id, lang, unnest(string_split(text, ' ')) AS t
+        FROM documents),
+      cnt AS (SELECT doc_id, lang, t, CAST(COUNT(*) AS BIGINT) AS c
+              FROM tok GROUP BY doc_id, lang, t),
+      doc AS (
+        SELECT doc_id, lang, SUM(c) AS n, CAST(COUNT(*) AS BIGINT) AS ty,
+          SUM(c * (c - 1)) AS simp_num
+        FROM cnt GROUP BY doc_id, lang)
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        CAST(SUM(n) AS BIGINT) AS sum_tokens,
+        CAST(SUM(ty) AS BIGINT) AS sum_types,
+        CAST(SUM(simp_num) AS BIGINT) AS sum_simp_num,
+        CAST(SUM(n * (n - 1)) AS BIGINT) AS sum_simp_den,
+        CAST(CAST(SUM(ty) AS DOUBLE) / CAST(SUM(n) AS DOUBLE)
+          AS DECIMAL(18,6)) AS ttr,
+        CAST(CAST(SUM(simp_num) AS DOUBLE) / CAST(SUM(n * (n - 1)) AS DOUBLE)
+          AS DECIMAL(18,6)) AS simpson
+      FROM doc GROUP BY lang ORDER BY lang"""))
+
+  /** p93 — contrastive-pair mining: anchor/positive pairs for embedding
+    * training from template families — block on the md5 of the first 3
+    * tokens (p87's head-stable blocking), anchor = block head (min
+    * doc_id), keep ≤ 2 positives per anchor by doc_id order so one mega
+    * family can't dominate a training batch. Emits (anchor, positive,
+    * source, block size) — the inputs a hard-negative sampler would
+    * consume downstream.
+    *
+    * 100 TB shape: one shuffle on the block digest; the per-block cap is
+    * a row_number window on the SAME key (no second shuffle); output is
+    * linear in doc count with a 2-per-block ceiling.
+    */
+  private val p93 = Q(
+    "p93_contrastive_pairs",
+    (s, d) => {
+      import s.implicits._
+      val ds = T(s, d, "documents")
+        .select($"doc_id", $"source",
+          md5(expr("array_join(slice(split(text, ' '), 1, 3), ' ')"))
+            .as("blk"))
+      val heads = ds.groupBy($"blk")
+        .agg(min($"doc_id").as("anchor_id"), count(lit(1)).as("blk_size"))
+      val w = Window.partitionBy($"blk").orderBy($"doc_id")
+      ds.join(heads, Seq("blk"))
+        .filter($"doc_id" =!= $"anchor_id")
+        .withColumn("rk", row_number.over(w))
+        .filter($"rk" <= 2)
+        .select($"anchor_id", $"doc_id".as("pos_id"), $"source",
+          $"blk_size")
+        .orderBy($"anchor_id", $"pos_id")
+    },
+    Some("""
+      WITH ds AS (
+        SELECT doc_id, source,
+          md5(array_to_string(string_split(text, ' ')[1:3], ' ')) AS blk
+        FROM documents),
+      hd AS (SELECT blk, MIN(doc_id) AS anchor_id,
+               CAST(COUNT(*) AS BIGINT) AS blk_size
+             FROM ds GROUP BY blk),
+      pos AS (
+        SELECT hd.anchor_id, ds.doc_id AS pos_id, ds.source, hd.blk_size,
+          row_number() OVER (PARTITION BY ds.blk ORDER BY ds.doc_id) AS rk
+        FROM ds JOIN hd USING (blk)
+        WHERE ds.doc_id <> hd.anchor_id)
+      SELECT anchor_id, pos_id, source, blk_size
+      FROM pos WHERE rk <= 2
+      ORDER BY anchor_id, pos_id"""))
+
+  /** p94 — incremental ingestion dedup: dedup a NEW batch (a
+    * deterministic 20 % md5 split of doc_id) against the already-ingested
+    * index — first collapse within-batch copies (min doc_id per digest),
+    * then LEFT ANTI join the survivors against the index's digest set.
+    * The digest is the VOCABULARY fingerprint (md5 of the sorted distinct
+    * token set), which is invariant to token order and repetition — the
+    * cheap canonical form that catches shuffled/stuttered template copies
+    * that a raw-text hash misses. This is the steady-state shape of a
+    * production corpus: the full corpus is never re-deduped; each
+    * increment pays one digest shuffle plus an anti-join against the
+    * index.
+    *
+    * 100 TB shape: the anti-join is digest-keyed (co-partitions with the
+    * batch's own dedup shuffle); at scale the index side is a bucketed
+    * digest table or a bloom pre-filter (p56's runtime-filter pattern) —
+    * the batch never rescans index text.
+    */
+  private val p94 = Q(
+    "p94_incremental_ingest",
+    (s, d) => {
+      import s.implicits._
+      val ds = T(s, d, "documents")
+        .select($"doc_id", $"source",
+          md5(expr(
+            "array_join(array_sort(array_distinct(split(text, ' '))), ' ')"))
+            .as("fp"),
+          (expr("""CAST(conv(substr(md5(CAST(doc_id AS STRING) || '_ing'),
+                     1, 15), 16, 10) AS BIGINT)""") % 5 === 0)
+            .as("is_new"))
+      val idx = ds.filter(!$"is_new").select($"fp").distinct()
+      val batch = ds.filter($"is_new")
+      val keep = batch.groupBy($"fp")
+        .agg(min($"doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+      val acc = keep.join(idx, Seq("fp"), "left_anti")
+        .join(batch.select($"doc_id".as("keep_id"), $"source"),
+          Seq("keep_id"))
+      val accBySrc = acc.groupBy($"source")
+        .agg(count(lit(1)).as("n_accepted"))
+      batch.groupBy($"source")
+        .agg(count(lit(1)).as("n_batch"),
+          countDistinct($"fp").as("n_batch_distinct"))
+        .join(accBySrc, Seq("source"), "left_outer")
+        .select($"source", $"n_batch", $"n_batch_distinct",
+          coalesce($"n_accepted", lit(0L)).as("n_accepted"),
+          ($"n_batch_distinct" - coalesce($"n_accepted", lit(0L)))
+            .as("n_dup_vs_index"))
+        .orderBy($"source")
+    },
+    Some("""
+      WITH ds AS (
+        SELECT doc_id, source,
+          md5(array_to_string(list_sort(list_distinct(
+            string_split(text, ' '))), ' ')) AS fp,
+          ('0x' || substr(md5(doc_id || '_ing'), 1, 15))::BIGINT % 5 = 0
+            AS is_new
+        FROM documents),
+      idx AS (SELECT DISTINCT fp FROM ds WHERE NOT is_new),
+      batch AS (SELECT * FROM ds WHERE is_new),
+      keep AS (SELECT fp, MIN(doc_id) AS keep_id,
+                 CAST(COUNT(*) AS BIGINT) AS n_copies
+               FROM batch GROUP BY fp),
+      acc AS (
+        SELECT b.source FROM keep k
+        JOIN batch b ON b.doc_id = k.keep_id
+        WHERE NOT EXISTS (SELECT 1 FROM idx WHERE idx.fp = k.fp)),
+      accs AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_accepted
+               FROM acc GROUP BY source)
+      SELECT b.source, CAST(COUNT(*) AS BIGINT) AS n_batch,
+        CAST(COUNT(DISTINCT b.fp) AS BIGINT) AS n_batch_distinct,
+        COALESCE(ANY_VALUE(accs.n_accepted), 0) AS n_accepted,
+        CAST(COUNT(DISTINCT b.fp) AS BIGINT)
+          - COALESCE(ANY_VALUE(accs.n_accepted), 0) AS n_dup_vs_index
+      FROM batch b LEFT JOIN accs ON accs.source = b.source
+      GROUP BY b.source ORDER BY b.source"""))
+
   val all: Seq[Q] = Seq(p01, p02, p03, p04, p05, p06, p07, p08, p09, p10,
     p11, p12, p13, p14, p15, p16, p17, p18, p19, p20, p21, p22, p23, p24,
     p25, p26, p27, p28, p29, p30, p31, p32, p33, p34, p35, p36, p37, p38,
     p39, p40, p41, p42, p43, p44, p45, p46, p47, p48, p49, p50, p51, p52,
     p53, p54, p55, p56, p57, p58, p59, p60, p61, p62, p63, p64, p65, p66,
     p67, p68, p69, p70, p71, p72, p73, p74, p75, p76, p77, p78, p79, p80,
-    p81, p82, p83, p84, p85, p86, p87)
+    p81, p82, p83, p84, p85, p86, p87, p88, p89, p90, p91, p92, p93, p94)
 }

@@ -44,7 +44,11 @@ class CatalogSpec extends AnyFunSuite {
     "p76_copy_matrix",
     // banded simhash candidates need band-value collisions — sparse at 50
     // docs, and the hamming≤18 verify can legitimately reject them all
-    "p77_simhash_neighbors")
+    "p77_simhash_neighbors",
+    // mutual-kNN needs ≥2 vectors in a bucket AND a symmetric top-3 hit;
+    // contrastive pairs need a 3-token-prefix block of size ≥2 — both
+    // sparse at 50 docs/vectors (the sf0.01 oracle checks them non-empty)
+    "p89_mutual_knn", "p93_contrastive_pairs")
 
   for ((name, q) <- Catalog.byName.toSeq.sortBy(_._1)) {
     test(s"$name runs on sf0.001") {
@@ -1590,6 +1594,219 @@ class SemanticsSpec extends AnyFunSuite {
       assert(nd == nDocs(src) && nb == nBlk(src), s"$src docs/blocks")
       val (eC, eF, eL) = exp.getOrElse(src, (0L, 0L, 0L))
       assert((ncand, nf, sl) == ((eC, eF, eL)), s"$src star comparisons")
+    }
+  }
+
+  test("winnowing fingerprints match a driver replay") {
+    val sf = "/root/testdata/sf0.01"
+    val docs = Tables.load(spark, sf, "documents")
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    val fps = docs.map { case (id, t) =>
+      val ts = t.split(" ", -1)
+      val hs =
+        if (ts.length >= 4)
+          (0 to ts.length - 4).map(i => h60(ts.slice(i, i + 4).mkString(" ")))
+        else Seq.empty[Long]
+      val sel =
+        if (hs.length >= 4)
+          (0 to hs.length - 4).map(j => hs.slice(j, j + 4).min).distinct
+        else if (hs.nonEmpty) Seq(hs.min)
+        else Seq.empty[Long]
+      id -> ((hs.length.toLong, sel))
+    }.toMap
+    val occ = fps.values.flatMap(_._2).groupBy(identity)
+      .view.mapValues(_.size).toMap
+    // occ counts selections, but each fp is distinct per doc, so ≥2 means
+    // ≥2 distinct docs share it.
+    val rows = Catalog.byName("p88_winnowing").run(spark, sf)
+      .select($"doc_id", $"n_grams", $"n_fps", $"n_shared_fps")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(rows.length == docs.length)
+    assert(rows.map(_._4).sum > 0, "no shared fingerprints — degenerate")
+    rows.foreach { case (id, ng, nf, nsh) =>
+      val (eg, sel) = fps(id)
+      assert(ng == eg, s"doc $id n_grams")
+      assert(nf == sel.length.toLong, s"doc $id n_fps")
+      assert(nsh == sel.count(f => occ(f) >= 2).toLong, s"doc $id shared")
+    }
+    // winnowing guarantee: selected count ≤ gram count, and every window
+    // of 4 gram positions contributed at least one selection
+    rows.foreach { case (_, ng, nf, _) =>
+      if (ng >= 4) assert(nf >= 1 && nf <= ng)
+    }
+  }
+
+  test("mutual-kNN pairs match a driver replay of buckets and top-3") {
+    val sf = "/root/testdata/sf0.01"
+    val emb = Tables.load(spark, sf, "embeddings")
+      .select($"vec_id", $"embedding").as[(Long, Seq[Float])].collect()
+    def plane(j: Int, i: Int): Double =
+      h60(s"${j}_${i}").toDouble / 1152921504606846976.0 - 0.5
+    def bucket(v: Seq[Float]): Int =
+      (0 until 4).map { j =>
+        val dot = (1 to 64).map(i => v(i - 1).toDouble * plane(j, i)).sum
+        if (dot >= 0.0) 1 << j else 0
+      }.sum
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      val dot = (0 until 64).map(i => a(i).toDouble * b(i).toDouble).sum
+      val na = math.sqrt((0 until 64).map(i => a(i).toDouble * a(i).toDouble).sum)
+      val nb = math.sqrt((0 until 64).map(i => b(i).toDouble * b(i).toDouble).sum)
+      dot / (na * nb)
+    }
+    val byB = emb.groupBy { case (_, v) => bucket(v) }
+    val knn = byB.values.toSeq.flatMap { vs =>
+      vs.toSeq.flatMap { case (src, v) =>
+        vs.toSeq.filter(_._1 != src)
+          .map { case (dst, w) => (src, dst, cos(v, w)) }
+          .sortBy { case (_, dst, c) => (-c, dst) }
+          .take(3)
+      }
+    }
+    val kset = knn.map { case (s2, d2, _) => (s2, d2) }.toSet
+    val exp = knn.filter { case (s2, d2, _) =>
+      s2 < d2 && kset((d2, s2))
+    }.map { case (s2, d2, c) => (s2, d2) -> c }.toMap
+    val rows = Catalog.byName("p89_mutual_knn").run(spark, sf)
+      .select($"id_a", $"id_b", $"cos_sim".cast("double"))
+      .as[(Long, Long, Double)].collect()
+    assert(rows.nonEmpty, "no mutual pairs at sf0.01 — degenerate")
+    assert(rows.map(r => (r._1, r._2)).toSet == exp.keySet, "pair set")
+    rows.foreach { case (a, b, c) =>
+      assert(math.abs(c - exp((a, b))) < 1e-5, s"($a,$b) cosine")
+    }
+  }
+
+  test("span-corruption mask matches a driver replay and the nominal rate") {
+    val sf = "/root/testdata/sf0.01"
+    val docs = Tables.load(spark, sf, "documents")
+      .select($"doc_id", $"source", $"text").as[(Long, String, String)]
+      .collect()
+    def trig(id: Long, p: Int): Boolean = h60(s"${id}_${p}_sm") % 8 == 0
+    val exp = docs.groupBy(_._2).map { case (src, ds) =>
+      val stats = ds.map { case (id, _, t) =>
+        val n = t.split(" ", -1).length
+        val masked = (1 to n).count(p =>
+          trig(id, p) || (p >= 2 && trig(id, p - 1)) ||
+            (p >= 3 && trig(id, p - 2)))
+        (n.toLong, masked.toLong)
+      }
+      src -> ((ds.length.toLong, stats.map(_._1).sum, stats.map(_._2).sum))
+    }
+    val rows = Catalog.byName("p90_span_mask").run(spark, sf)
+      .select($"source", $"n_docs", $"sum_tokens", $"sum_masked",
+        $"mask_rate".cast("double"))
+      .as[(String, Long, Long, Long, Double)].collect()
+    rows.foreach { case (src, nd, st, sm, rate) =>
+      val (eNd, eSt, eSm) = exp(src)
+      assert((nd, st, sm) == ((eNd, eSt, eSm)), s"$src mask counts")
+      assert(math.abs(rate - sm.toDouble / st) < 1e-6, s"$src rate")
+      // nominal 1 - (7/8)^3 ≈ 0.3228 — loose band for corpus noise
+      assert(rate > 0.2 && rate < 0.45, s"$src rate $rate out of band")
+    }
+  }
+
+  test("sqrt source rebalancing keeps exactly the lottery-ranked quota") {
+    val sf = "/root/testdata/sf0.01"
+    val docs = Tables.load(spark, sf, "documents")
+      .select($"doc_id", $"source", $"n_chars")
+      .as[(Long, String, Long)].collect()
+    val exp = docs.groupBy(_._2).map { case (src, ds) =>
+      val el = ds.filter(_._3 >= 150)
+      val quota = math.floor(math.sqrt(el.length.toDouble)).toLong * 3
+      val kept = el.sortBy(d => (md5hex(s"${d._1}_bal"), d._1))
+        .take(quota.toInt)
+      src -> ((ds.length.toLong, el.length.toLong, quota,
+        kept.length.toLong, kept.map(_._3).sum))
+    }
+    val rows = Catalog.byName("p91_sqrt_balance").run(spark, sf)
+      .select($"source", $"n_docs", $"n_eligible", $"quota", $"n_kept",
+        $"sum_kept_chars")
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+    assert(rows.length == exp.size)
+    rows.foreach { case (src, nd, ne, q, nk, skc) =>
+      assert((nd, ne, q, nk, skc) == exp(src), s"$src balance row")
+    }
+    // the rebalance must actually bind somewhere at sf0.01
+    assert(rows.exists(r => r._5 < r._3), "quota never binds — degenerate")
+  }
+
+  test("lexical diversity matches an exact rational replay") {
+    val sf = "/root/testdata/sf0.01"
+    val docs = Tables.load(spark, sf, "documents")
+      .select($"doc_id", $"lang", $"text").as[(Long, String, String)]
+      .collect()
+    val exp = docs.groupBy(_._2).map { case (lang, ds) =>
+      val per = ds.map { case (_, _, t) =>
+        val cs = t.split(" ", -1).groupBy(identity).map(_._2.length.toLong)
+        val n = cs.sum
+        (n, cs.size.toLong, cs.map(c => c * (c - 1)).sum, n * (n - 1))
+      }
+      lang -> ((ds.length.toLong, per.map(_._1).sum, per.map(_._2).sum,
+        per.map(_._3).sum, per.map(_._4).sum))
+    }
+    val rows = Catalog.byName("p92_lexical_diversity").run(spark, sf)
+      .select($"lang", $"n_docs", $"sum_tokens", $"sum_types",
+        $"sum_simp_num", $"sum_simp_den", $"ttr".cast("double"),
+        $"simpson".cast("double"))
+      .as[(String, Long, Long, Long, Long, Long, Double, Double)].collect()
+    rows.foreach { case (lang, nd, st, sy, sn, sd, ttr, simp) =>
+      val (eNd, eSt, eSy, eSn, eSd) = exp(lang)
+      assert((nd, st, sy, sn, sd) == ((eNd, eSt, eSy, eSn, eSd)),
+        s"$lang integer cores")
+      assert(math.abs(ttr - sy.toDouble / st) < 1e-6, s"$lang ttr")
+      assert(math.abs(simp - sn.toDouble / sd) < 1e-6, s"$lang simpson")
+    }
+  }
+
+  test("contrastive pairs are the capped block positives") {
+    val sf = "/root/testdata/sf0.01"
+    val docs = Tables.load(spark, sf, "documents")
+      .select($"doc_id", $"source", $"text").as[(Long, String, String)]
+      .collect()
+    val withBlk = docs.map { case (id, src, t) =>
+      (id, src, md5hex(t.split(" ", -1).take(3).mkString(" ")))
+    }
+    val exp = withBlk.groupBy(_._3).values.flatMap { blk =>
+      val anchor = blk.map(_._1).min
+      blk.filter(_._1 != anchor).sortBy(_._1).take(2)
+        .map(d => (anchor, d._1, d._2, blk.length.toLong))
+    }.toSet
+    val rows = Catalog.byName("p93_contrastive_pairs").run(spark, sf)
+      .select($"anchor_id", $"pos_id", $"source", $"blk_size")
+      .as[(Long, Long, String, Long)].collect()
+    assert(rows.nonEmpty, "no contrastive pairs at sf0.01 — degenerate")
+    assert(rows.toSet == exp, "pair set")
+    // cap: no anchor contributes more than 2 positives
+    rows.groupBy(_._1).values.foreach(g => assert(g.length <= 2))
+  }
+
+  test("incremental ingest dedups the batch against the index") {
+    val sf = "/root/testdata/sf0.01"
+    val docs = Tables.load(spark, sf, "documents")
+      .select($"doc_id", $"source", $"text").as[(Long, String, String)]
+      .collect()
+    val ds = docs.map { case (id, src, t) =>
+      val vocabFp = md5hex(t.split(" ", -1).distinct.sorted.mkString(" "))
+      (id, src, vocabFp, h60(s"${id}_ing") % 5 == 0)
+    }
+    val idx = ds.filter(!_._4).map(_._3).toSet
+    val batch = ds.filter(_._4)
+    val keepIds = batch.groupBy(_._3).values.map(_.map(_._1).min).toSet
+    val exp = batch.groupBy(_._2).map { case (src, bs) =>
+      val accepted = bs.filter(b => keepIds(b._1) && !idx(b._3))
+      src -> ((bs.length.toLong, bs.map(_._3).distinct.length.toLong,
+        accepted.length.toLong))
+    }
+    val rows = Catalog.byName("p94_incremental_ingest").run(spark, sf)
+      .select($"source", $"n_batch", $"n_batch_distinct", $"n_accepted",
+        $"n_dup_vs_index")
+      .as[(String, Long, Long, Long, Long)].collect()
+    assert(rows.map(_._4).sum > 0, "nothing accepted — degenerate")
+    assert(rows.map(r => r._3 - r._4).sum > 0, "no index dups — degenerate")
+    rows.foreach { case (src, nb, nbd, na, ndvi) =>
+      val (eNb, eNbd, eNa) = exp(src)
+      assert((nb, nbd, na) == ((eNb, eNbd, eNa)), s"$src ingest counts")
+      assert(ndvi == nbd - na, s"$src dup-vs-index identity")
     }
   }
 }

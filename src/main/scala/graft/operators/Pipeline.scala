@@ -983,13 +983,16 @@ object Pipeline {
 
   /** p19 — heavy hitters per group via the SpaceSaving sketch
     * (functions.SpaceSavingTopK, a TypedImperativeAggregate): top-3 users
-    * by event count per event_type. Capacity 16384 ≥ the per-group key
-    * cardinality at every TESTDATA sf and at the 10x sf1 replication
-    * (15,000 distinct users/group — 4096 was exceeded there, and the
-    * eviction overestimates flipped the top-3, caught by the sf1 gate),
-    * so the sketch runs in its EXACT regime and the oracle is plain SQL
-    * top-k; the eviction/merge-trim approximation path is spec-tested
-    * (FunctionsSpec). At 100 TB this is
+    * by event count per event_type. Capacity 262144 ≥ the per-group key
+    * cardinality at every GATED sf including the 100x sf10 replica
+    * (150,000 distinct users/group; the sf1 gate caught 4096 being
+    * exceeded at 15,000 — eviction overestimates flipped the top-3 — and
+    * the sf10 gate caught 16384 the same way), so the sketch runs in its
+    * EXACT regime and the oracle is plain SQL top-k; the
+    * eviction/merge-trim approximation path is spec-tested
+    * (FunctionsSpec). Per-sketch memory stays bounded: entries are
+    * allocated on demand, so the capacity is a ceiling, not a
+    * preallocation. At 100 TB this is
     * the frequency twin of p14's HLL/percentile sketches: fixed-size
     * mergeable state instead of a full (group, key) count table.
     */
@@ -1000,7 +1003,7 @@ object Pipeline {
       T(s, d, "events")
         .groupBy($"event_type")
         .agg(graft.functions.HeavyHitters
-          .space_saving_topk($"user_id".cast(LongType), 3, 16384).as("tk"))
+          .space_saving_topk($"user_id".cast(LongType), 3, 262144).as("tk"))
         .select($"event_type", posexplode($"tk"))
         .select($"event_type", ($"pos" + 1).cast(IntegerType).as("rank"),
           $"col.value".as("user_id"), $"col.count".as("cnt"))

@@ -5454,10 +5454,19 @@ object Pipeline {
           md5(expr("array_join(slice(split(text, ' '), 1, 3), ' ')"))
             .as("blk"))
       val heads = ds.groupBy($"blk").agg(min($"doc_id").as("head_id"))
+      // Pin the levenshtein stage's parallelism: the candidate frame is
+      // BYTE-small (~800 B/row) but CPU-heavy (400×400 char-ops/row), and
+      // AQE's byte-based coalescing folds it into ONE 64 MB partition —
+      // measured 34.5 s single-threaded at sf1 vs 3.6 s with the explicit
+      // fixed-width repartition (which AQE leaves alone). At 100 TB the
+      // candidate bytes exceed the advisory size and AQE parallelizes
+      // naturally; the pin costs one extra shuffle of a tiny frame.
+      val nPart = s.sessionState.conf.numShufflePartitions
       val pr = ds.join(heads, Seq("blk"))
         .filter($"doc_id" =!= $"head_id")
         .join(ds.select($"doc_id".as("head_id"), $"head_txt".as("h_txt"),
           $"hlen".as("h_len")), Seq("head_id"))
+        .repartition(nPart, $"doc_id")
         .withColumn("lev", levenshtein($"head_txt", $"h_txt").cast(LongType))
         .withColumn("fuzzy",
           when($"lev" * 10 <= greatest($"hlen", $"h_len"), 1L).otherwise(0L))
@@ -5516,39 +5525,46 @@ object Pipeline {
     * another document (the overlap signal a plagiarism/near-dup pass
     * would block on).
     *
-    * 100 TB shape: gram hashing and window-min selection are per-row
-    * narrow array work (no explode until AFTER winnowing cuts the set
-    * ~w-fold); the only shuffles are the fingerprint-keyed occurrence
-    * count and the same-key join back — p84/p86's digest topology with a
-    * w× smaller key stream.
+    * 100 TB shape: the gram expansion is an explode + plain codegen'd
+    * expressions (NOT array-lambda HOFs — `transform`/`filter` lambdas
+    * are CodegenFallback and ran interpreted at ~16 ms/doc, the straggler
+    * the sf10 gate caught; same lesson as the p52/p61 generator-chain
+    * rewrite), the window-min selection is one doc-keyed window over the
+    * gram stream, and the remaining shuffles are the fingerprint-keyed
+    * occurrence count and the same-key join back — p84/p86's digest
+    * topology.
     */
   private val p88 = Q(
     "p88_winnowing",
     (s, d) => {
       import s.implicits._
-      val fp = T(s, d, "documents")
+      val base = T(s, d, "documents")
         .select($"doc_id", split($"text", " ").as("ts"))
-        .withColumn("hs", expr(
-          """CASE WHEN size(ts) >= 4 THEN
-               transform(sequence(1, size(ts) - 3),
-                 i -> CAST(conv(substr(md5(array_join(
-                        slice(ts, i, 4), ' ')), 1, 15), 16, 10) AS BIGINT))
-             ELSE CAST(array() AS ARRAY<BIGINT>) END"""))
-        .withColumn("fps", expr(
-          """CASE WHEN size(hs) >= 4 THEN
-               array_distinct(transform(sequence(1, size(hs) - 3),
-                 j -> array_min(slice(hs, j, 4))))
-             WHEN size(hs) >= 1 THEN array(array_min(hs))
-             ELSE CAST(array() AS ARRAY<BIGINT>) END"""))
-        .select($"doc_id", size($"hs").cast(LongType).as("n_grams"),
-          $"fps")
-      val ex = fp.select($"doc_id", explode($"fps").as("fp"))
-      val idx = ex.groupBy($"fp").agg(countDistinct($"doc_id").as("nd"))
-      val shared = ex.join(idx, Seq("fp")).filter($"nd" >= 2)
+        .select($"doc_id", $"ts",
+          (size($"ts") - 3).cast(LongType).as("m"))
+      val grams = base.filter($"m" >= 1)
+        .select($"doc_id", $"m", $"ts",
+          explode(expr("sequence(1L, m)")).as("i"))
+        .select($"doc_id", $"m", $"i", expr(
+          """CAST(conv(substr(md5(array_join(slice(ts, CAST(i AS INT), 4),
+               ' ')), 1, 15), 16, 10) AS BIGINT)""").as("h"))
+      // min over gram positions [i, i+3]; the frame clips at the doc end,
+      // so for m < 4 the single kept row (i = 1) is min over ALL grams —
+      // the same fallback as winnowing a doc shorter than one window.
+      val w = Window.partitionBy($"doc_id").orderBy($"i")
+        .rowsBetween(Window.currentRow, 3)
+      val sel = grams.withColumn("fp", min($"h").over(w))
+        .filter(($"m" >= 4 && $"i" <= $"m" - 3) || ($"m" < 4 && $"i" === 1))
+        .select($"doc_id", $"fp").distinct()
+      val idx = sel.groupBy($"fp").agg(count(lit(1)).as("nd"))
+      val shared = sel.join(idx, Seq("fp")).filter($"nd" >= 2)
         .groupBy($"doc_id").agg(count(lit(1)).as("n_shared_fps"))
-      fp.select($"doc_id", $"n_grams", size($"fps").cast(LongType).as("n_fps"))
+      val perDoc = sel.groupBy($"doc_id").agg(count(lit(1)).as("n_fps"))
+      base.select($"doc_id", greatest($"m", lit(0L)).as("n_grams"))
+        .join(perDoc, Seq("doc_id"), "left_outer")
         .join(shared, Seq("doc_id"), "left_outer")
-        .select($"doc_id", $"n_grams", $"n_fps",
+        .select($"doc_id", $"n_grams",
+          coalesce($"n_fps", lit(0L)).as("n_fps"),
           coalesce($"n_shared_fps", lit(0L)).as("n_shared_fps"))
         .orderBy($"doc_id")
     },
@@ -5645,34 +5661,39 @@ object Pipeline {
     * Reports per source the token count, masked count, and realized
     * corruption rate vs the nominal ~32.2 % (1 − (7/8)³).
     *
-    * 100 TB shape: completely narrow — the mask count is a per-row
-    * filter-over-sequence fold (no explode, no per-token rows); the only
-    * shuffle is the final per-source aggregate.
+    * 100 TB shape: one explode to the position stream with ONE codegen'd
+    * md5 per position (NOT a filter-over-sequence lambda — HOF lambdas
+    * are CodegenFallback, the interpreted-straggler class the sf10 gate
+    * caught in p88's first cut), trigger rows expand to their 3-position
+    * span and dedupe on (doc, position); shuffles are the span dedupe and
+    * the per-source rollup, both partial-combined.
     */
   private val p90 = Q(
     "p90_span_mask",
     (s, d) => {
       import s.implicits._
-      T(s, d, "documents")
-        .select($"doc_id", $"source", split($"text", " ").as("ts"))
-        .withColumn("n_tok", size($"ts").cast(LongType))
-        .withColumn("n_masked", expr(
-          """CAST(size(filter(sequence(1, size(ts)), p ->
-               CAST(conv(substr(md5(concat(CAST(doc_id AS STRING), '_',
-                      CAST(p AS STRING), '_sm')), 1, 15), 16, 10)
-                    AS BIGINT) % 8 = 0
-               OR (p >= 2 AND
-                 CAST(conv(substr(md5(concat(CAST(doc_id AS STRING), '_',
-                        CAST(p - 1 AS STRING), '_sm')), 1, 15), 16, 10)
-                      AS BIGINT) % 8 = 0)
-               OR (p >= 3 AND
-                 CAST(conv(substr(md5(concat(CAST(doc_id AS STRING), '_',
-                        CAST(p - 2 AS STRING), '_sm')), 1, 15), 16, 10)
-                      AS BIGINT) % 8 = 0))) AS BIGINT)"""))
+      val base = T(s, d, "documents")
+        .select($"doc_id", $"source",
+          size(split($"text", " ")).cast(LongType).as("n_tok"))
+      // one hash per position; a trigger at t masks positions t, t+1, t+2
+      // (≡ "p masked iff p, p−1, or p−2 triggers"), clipped to the doc.
+      val masked = base
+        .select($"doc_id", $"n_tok",
+          explode(expr("sequence(1L, n_tok)")).as("p"))
+        .filter(expr(
+          """CAST(conv(substr(md5(concat(CAST(doc_id AS STRING), '_',
+               CAST(p AS STRING), '_sm')), 1, 15), 16, 10)
+             AS BIGINT) % 8 = 0"""))
+        .select($"doc_id", $"n_tok",
+          explode(expr("array(p, p + 1L, p + 2L)")).as("q"))
+        .filter($"q" <= $"n_tok")
+        .select($"doc_id", $"q").distinct()
+        .groupBy($"doc_id").agg(count(lit(1)).as("n_masked"))
+      base.join(masked, Seq("doc_id"), "left_outer")
         .groupBy($"source")
         .agg(count(lit(1)).as("n_docs"),
           sum($"n_tok").as("sum_tokens"),
-          sum($"n_masked").as("sum_masked"))
+          sum(coalesce($"n_masked", lit(0L))).as("sum_masked"))
         .withColumn("mask_rate",
           dec($"sum_masked" / $"sum_tokens", 18, 6))
         .orderBy($"source")
@@ -5901,8 +5922,11 @@ object Pipeline {
       import s.implicits._
       val ds = T(s, d, "documents")
         .select($"doc_id", $"source",
+          // sort_array, not array_sort: the comparator-lambda form is a
+          // CodegenFallback HOF (interpreted per row); SortArray is plain
+          // codegen and identical for non-null string arrays.
           md5(expr(
-            "array_join(array_sort(array_distinct(split(text, ' '))), ' ')"))
+            "array_join(sort_array(array_distinct(split(text, ' '))), ' ')"))
             .as("fp"),
           (expr("""CAST(conv(substr(md5(CAST(doc_id AS STRING) || '_ing'),
                      1, 15), 16, 10) AS BIGINT)""") % 5 === 0)

@@ -85,6 +85,33 @@ object StreamPipeline {
     * The StreamingSpec twin test proves BOTH: raw equality with the
     * unfiltered batch recompute, and p48 equality after the filter.
     */
+  /** Streaming twin of p94's incremental ingestion dedup — the live-feed
+    * form: new documents arrive as a stream, the already-ingested corpus
+    * is a STATIC digest index. Stages mirror the batch entry exactly:
+    *
+    *   1. vocabulary fingerprint (md5 of the sorted distinct token set,
+    *      the same canonical form — codegen `sort_array`, no HOF);
+    *   2. within-stream collapse via `dropDuplicatesWithinWatermark(fp)`
+    *      — first arrival survives, which equals the batch "min doc_id
+    *      per digest" rule whenever arrival follows doc_id order; state
+    *      is bounded by the dedup horizon (curationStream's contract);
+    *   3. stream-static LEFT ANTI join against the index — natively
+    *      supported because the static side is a plain lookup relation.
+    *      At 100 TB the index is a bucketed digest table and the anti
+    *      join prunes with a bloom pre-filter (p56's pattern) so batch
+    *      arrivals never rescan index text.
+    *
+    * Emits the accepted documents in append mode (no aggregate, so rows
+    * flow immediately; the watermark only bounds dedup state).
+    */
+  def ingestStream(docs: DataFrame, indexFps: DataFrame,
+      horizon: String = "10 seconds"): DataFrame =
+    docs.withColumn("fp", md5(expr(
+        "array_join(sort_array(array_distinct(split(text, ' '))), ' ')")))
+      .withWatermark("event_time", horizon)
+      .dropDuplicatesWithinWatermark("fp")
+      .join(indexFps, Seq("fp"), "left_anti")
+
   def wauStream(events: DataFrame, horizon: String = "8 days"): DataFrame = {
     val dayUs = 86400000000L
     events

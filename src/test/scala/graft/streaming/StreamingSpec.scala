@@ -755,6 +755,49 @@ class StreamingSpec extends AnyFunSuite {
     (run1, runOnce())
   }
 
+  test("streaming incremental ingest matches the p94 batch split") {
+    implicit val sqlCtx = spark.sqlContext
+    // Rebuild p94's deterministic split on real docs: 20 % "new batch"
+    // streams in doc_id order against the static fingerprint index of
+    // the other 80 %.
+    val docs = graft.Tables.load(spark, "/root/testdata/sf0.01", "documents")
+      .select($"doc_id", $"text",
+        md5(expr(
+          "array_join(sort_array(array_distinct(split(text, ' '))), ' ')"))
+          .as("fp"),
+        (expr("""CAST(conv(substr(md5(CAST(doc_id AS STRING) || '_ing'),
+                   1, 15), 16, 10) AS BIGINT)""") % 5 === 0).as("is_new"))
+      .cache()
+    val index = docs.filter(!$"is_new").select($"fp").distinct().cache()
+    val batchRows = docs.filter($"is_new")
+      .select($"doc_id", $"text", $"fp").as[(Long, String, String)]
+      .collect().sortBy(_._1)
+    // Batch-side expectation: min doc_id per fp, then anti-join index.
+    val idxFps = index.as[String].collect().toSet
+    val expect = batchRows.groupBy(_._3).values.map(_.minBy(_._1))
+      .filter(r => !idxFps(r._3)).map(_._1).toSet
+    val t0 = 1700000000000L
+    val ms = MemoryStream[DocCC]
+    ms.addData(batchRows.zipWithIndex.map { case ((id, t, _), i) =>
+      DocCC(id, t, "en", new java.sql.Timestamp(t0 + i * 100L))
+    }.toSeq)
+    val q = StreamPipeline.ingestStream(ms.toDF(), index)
+      .writeStream.format("memory").queryName("ingest_sink")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("ingest_sink").select($"doc_id").as[Long]
+      .collect().toSet
+    assert(got.nonEmpty, "stream accepted nothing — degenerate split")
+    assert(got == expect, s"stream ${got.size} vs batch ${expect.size}")
+    // Cross-check the catalog entry's ledger: accepted totals agree.
+    val ledger = graft.Catalog.byName("p94_incremental_ingest")
+      .run(spark, "/root/testdata/sf0.01")
+      .agg(sum($"n_accepted")).as[Long].head()
+    assert(ledger == got.size.toLong, "catalog n_accepted total")
+    docs.unpersist(); index.unpersist()
+  }
+
   test("streaming rolling WAU matches the p48 batch explode-distinct") {
     implicit val sqlCtx = spark.sqlContext
     val ev = graft.Tables.load(spark, "/root/testdata/sf0.001", "events")

@@ -5977,11 +5977,398 @@ object Pipeline {
       FROM batch b LEFT JOIN accs ON accs.source = b.source
       GROUP BY b.source ORDER BY b.source"""))
 
+  /** p95 — semantic deduplication (SemDeDup): cluster embeddings to
+    * coarse cells (argmax cosine against 64 broadcast centroids, vec_id
+    * 1..64 — the p18 IVF assignment reused as the clustering step), then
+    * WITHIN each cell drop every vector that has a near-duplicate
+    * (cos ≥ 0.40, this corpus's near-dup band — see p13) that sits CLOSER
+    * to the centroid; of a near-dup group the centroid-farthest member
+    * survives (the SemDeDup paper's keep rule: low-centroid-similarity
+    * examples carry the most marginal information). Reported per cell:
+    * total / capped-participant / dropped / kept counts.
+    *
+    * 100 TB shape: centroids broadcast; assignment is one map-side
+    * hash-aggregate (no shuffle of pairs); the quadratic half is confined
+    * within a cell AND capped at 256 participants per cell (p15's block
+    * contract — overflow rows auto-keep), so pair work is O(cells · 256²)
+    * regardless of corpus size; raise the centroid count to keep cells
+    * balanced at scale.
+    */
+  private val p95 = Q(
+    "p95_semdedup",
+    (s, d) => {
+      import s.implicits._
+      val emb = T(s, d, "embeddings")
+      val cents = emb.filter($"vec_id".between(1, 64))
+        .select($"vec_id".cast(IntegerType).as("cid"), $"embedding".as("cvec"))
+      val assign = emb.crossJoin(broadcast(cents))
+        .withColumn("csim",
+          VectorFunctions.cosine_similarity($"embedding", $"cvec"))
+        .groupBy($"vec_id")
+        .agg(max_by(struct($"cid", $"embedding", $"csim"),
+          struct($"csim", -$"cid")).as("best"))
+        .select($"vec_id", $"best.cid".as("cell"),
+          dec($"best.csim", 18, 9).as("csim"),
+          $"best.embedding".as("embedding"))
+      val part = assign.withColumn("rn",
+          row_number().over(Window.partitionBy($"cell").orderBy($"vec_id")))
+        .filter($"rn" <= 256).drop("rn")
+      val dropped = part.as("a").join(part.as("b"),
+          col("a.cell") === col("b.cell") &&
+            col("a.vec_id") =!= col("b.vec_id") &&
+            dec(VectorFunctions.cosine_similarity(
+              col("a.embedding"), col("b.embedding")), 18, 6) >= 0.40 &&
+            (col("b.csim") < col("a.csim") ||
+              (col("b.csim") === col("a.csim") &&
+                col("b.vec_id") < col("a.vec_id"))))
+        .select(col("a.cell").as("cell"), col("a.vec_id").as("vid"))
+        .distinct()
+      assign.groupBy($"cell").agg(count(lit(1)).as("n"))
+        .join(part.groupBy($"cell").agg(count(lit(1)).as("n_part")),
+          Seq("cell"))
+        .join(dropped.groupBy($"cell").agg(count(lit(1)).as("n_dropped")),
+          Seq("cell"), "left_outer")
+        .select($"cell", $"n", $"n_part",
+          coalesce($"n_dropped", lit(0L)).as("n_dropped"),
+          ($"n" - coalesce($"n_dropped", lit(0L))).as("n_kept"))
+        .orderBy($"cell")
+    },
+    Some(s"""
+      WITH c AS (SELECT CAST(vec_id AS INT) AS cid, embedding AS cvec
+                 FROM embeddings WHERE vec_id BETWEEN 1 AND 64),
+      sims AS (SELECT e.vec_id, e.embedding, c.cid,
+                 ${foldDotDuck("e.embedding", "c.cvec")} /
+                   (sqrt(${foldDotDuck("e.embedding", "e.embedding")}) *
+                    sqrt(${foldDotDuck("c.cvec", "c.cvec")})) AS csim
+               FROM embeddings e CROSS JOIN c),
+      assign AS (SELECT vec_id, embedding, cid, csim,
+                   row_number() OVER (PARTITION BY vec_id
+                     ORDER BY csim DESC, cid) AS rn
+                 FROM sims),
+      cells AS (SELECT vec_id, embedding, cid AS cell,
+                  CAST(csim AS DECIMAL(18,9)) AS csim
+                FROM assign WHERE rn = 1),
+      part AS (SELECT vec_id, embedding, cell, csim FROM (
+                 SELECT cells.*, row_number() OVER (PARTITION BY cell
+                   ORDER BY vec_id) AS prn FROM cells)
+               WHERE prn <= 256),
+      drp AS (SELECT DISTINCT a.cell, a.vec_id FROM part a JOIN part b
+                ON a.cell = b.cell AND a.vec_id <> b.vec_id
+                AND CAST(${foldDotDuck("a.embedding", "b.embedding")} /
+                      (sqrt(${foldDotDuck("a.embedding", "a.embedding")}) *
+                       sqrt(${foldDotDuck("b.embedding", "b.embedding")}))
+                    AS DECIMAL(18,6)) >= 0.40
+                AND (b.csim < a.csim
+                     OR (b.csim = a.csim AND b.vec_id < a.vec_id))),
+      nn AS (SELECT cell, CAST(COUNT(*) AS BIGINT) AS n FROM cells GROUP BY cell),
+      np AS (SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_part FROM part GROUP BY cell),
+      nd AS (SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_dropped FROM drp GROUP BY cell)
+      SELECT nn.cell, nn.n, np.n_part,
+        COALESCE(nd.n_dropped, 0) AS n_dropped,
+        nn.n - COALESCE(nd.n_dropped, 0) AS n_kept
+      FROM nn JOIN np ON nn.cell = np.cell
+      LEFT JOIN nd ON nn.cell = nd.cell
+      ORDER BY nn.cell"""))
+
+  /** p96 — hard-negative mining for contrastive training: for each
+    * vector, the highest-cosine neighbor with a DIFFERENT label inside
+    * its coarse cell (the p95/p18 centroid assignment) — the standard
+    * "hard negatives from the same ANN bucket" recipe that upgrades
+    * random negatives to near-miss ones. Ties break to the smaller
+    * neg_id (vec_ids are non-negative, so max(struct(cos, -neg_id)) is a
+    * safe lexicographic argmax). Anchors whose cell holds no other label
+    * produce no row (both engines: inner-join semantics).
+    *
+    * 100 TB shape: identical to p95 — broadcast centroids, one
+    * assignment aggregate, pair work confined to capped cells; the
+    * argmax itself is a partial-aggregatable map-side max(struct).
+    */
+  private val p96 = Q(
+    "p96_hard_negatives",
+    (s, d) => {
+      import s.implicits._
+      val emb = T(s, d, "embeddings")
+      val cents = emb.filter($"vec_id".between(1, 64))
+        .select($"vec_id".cast(IntegerType).as("cid"), $"embedding".as("cvec"))
+      val assign = emb.crossJoin(broadcast(cents))
+        .withColumn("csim",
+          VectorFunctions.cosine_similarity($"embedding", $"cvec"))
+        .groupBy($"vec_id")
+        .agg(max_by(struct($"cid", $"label", $"embedding"),
+          struct($"csim", -$"cid")).as("best"))
+        .select($"vec_id", $"best.cid".as("cell"),
+          $"best.label".as("label"), $"best.embedding".as("embedding"))
+      val part = assign.withColumn("rn",
+          row_number().over(Window.partitionBy($"cell").orderBy($"vec_id")))
+        .filter($"rn" <= 256).drop("rn")
+      part.as("a").join(part.as("b"),
+          col("a.cell") === col("b.cell") &&
+            col("a.label") =!= col("b.label"))
+        .select(col("a.vec_id").as("vec_id"), col("a.label").as("label"),
+          col("b.vec_id").as("neg_id"),
+          dec(VectorFunctions.cosine_similarity(
+            col("a.embedding"), col("b.embedding")), 18, 6).as("neg_cos"))
+        .groupBy($"vec_id", $"label")
+        .agg(max_by(struct($"neg_id", $"neg_cos"),
+          struct($"neg_cos", -$"neg_id")).as("best"))
+        .select($"vec_id", $"label", $"best.neg_id".as("neg_id"),
+          $"best.neg_cos".as("neg_cos"))
+        .orderBy($"vec_id")
+    },
+    Some(s"""
+      WITH c AS (SELECT CAST(vec_id AS INT) AS cid, embedding AS cvec
+                 FROM embeddings WHERE vec_id BETWEEN 1 AND 64),
+      sims AS (SELECT e.vec_id, e.label, e.embedding, c.cid,
+                 ${foldDotDuck("e.embedding", "c.cvec")} /
+                   (sqrt(${foldDotDuck("e.embedding", "e.embedding")}) *
+                    sqrt(${foldDotDuck("c.cvec", "c.cvec")})) AS csim
+               FROM embeddings e CROSS JOIN c),
+      assign AS (SELECT vec_id, label, embedding, cid,
+                   row_number() OVER (PARTITION BY vec_id
+                     ORDER BY csim DESC, cid) AS rn
+                 FROM sims),
+      cells AS (SELECT vec_id, label, embedding, cid AS cell
+                FROM assign WHERE rn = 1),
+      part AS (SELECT vec_id, label, embedding, cell FROM (
+                 SELECT cells.*, row_number() OVER (PARTITION BY cell
+                   ORDER BY vec_id) AS prn FROM cells)
+               WHERE prn <= 256),
+      pairs AS (SELECT a.vec_id, a.label, b.vec_id AS neg_id,
+                  CAST(${foldDotDuck("a.embedding", "b.embedding")} /
+                        (sqrt(${foldDotDuck("a.embedding", "a.embedding")}) *
+                         sqrt(${foldDotDuck("b.embedding", "b.embedding")}))
+                      AS DECIMAL(18,6)) AS neg_cos
+                FROM part a JOIN part b
+                  ON a.cell = b.cell AND a.label <> b.label),
+      ranked AS (SELECT *, row_number() OVER (PARTITION BY vec_id
+                   ORDER BY neg_cos DESC, neg_id) AS rn FROM pairs)
+      SELECT vec_id, label, neg_id, neg_cos FROM ranked WHERE rn = 1
+      ORDER BY vec_id"""))
+
+  /** p97 — retrieval ranking-quality audit (nDCG/MRR): rank documents
+    * per query term by RAW term frequency (the naive ranker), judge them
+    * by length-normalized density (rel 2 when tf·20 ≥ doc_len, rel 1
+    * when tf·40 ≥ doc_len — editorial relevance the ranker does NOT see,
+    * so the audit is non-degenerate), and score the top 10 with
+    * EXPONENTIAL-discount DCG: weight 2^(10−rank), all-integer, so
+    * DCG/IDCG are exact BIGINTs in both engines and nDCG is ONE double
+    * division (IEEE-identical everywhere) — the log2 discount of
+    * textbook nDCG is deliberately traded for a discount that cannot
+    * drift across engines. MRR = 1/rank of the first HIGHLY relevant
+    * (rel 2) result, same one-division rule — judged on rel 2 so a
+    * rel-1-everywhere ranker doesn't trivially score 1.0.
+    *
+    * 100 TB shape: p51's topology — the explode is filtered to the query
+    * vocabulary BEFORE any shuffle, per-term partitions carry only
+    * matching docs, and every metric is a partial-aggregatable sum.
+    */
+  private val p97 = Q(
+    "p97_rank_quality",
+    (s, d) => {
+      import s.implicits._
+      val terms = Seq("spark", "join", "window", "hash")
+      val docs = T(s, d, "documents")
+      val tf = docs
+        .select($"doc_id",
+          size(split($"text", " ")).cast(LongType).as("dl"),
+          explode(split($"text", " ")).as("w"))
+        .filter($"w".isin(terms: _*))
+        .groupBy($"w", $"doc_id").agg(count(lit(1)).as("tf"),
+          first($"dl").as("dl"))
+        .select($"w", $"doc_id", $"tf",
+          when($"tf" * 9 >= $"dl", 2L)
+            .when($"tf" * 14 >= $"dl", 1L).otherwise(0L).as("rel"))
+      val ranked = tf
+        .withColumn("rank", row_number().over(
+          Window.partitionBy($"w").orderBy($"tf".desc, $"doc_id")))
+        .withColumn("irank", row_number().over(
+          Window.partitionBy($"w").orderBy($"rel".desc, $"doc_id")))
+      ranked.groupBy($"w")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when($"rel" >= 1, 1L).otherwise(0L)).as("n_rel"),
+          sum(when($"rank" <= 10,
+            $"rel" * expr("shiftleft(1L, CAST(10 - rank AS INT))"))
+            .otherwise(0L)).as("dcg_i"),
+          sum(when($"irank" <= 10,
+            $"rel" * expr("shiftleft(1L, CAST(10 - irank AS INT))"))
+            .otherwise(0L)).as("idcg_i"),
+          min(when($"rel" >= 2, $"rank")).as("first_rel"))
+        .select($"w", $"n_docs", $"n_rel", $"dcg_i", $"idcg_i",
+          when($"idcg_i" > 0,
+            $"dcg_i".cast(DoubleType) / $"idcg_i".cast(DoubleType))
+            .otherwise(0.0).as("ndcg"),
+          coalesce(lit(1.0) / $"first_rel".cast(DoubleType), lit(0.0))
+            .as("mrr"))
+        .orderBy($"w")
+    },
+    Some("""
+      WITH toks AS (
+        SELECT doc_id, CAST(length(string_split(text, ' ')) AS BIGINT) AS dl,
+          unnest(string_split(text, ' ')) AS w
+        FROM documents),
+      tf AS (
+        SELECT w, doc_id, CAST(COUNT(*) AS BIGINT) AS tf, ANY_VALUE(dl) AS dl
+        FROM toks WHERE w IN ('spark', 'join', 'window', 'hash')
+        GROUP BY 1, 2),
+      rel AS (
+        SELECT w, doc_id, tf,
+          CASE WHEN tf * 9 >= dl THEN 2
+               WHEN tf * 14 >= dl THEN 1 ELSE 0 END AS rel
+        FROM tf),
+      ranked AS (
+        SELECT *,
+          row_number() OVER (PARTITION BY w ORDER BY tf DESC, doc_id) AS rank,
+          row_number() OVER (PARTITION BY w ORDER BY rel DESC, doc_id) AS irank
+        FROM rel)
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        CAST(SUM(CASE WHEN rel >= 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_rel,
+        CAST(SUM(CASE WHEN rank <= 10 THEN rel * (1 << (10 - rank)) ELSE 0 END) AS BIGINT) AS dcg_i,
+        CAST(SUM(CASE WHEN irank <= 10 THEN rel * (1 << (10 - irank)) ELSE 0 END) AS BIGINT) AS idcg_i,
+        CASE WHEN SUM(CASE WHEN irank <= 10 THEN rel * (1 << (10 - irank)) ELSE 0 END) > 0
+          THEN CAST(SUM(CASE WHEN rank <= 10 THEN rel * (1 << (10 - rank)) ELSE 0 END) AS DOUBLE)
+             / CAST(SUM(CASE WHEN irank <= 10 THEN rel * (1 << (10 - irank)) ELSE 0 END) AS DOUBLE)
+          ELSE 0.0 END AS ndcg,
+        COALESCE(1.0 / CAST(MIN(CASE WHEN rel >= 2 THEN rank END) AS DOUBLE), 0.0) AS mrr
+      FROM ranked GROUP BY w ORDER BY w"""))
+
+  /** p98 — Unicode canonical-form (NFC) dedup audit: the corpus is
+    * re-crawled with different encoders — every doc containing an 'e'
+    * ships with its first 'e' as DECOMPOSED e+U+0301, and docs with
+    * doc_id ≡ 1 (mod 3) arrive a SECOND time with the PRECOMPOSED U+00E9
+    * (same text, different bytes — real crawl provenance). Raw
+    * fingerprinting (md5 of bytes) keeps both copies — a dedup miss; NFC
+    * normalization first (functions.NfcNormalize, a codegen'd Catalyst
+    * expression over java.text.Normalizer; DuckDB twin: built-in
+    * nfc_normalize) collapses them. Per source: rows, re-crawled copies,
+    * distinct raw vs distinct NFC fingerprints, and the collapse count —
+    * which must equal the re-crawl count, the misses only normalization
+    * catches.
+    *
+    * 100 TB shape: mutation + normalization are narrow per-row codegen;
+    * the only shuffle is the per-source distinct-count aggregate.
+    */
+  private val p98 = Q(
+    "p98_nfc_normalize",
+    (s, d) => {
+      import s.implicits._
+      val docs = T(s, d, "documents")
+        .withColumn("pos", instr($"text", "e"))
+        // Decomposed first crawl (e + combining acute U+0301)...
+        .withColumn("v_dec",
+          when($"pos" > 0,
+            concat($"text".substr(lit(1), $"pos" - 1),
+              lit("e\u0301"), $"text".substr($"pos" + 1, length($"text"))))
+            .otherwise($"text"))
+        // ...and the precomposed re-crawl (U+00E9), same text as bytes-2.
+        .withColumn("v_pre",
+          concat($"text".substr(lit(1), $"pos" - 1),
+            lit("\u00e9"), $"text".substr($"pos" + 1, length($"text"))))
+      val crawls = docs.select($"source", $"doc_id", $"pos",
+        explode(when($"pos" > 0 && $"doc_id" % 3 === 1,
+          array($"v_dec", $"v_pre")).otherwise(array($"v_dec")))
+          .as("variant"))
+      crawls
+        .select($"source", $"doc_id", $"pos", $"variant",
+          graft.functions.TextFunctions.nfc_normalize($"variant").as("nfc"))
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct($"doc_id").as("n_docs"),
+          countDistinct(when($"pos" > 0 && $"doc_id" % 3 === 1, $"doc_id"))
+            .as("n_recrawled"),
+          countDistinct(md5($"variant")).as("n_raw_fps"),
+          countDistinct(md5($"nfc")).as("n_nfc_fps"))
+        .select($"source", $"n_rows", $"n_docs", $"n_recrawled",
+          $"n_raw_fps", $"n_nfc_fps",
+          ($"n_raw_fps" - $"n_nfc_fps").as("n_collapsed"))
+        .orderBy($"source")
+    },
+    Some("""
+      WITH v AS (
+        SELECT source, doc_id, strpos(text, 'e') AS pos,
+          CASE WHEN strpos(text, 'e') > 0 THEN
+            substr(text, 1, strpos(text, 'e') - 1) || 'e' || chr(769)
+              || substr(text, strpos(text, 'e') + 1)
+          ELSE text END AS v_dec,
+          substr(text, 1, strpos(text, 'e') - 1) || chr(233)
+            || substr(text, strpos(text, 'e') + 1) AS v_pre
+        FROM documents),
+      crawls AS (
+        SELECT source, doc_id, pos, v_dec AS variant FROM v
+        UNION ALL
+        SELECT source, doc_id, pos, v_pre FROM v
+        WHERE pos > 0 AND doc_id % 3 = 1),
+      n AS (SELECT source, doc_id, pos, variant,
+              nfc_normalize(variant) AS nfc FROM crawls)
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_rows,
+        CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        CAST(COUNT(DISTINCT CASE WHEN pos > 0 AND doc_id % 3 = 1
+          THEN doc_id END) AS BIGINT) AS n_recrawled,
+        CAST(COUNT(DISTINCT md5(variant)) AS BIGINT) AS n_raw_fps,
+        CAST(COUNT(DISTINCT md5(nfc)) AS BIGINT) AS n_nfc_fps,
+        CAST(COUNT(DISTINCT md5(variant)) AS BIGINT)
+          - CAST(COUNT(DISTINCT md5(nfc)) AS BIGINT) AS n_collapsed
+      FROM n GROUP BY source ORDER BY source"""))
+
+  /** p99 — priority-keep cross-source dedup: when the same content (the
+    * p94 vocabulary fingerprint) appears in several sources, keep the
+    * copy from the HIGHEST-priority source (priority = the source's
+    * numeric suffix, lower = more curated; ties inside a source break to
+    * the smaller doc_id) — the quality-aware generalization of p01's
+    * "keep min doc_id". Reported per source: docs held, distinct
+    * fingerprints present, fingerprints WON (this source supplies the
+    * surviving copy), fingerprints yielded to a better source.
+    *
+    * 100 TB shape: one digest shuffle; the winner is a map-side
+    * partial-aggregatable min_by(struct(prio, doc_id)) — no window, no
+    * sort, no second scan of text.
+    */
+  private val p99 = Q(
+    "p99_priority_keep",
+    (s, d) => {
+      import s.implicits._
+      val ds = T(s, d, "documents")
+        .select($"doc_id", $"source",
+          substring($"source", 4, 10).cast(IntegerType).as("prio"),
+          md5(expr(
+            "array_join(sort_array(array_distinct(split(text, ' '))), ' ')"))
+            .as("fp"))
+      val winners = ds.groupBy($"fp")
+        .agg(min_by($"source", struct($"prio", $"doc_id")).as("win_source"))
+      val won = winners.groupBy($"win_source").agg(count(lit(1)).as("n_won"))
+      ds.groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"), countDistinct($"fp").as("n_fps"))
+        .join(won, $"source" === $"win_source", "left_outer")
+        .select($"source", $"n_docs", $"n_fps",
+          coalesce($"n_won", lit(0L)).as("n_won"),
+          ($"n_fps" - coalesce($"n_won", lit(0L))).as("n_yielded"))
+        .orderBy($"source")
+    },
+    Some("""
+      WITH ds AS (
+        SELECT doc_id, source, CAST(substr(source, 4) AS INT) AS prio,
+          md5(array_to_string(list_sort(list_distinct(
+            string_split(text, ' '))), ' ')) AS fp
+        FROM documents),
+      ranked AS (
+        SELECT fp, source,
+          row_number() OVER (PARTITION BY fp ORDER BY prio, doc_id) AS rn
+        FROM ds),
+      won AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_won
+              FROM ranked WHERE rn = 1 GROUP BY source)
+      SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        CAST(COUNT(DISTINCT d.fp) AS BIGINT) AS n_fps,
+        COALESCE(ANY_VALUE(won.n_won), 0) AS n_won,
+        CAST(COUNT(DISTINCT d.fp) AS BIGINT)
+          - COALESCE(ANY_VALUE(won.n_won), 0) AS n_yielded
+      FROM ds d LEFT JOIN won ON won.source = d.source
+      GROUP BY d.source ORDER BY d.source"""))
+
   val all: Seq[Q] = Seq(p01, p02, p03, p04, p05, p06, p07, p08, p09, p10,
     p11, p12, p13, p14, p15, p16, p17, p18, p19, p20, p21, p22, p23, p24,
     p25, p26, p27, p28, p29, p30, p31, p32, p33, p34, p35, p36, p37, p38,
     p39, p40, p41, p42, p43, p44, p45, p46, p47, p48, p49, p50, p51, p52,
     p53, p54, p55, p56, p57, p58, p59, p60, p61, p62, p63, p64, p65, p66,
     p67, p68, p69, p70, p71, p72, p73, p74, p75, p76, p77, p78, p79, p80,
-    p81, p82, p83, p84, p85, p86, p87, p88, p89, p90, p91, p92, p93, p94)
+    p81, p82, p83, p84, p85, p86, p87, p88, p89, p90, p91, p92, p93, p94,
+    p95, p96, p97, p98, p99)
 }

@@ -1809,4 +1809,176 @@ class SemanticsSpec extends AnyFunSuite {
       assert(ndvi == nbd - na, s"$src dup-vs-index identity")
     }
   }
+
+  private def cosD(a: Array[Float], b: Array[Float]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) {
+      val x = a(i).toDouble; val y = b(i).toDouble
+      dot += x * y; na += x * x; nb += y * y; i += 1
+    }
+    val den = math.sqrt(na) * math.sqrt(nb)
+    if (den == 0.0) 0.0 else dot / den
+  }
+  private def dec(x: Double, sc: Int): BigDecimal =
+    BigDecimal(x).setScale(sc, BigDecimal.RoundingMode.HALF_UP)
+
+  /** The p95/p96 coarse-cell assignment replayed on the driver: argmax
+    * cosine over centroids vec_id 1..64, ties to the smaller cid.
+    */
+  private def cellAssign(vecs: Array[(Long, Int, Array[Float])])
+      : Map[Long, (Int, Double)] = {
+    val cents = vecs.filter(v => v._1 >= 1 && v._1 <= 64)
+      .map(v => (v._1.toInt, v._3))
+    vecs.map { case (id, _, e) =>
+      val best = cents.map { case (cid, c) => (cosD(e, c), -cid) }.max
+      id -> ((-best._2, best._1))
+    }.toMap
+  }
+
+  test("semdedup drops exactly the centroid-closer member of near-dup pairs") {
+    val sf = "/root/testdata/sf0.01"
+    val vecs = Tables.load(spark, sf, "embeddings")
+      .select($"vec_id", $"label", $"embedding")
+      .as[(Long, Int, Array[Float])].collect()
+    val assign = cellAssign(vecs)
+    val byId = vecs.map(v => v._1 -> v._3).toMap
+    val cells = assign.toSeq.groupBy(_._2._1)
+    val dropped = cells.flatMap { case (_, members) =>
+      // cap 256 by vec_id — inert at sf0.01 (≤ ~20 vectors per cell)
+      val ms = members.map { case (id, (_, csim)) => (id, dec(csim, 9)) }
+        .sortBy(_._1).take(256)
+      ms.filter { case (aId, aCs) =>
+        ms.exists { case (bId, bCs) =>
+          bId != aId && dec(cosD(byId(aId), byId(bId)), 6) >= BigDecimal("0.40") &&
+            (bCs < aCs || (bCs == aCs && bId < aId))
+        }
+      }.map(_._1)
+    }.toSet
+    val exp = cells.map { case (cell, members) =>
+      val d = members.count(m => dropped(m._1)).toLong
+      cell.toLong -> ((members.length.toLong, d))
+    }
+    val rows = Catalog.byName("p95_semdedup").run(spark, sf)
+      .select($"cell", $"n", $"n_part", $"n_dropped", $"n_kept")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(rows.map(_._4).sum > 0, "no semantic dups dropped — degenerate")
+    rows.foreach { case (cell, n, nPart, nDropped, nKept) =>
+      val (eN, eD) = exp(cell)
+      assert(n == eN && nPart == eN && nDropped == eD && nKept == eN - eD,
+        s"cell $cell")
+    }
+  }
+
+  test("hard negatives are the max-cosine different-label cell neighbors") {
+    val sf = "/root/testdata/sf0.01"
+    val vecs = Tables.load(spark, sf, "embeddings")
+      .select($"vec_id", $"label", $"embedding")
+      .as[(Long, Int, Array[Float])].collect()
+    val assign = cellAssign(vecs)
+    val info = vecs.map(v => v._1 -> ((v._2, v._3))).toMap
+    val exp = assign.toSeq.groupBy(_._2._1).values.flatMap { members =>
+      val ms = members.map(_._1).sorted.take(256)
+      ms.flatMap { aId =>
+        val (aLbl, aVec) = info(aId)
+        val negs = ms.filter(bId => info(bId)._1 != aLbl)
+          .map(bId => (dec(cosD(aVec, info(bId)._2), 6), -bId))
+        if (negs.isEmpty) None
+        else {
+          val best = negs.max
+          Some((aId, aLbl, -best._2, best._1))
+        }
+      }
+    }.toSet
+    val rows = Catalog.byName("p96_hard_negatives").run(spark, sf)
+      .select($"vec_id", $"label", $"neg_id", $"neg_cos")
+      .as[(Long, Int, Long, BigDecimal)].collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(r => (r._1, r._2, r._3, r._4)).toSet == exp, "negatives")
+  }
+
+  test("rank-quality metrics match an integer DCG replay") {
+    val sf = "/root/testdata/sf0.01"
+    val terms = Seq("hash", "join", "spark", "window")
+    val docs = Tables.load(spark, sf, "documents")
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    val exp = terms.map { t =>
+      val tf = docs.flatMap { case (id, text) =>
+        val ws = text.split(" ", -1)
+        val n = ws.count(_ == t)
+        if (n > 0) Some((id, n.toLong, ws.length.toLong)) else None
+      }
+      val rel = tf.map { case (id, f, dl) =>
+        (id, f, if (f * 9 >= dl) 2L else if (f * 14 >= dl) 1L else 0L)
+      }
+      val rank = rel.sortBy(r => (-r._2, r._1)).zipWithIndex
+        .map { case (r, i) => (r._1, r._3, i + 1L) }
+      val irank = rel.sortBy(r => (-r._3, r._1)).zipWithIndex
+        .map { case (r, i) => (r._1, r._3, i + 1L) }
+      val dcg = rank.filter(_._3 <= 10).map(r => r._2 * (1L << (10 - r._3))).sum
+      val idcg = irank.filter(_._3 <= 10).map(r => r._2 * (1L << (10 - r._3))).sum
+      val fr = rank.filter(r => r._2 >= 2).map(_._3).minOption
+      (t, (rel.length.toLong, rel.count(_._3 >= 1).toLong, dcg, idcg,
+        if (idcg > 0) dcg.toDouble / idcg else 0.0,
+        fr.map(1.0 / _).getOrElse(0.0)))
+    }.toMap
+    val rows = Catalog.byName("p97_rank_quality").run(spark, sf)
+      .select($"w", $"n_docs", $"n_rel", $"dcg_i", $"idcg_i", $"ndcg", $"mrr")
+      .as[(String, Long, Long, Long, Long, Double, Double)].collect()
+    assert(rows.length == 4)
+    assert(rows.exists(r => r._6 < 1.0), "all-perfect ndcg — degenerate")
+    rows.foreach { case (w, nd, nr, dcg, idcg, ndcg, mrr) =>
+      assert(exp(w) == ((nd, nr, dcg, idcg, ndcg, mrr)), s"term $w")
+    }
+  }
+
+  test("nfc collapse equals the re-crawl count (structural identities)") {
+    val sf = "/root/testdata/sf0.01"
+    val docs = Tables.load(spark, sf, "documents")
+      .select($"source", $"doc_id", $"text").as[(String, Long, String)]
+      .collect()
+    val expRecrawl = docs.groupBy(_._1).view.mapValues(_.count(d =>
+      d._3.contains('e') && d._2 % 3 == 1).toLong).toMap
+    val rows = Catalog.byName("p98_nfc_normalize").run(spark, sf)
+      .select($"source", $"n_rows", $"n_docs", $"n_recrawled",
+        $"n_raw_fps", $"n_nfc_fps", $"n_collapsed")
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect()
+    assert(rows.map(_._7).sum > 0, "nothing collapsed — degenerate")
+    rows.foreach { case (src, nRows, nDocs, nRe, nRaw, nNfc, nColl) =>
+      assert(nRe == expRecrawl(src), s"$src recrawl count")
+      // every re-crawled doc is one extra row, one extra raw fingerprint,
+      // and exactly the collapse NFC recovers — no other collisions exist
+      assert(nRows == nDocs + nRe, s"$src rows")
+      assert(nRaw == nDocs + nRe, s"$src raw fps")
+      assert(nNfc == nDocs, s"$src nfc fps")
+      assert(nColl == nRe, s"$src collapse == recrawl")
+    }
+  }
+
+  test("priority-keep winners are the min (prio, doc_id) copy per fingerprint") {
+    val sf = "/root/testdata/sf0.01"
+    val docs = Tables.load(spark, sf, "documents")
+      .select($"source", $"doc_id", $"text").as[(String, Long, String)]
+      .collect()
+    val ds = docs.map { case (src, id, t) =>
+      (src, id, src.drop(3).toInt,
+        md5hex(t.split(" ", -1).distinct.sorted.mkString(" ")))
+    }
+    val winners = ds.groupBy(_._4).values
+      .map(g => g.minBy(x => (x._3, x._2))._1)
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val exp = ds.groupBy(_._1).map { case (src, g) =>
+      src -> ((g.length.toLong, g.map(_._4).distinct.length.toLong,
+        winners.getOrElse(src, 0L)))
+    }
+    val rows = Catalog.byName("p99_priority_keep").run(spark, sf)
+      .select($"source", $"n_docs", $"n_fps", $"n_won", $"n_yielded")
+      .as[(String, Long, Long, Long, Long)].collect()
+    assert(rows.map(_._5).sum > 0, "no cross-source dups — degenerate")
+    rows.foreach { case (src, nd, nf, nw, ny) =>
+      val (eNd, eNf, eNw) = exp(src)
+      assert((nd, nf, nw) == ((eNd, eNf, eNw)), s"$src counts")
+      assert(ny == nf - nw, s"$src yield identity")
+    }
+  }
 }

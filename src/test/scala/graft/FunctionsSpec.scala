@@ -172,4 +172,27 @@ class FunctionsSpec extends AnyFunSuite {
       .collect().toSeq
     assert(run() == run())
   }
+
+  test("nfc_normalize merges decomposed and precomposed forms (codegen + eval)") {
+    import graft.functions.TextFunctions.nfc_normalize
+    val rows = Seq(
+      ("dec", "caf" + "e\u0301"),     // decomposed: e + combining acute
+      ("pre", "caf\u00e9"),           // precomposed: é
+      ("ascii", "plain ascii"),
+      ("empty", "")).toDF("k", "s")
+    val got = rows.select($"k", nfc_normalize($"s").as("n"))
+      .as[(String, String)].collect().toMap
+    assert(got("dec") == got("pre"), "NFC must merge the two encodings")
+    assert(got("dec") == "caf\u00e9", "NFC output is the precomposed form")
+    assert(got("ascii") == "plain ascii", "ASCII passes through unchanged")
+    assert(got("empty") == "")
+    // interpreted eval path agrees with codegen
+    val e = graft.functions.NfcNormalize(
+      org.apache.spark.sql.catalyst.expressions.Literal(
+        org.apache.spark.unsafe.types.UTF8String.fromString("e\u0301x")))
+    assert(e.eval(null).toString == "\u00e9x")
+    // null stays null
+    assert(rows.select(nfc_normalize(org.apache.spark.sql.functions.lit(null)
+      .cast("string"))).first().isNullAt(0))
+  }
 }

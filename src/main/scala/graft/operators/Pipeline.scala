@@ -6024,9 +6024,10 @@ object Pipeline {
         .select(col("a.cell").as("cell"), col("a.vec_id").as("vid"))
         .distinct()
       assign.groupBy($"cell").agg(count(lit(1)).as("n"))
-        .join(part.groupBy($"cell").agg(count(lit(1)).as("n_part")),
+        .join(broadcast(part.groupBy($"cell").agg(count(lit(1)).as("n_part"))),
           Seq("cell"))
-        .join(dropped.groupBy($"cell").agg(count(lit(1)).as("n_dropped")),
+        .join(broadcast(
+          dropped.groupBy($"cell").agg(count(lit(1)).as("n_dropped"))),
           Seq("cell"), "left_outer")
         .select($"cell", $"n", $"n_part",
           coalesce($"n_dropped", lit(0L)).as("n_dropped"),

@@ -6364,6 +6364,218 @@ object Pipeline {
       FROM ds d LEFT JOIN won ON won.source = d.source
       GROUP BY d.source ORDER BY d.source"""))
 
+  /** p100 — checksum-validated PII detection (credit-card numbers with
+    * Luhn): docs with doc_id ≡ 0 (mod 7) get a deterministic 16-digit
+    * card number appended (digits from md5(doc_id), check digit computed
+    * by Luhn; every other injected card gets its check digit corrupted
+    * +5 mod 10) — then the DETECTOR side re-extracts 16-digit runs and
+    * validates the checksum, splitting hits into luhn-valid (report:
+    * real PII) and luhn-invalid (suppress: false positive). Checksum
+    * gating is what keeps a 100 TB PII scan's false-positive rate usable
+    * — p27 scrubs by pattern, this validates by arithmetic.
+    *
+    * Everything is integer digit math, unrolled (no interpreted
+    * higher-order fold — 15/16 fixed terms inside codegen), identical in
+    * both engines. One shuffle: the per-source rollup.
+    */
+  private val p100 = Q(
+    "p100_luhn_pii",
+    (s, d) => {
+      import s.implicits._
+      // digit i (1..15) of the injected card: md5 hex nibble mod 10
+      def dig(i: Int): Column = expr(
+        s"CAST(conv(substr(md5(CAST(doc_id AS STRING) || '_cc'), $i, 1), " +
+          "16, 10) AS INT) % 10")
+      def dbl(c: Column): Column = {
+        val t = c * 2
+        when(t > 9, t - 9).otherwise(t)
+      }
+      // payload position i (from left, 1..15) sits at even position from
+      // the right of the 16-digit number when i is odd → doubled
+      val luhnSum = (1 to 15).map(i =>
+        if (i % 2 == 1) dbl(dig(i)) else dig(i)).reduce(_ + _)
+      val check = (lit(10) - (luhnSum % 10)) % 10
+      val checkOut = when($"doc_id" % 14 === 7, (check + 5) % 10)
+        .otherwise(check)
+      val cc = concat(
+        (1 to 15).map(i => dig(i).cast(StringType)) :+
+          checkOut.cast(StringType): _*)
+      val docs = T(s, d, "documents")
+        .withColumn("text2",
+          when($"doc_id" % 7 === 0, concat($"text", lit(" "), cc))
+            .otherwise($"text"))
+        .withColumn("tok", regexp_extract($"text2", "[0-9]{16}", 0))
+      // detector: Luhn over the EXTRACTED token (i odd from left = even
+      // from right → doubled; i=16 is the check digit, added as-is)
+      // try_cast, not CAST: ANSI mode throws on tok = '' (no match)
+      def tokDig(i: Int): Column =
+        expr(s"try_cast(substr(tok, $i, 1) AS INT)")
+      val tokSum = (1 to 16).map(i =>
+        if (i % 2 == 1) dbl(tokDig(i)) else tokDig(i)).reduce(_ + _)
+      docs
+        .select($"source",
+          (length($"tok") === 16).as("has_cc"),
+          (length($"tok") === 16 && tokSum % 10 === 0).as("valid"))
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when($"has_cc", 1L).otherwise(0L)).as("n_with_cc"),
+          sum(when($"valid", 1L).otherwise(0L)).as("n_luhn_valid"),
+          sum(when($"has_cc" && !$"valid", 1L).otherwise(0L))
+            .as("n_luhn_invalid"))
+        .orderBy($"source")
+    },
+    Some {
+      def dig(i: Int) =
+        s"(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '_cc'), $i, 1))::INT % 10)"
+      def dbl(t: String) =
+        s"(CASE WHEN $t > 9 THEN $t - 9 ELSE $t END)"
+      val luhnSum = (1 to 15).map(i =>
+        if (i % 2 == 1) dbl(s"(${dig(i)} * 2)") else dig(i)).mkString(" + ")
+      val ccDigits = (1 to 15).map(i => s"CAST(${dig(i)} AS VARCHAR)")
+        .mkString(" || ")
+      // TRY_CAST: DuckDB's vectorized CASE still evaluates the sum on
+      // rows where tok = '' (no short-circuit), and strict CAST('') errors
+      def tokDig(i: Int) = s"TRY_CAST(substr(tok, $i, 1) AS INT)"
+      val tokSum = (1 to 16).map(i =>
+        if (i % 2 == 1) dbl(s"(${tokDig(i)} * 2)") else tokDig(i))
+        .mkString(" + ")
+      s"""
+      WITH base AS (
+        SELECT source, doc_id, text,
+          (10 - (($luhnSum) % 10)) % 10 AS chk
+        FROM documents),
+      inj AS (
+        SELECT source, doc_id,
+          CASE WHEN doc_id % 7 = 0 THEN
+            text || ' ' || $ccDigits ||
+              CAST(CASE WHEN doc_id % 14 = 7 THEN (chk + 5) % 10
+                   ELSE chk END AS VARCHAR)
+          ELSE text END AS text2
+        FROM base),
+      det AS (
+        SELECT source,
+          COALESCE(regexp_extract(text2, '[0-9]{16}', 0), '') AS tok
+        FROM inj)
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        CAST(SUM(CASE WHEN length(tok) = 16 THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_with_cc,
+        CAST(SUM(CASE WHEN length(tok) = 16 AND ($tokSum) % 10 = 0
+          THEN 1 ELSE 0 END) AS BIGINT) AS n_luhn_valid,
+        CAST(SUM(CASE WHEN length(tok) = 16 AND ($tokSum) % 10 <> 0
+          THEN 1 ELSE 0 END) AS BIGINT) AS n_luhn_invalid
+      FROM det GROUP BY source ORDER BY source"""
+    })
+
+  /** p101 — vocabulary head-mass coverage: what share of all token
+    * occurrences the top-10 / top-100 / top-1000 most frequent types
+    * cover (the tokenizer-design curve: how much of the corpus a small
+    * vocab already explains; k = 3/5/10 against this corpus's ~31-type
+    * vocabulary — the production ks scale with |vocab|). Ranks break
+    * ties by token text; shares are
+    * exact integer ppm (covered·1e6 / total, BIGINT division — identical
+    * in both engines, no floats anywhere).
+    *
+    * 100 TB shape: one partial-agg count shuffle sized by the vocabulary
+    * (not the corpus), then a single ordered pass over ≤|vocab| rows;
+    * the rank window is over counts, never over corpus rows.
+    */
+  private val p101 = Q(
+    "p101_head_mass",
+    (s, d) => {
+      import s.implicits._
+      val counts = T(s, d, "documents")
+        .select(explode(split($"text", " ")).as("w"))
+        .filter($"w" =!= "")
+        .groupBy($"w").agg(count(lit(1)).as("c"))
+      val ranked = counts.withColumn("r",
+        row_number().over(Window.orderBy($"c".desc, $"w")))
+      ranked.agg(
+          sum($"c").as("total_tokens"),
+          count(lit(1)).as("distinct_vocab"),
+          sum(when($"r" <= 3, $"c").otherwise(0L)).as("m3"),
+          sum(when($"r" <= 5, $"c").otherwise(0L)).as("m5"),
+          sum(when($"r" <= 10, $"c").otherwise(0L)).as("m10"))
+        .select($"total_tokens", $"distinct_vocab",
+          // `div`, not `/`: Spark's Divide is double division; the ppm
+          // share must stay an exact BIGINT in both engines
+          expr("m3 * 1000000 div total_tokens").as("top3_ppm"),
+          expr("m5 * 1000000 div total_tokens").as("top5_ppm"),
+          expr("m10 * 1000000 div total_tokens").as("top10_ppm"))
+    },
+    Some("""
+      WITH counts AS (
+        SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM (
+          SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        WHERE w <> '' GROUP BY w),
+      ranked AS (
+        SELECT c, row_number() OVER (ORDER BY c DESC, w) AS r FROM counts)
+      SELECT CAST(SUM(c) AS BIGINT) AS total_tokens,
+        CAST(COUNT(*) AS BIGINT) AS distinct_vocab,
+        (CAST(SUM(CASE WHEN r <= 3 THEN c ELSE 0 END) AS BIGINT) * 1000000)
+          // CAST(SUM(c) AS BIGINT) AS top3_ppm,
+        (CAST(SUM(CASE WHEN r <= 5 THEN c ELSE 0 END) AS BIGINT) * 1000000)
+          // CAST(SUM(c) AS BIGINT) AS top5_ppm,
+        (CAST(SUM(CASE WHEN r <= 10 THEN c ELSE 0 END) AS BIGINT) * 1000000)
+          // CAST(SUM(c) AS BIGINT) AS top10_ppm
+      FROM ranked"""))
+
+  /** p102 — length/quality confound audit via exact Spearman rank
+    * correlation: per source, rho between document length (n_chars) and
+    * a stopword-count quality proxy. Is the "quality" signal just length
+    * in disguise? Ranks use a deterministic doc_id tie-break (documented
+    * variant of Spearman — identically replayed on both engines), so
+    * Σd² is an exact BIGINT and rho = 1 − 6Σd²/(n(n²−1)) is ONE double
+    * division plus one exact subtraction — IEEE-identical everywhere.
+    * (Exactness bound: 6Σd² < 2⁵³ holds through ~200k docs per source —
+    * two decades above the largest gated sf.)
+    *
+    * 100 TB shape: two source-partitioned rank windows over one sort
+    * each + a partial-aggregatable rollup; no global window, no floats
+    * in the shuffled state.
+    */
+  private val p102 = Q(
+    "p102_len_quality_rho",
+    (s, d) => {
+      import s.implicits._
+      val stopList = stops.map(w => s"'$w'").mkString("(", ", ", ")")
+      val base = T(s, d, "documents")
+        .select($"source", $"doc_id", $"n_chars",
+          expr(s"size(filter(split(text, ' '), t -> t IN $stopList))")
+            .cast(LongType).as("n_stop"))
+      val wLen = Window.partitionBy($"source")
+        .orderBy($"n_chars", $"doc_id")
+      val wQ = Window.partitionBy($"source").orderBy($"n_stop", $"doc_id")
+      base
+        .withColumn("r_len", row_number().over(wLen).cast(LongType))
+        .withColumn("r_q", row_number().over(wQ).cast(LongType))
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n"),
+          sum(($"r_len" - $"r_q") * ($"r_len" - $"r_q")).as("sum_d2"))
+        .select($"source", $"n", $"sum_d2",
+          (lit(1.0) - (($"sum_d2" * 6L).cast(DoubleType) /
+            ($"n" * ($"n" * $"n" - 1L)).cast(DoubleType))).as("rho"))
+        .orderBy($"source")
+    },
+    Some("""
+      WITH base AS (
+        SELECT source, doc_id, n_chars,
+          CAST(length(list_filter(string_split(text, ' '),
+            t -> t IN ('the', 'a', 'of', 'and', 'to', 'in'))) AS BIGINT)
+            AS n_stop
+        FROM documents),
+      ranked AS (
+        SELECT source,
+          CAST(row_number() OVER (PARTITION BY source
+            ORDER BY n_chars, doc_id) AS BIGINT) AS r_len,
+          CAST(row_number() OVER (PARTITION BY source
+            ORDER BY n_stop, doc_id) AS BIGINT) AS r_q
+        FROM base)
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+        CAST(SUM((r_len - r_q) * (r_len - r_q)) AS BIGINT) AS sum_d2,
+        1.0 - (CAST(SUM((r_len - r_q) * (r_len - r_q)) * 6 AS DOUBLE) /
+               CAST(COUNT(*) * (COUNT(*) * COUNT(*) - 1) AS DOUBLE)) AS rho
+      FROM ranked GROUP BY source ORDER BY source"""))
+
   val all: Seq[Q] = Seq(p01, p02, p03, p04, p05, p06, p07, p08, p09, p10,
     p11, p12, p13, p14, p15, p16, p17, p18, p19, p20, p21, p22, p23, p24,
     p25, p26, p27, p28, p29, p30, p31, p32, p33, p34, p35, p36, p37, p38,
@@ -6371,5 +6583,5 @@ object Pipeline {
     p53, p54, p55, p56, p57, p58, p59, p60, p61, p62, p63, p64, p65, p66,
     p67, p68, p69, p70, p71, p72, p73, p74, p75, p76, p77, p78, p79, p80,
     p81, p82, p83, p84, p85, p86, p87, p88, p89, p90, p91, p92, p93, p94,
-    p95, p96, p97, p98, p99)
+    p95, p96, p97, p98, p99, p100, p101, p102)
 }

@@ -1981,4 +1981,87 @@ class SemanticsSpec extends AnyFunSuite {
       assert(ny == nf - nw, s"$src yield identity")
     }
   }
+
+  test("luhn pii detection matches a driver digit replay") {
+    val sf = "/root/testdata/sf0.01"
+    val docs = Tables.load(spark, sf, "documents")
+      .select($"source", $"doc_id", $"text").as[(String, Long, String)]
+      .collect()
+    def luhnDigits(id: Long): (Seq[Int], Int) = {
+      val h = md5hex(s"${id}_cc")
+      val ds = (0 until 15).map(i => Integer.parseInt(h.substring(i, i + 1), 16) % 10)
+      val sum = ds.zipWithIndex.map { case (dg, idx) =>
+        if (idx % 2 == 0) { val t = dg * 2; if (t > 9) t - 9 else t } else dg
+      }.sum
+      (ds, (10 - sum % 10) % 10)
+    }
+    val exp = docs.groupBy(_._1).map { case (src, g) =>
+      var withCc = 0L; var valid = 0L
+      g.foreach { case (_, id, _) =>
+        if (id % 7 == 0) {
+          withCc += 1
+          val (_, chk) = luhnDigits(id)
+          val corrupted = id % 14 == 7
+          if (!corrupted) valid += 1
+          else assert((chk + 5) % 10 != chk) // corruption always flips
+        }
+      }
+      src -> ((g.length.toLong, withCc, valid))
+    }
+    val rows = Catalog.byName("p100_luhn_pii").run(spark, sf)
+      .select($"source", $"n_docs", $"n_with_cc", $"n_luhn_valid",
+        $"n_luhn_invalid")
+      .as[(String, Long, Long, Long, Long)].collect()
+    assert(rows.map(_._4).sum > 0 && rows.map(_._5).sum > 0,
+      "need both valid and invalid cards — degenerate")
+    rows.foreach { case (src, nd, nc, nv, ni) =>
+      val (eNd, eNc, eNv) = exp(src)
+      assert((nd, nc, nv) == ((eNd, eNc, eNv)), s"$src luhn counts")
+      assert(ni == nc - nv, s"$src invalid identity")
+    }
+  }
+
+  test("head-mass coverage matches an exact frequency replay") {
+    val sf = "/root/testdata/sf0.01"
+    val toks = Tables.load(spark, sf, "documents")
+      .select($"text").as[String].collect()
+      .flatMap(_.split(" ", -1)).filter(_.nonEmpty)
+    val counts = toks.groupBy(identity).view.mapValues(_.length.toLong)
+      .toSeq.sortBy { case (w, c) => (-c, w) }
+    val total = counts.map(_._2).sum
+    def ppm(k: Int) = counts.take(k).map(_._2).sum * 1000000L / total
+    val row = Catalog.byName("p101_head_mass").run(spark, sf)
+      .select($"total_tokens", $"distinct_vocab", $"top3_ppm", $"top5_ppm",
+        $"top10_ppm")
+      .as[(Long, Long, Long, Long, Long)].head()
+    assert(row == ((total, counts.length.toLong, ppm(3), ppm(5), ppm(10))))
+    assert(row._5 < 1000000L, "top10 saturates the corpus — degenerate")
+  }
+
+  test("spearman rho matches an exact rank replay") {
+    val sf = "/root/testdata/sf0.01"
+    val docs = Tables.load(spark, sf, "documents")
+      .select($"source", $"doc_id", $"n_chars", $"text")
+      .as[(String, Long, Long, String)].collect()
+    val stopSet = Set("the", "a", "of", "and", "to", "in")
+    val exp = docs.groupBy(_._1).map { case (src, g) =>
+      val base = g.map { case (_, id, nc, t) =>
+        (id, nc, t.split(" ", -1).count(stopSet).toLong)
+      }
+      val rLen = base.sortBy(b => (b._2, b._1)).zipWithIndex
+        .map { case (b, i) => b._1 -> (i + 1L) }.toMap
+      val rQ = base.sortBy(b => (b._3, b._1)).zipWithIndex
+        .map { case (b, i) => b._1 -> (i + 1L) }.toMap
+      val d2 = base.map(b => { val d = rLen(b._1) - rQ(b._1); d * d }).sum
+      val n = base.length.toLong
+      src -> ((n, d2, 1.0 - (d2 * 6L).toDouble / (n * (n * n - 1L)).toDouble))
+    }
+    val rows = Catalog.byName("p102_len_quality_rho").run(spark, sf)
+      .select($"source", $"n", $"sum_d2", $"rho")
+      .as[(String, Long, Long, Double)].collect()
+    assert(rows.exists(_._4 < 0.95), "rho pinned at ~1 — degenerate")
+    rows.foreach { case (src, n, d2, rho) =>
+      assert(exp(src) == ((n, d2, rho)), s"$src spearman")
+    }
+  }
 }

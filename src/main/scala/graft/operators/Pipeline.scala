@@ -5605,6 +5605,13 @@ object Pipeline {
     * (bucket count scales with corpus size by adding hyperplanes — same
     * contract as p13); the mutual filter is a self-join of the tiny
     * (vec_id, neighbor) edge list on the reversed key.
+    *
+    * Scale contract (same as p13): the oracle-checked 4-plane/16-bucket
+    * config keeps buckets corpus-proportional, so like p13 this entry is
+    * gated through sf1 and EXCLUDED from decade scale-ups by contract —
+    * at sf10 a 31k-vector bucket is ~1B within-bucket pairs. The
+    * production form raises the plane count so buckets stay O(1); the
+    * capped-cell route (p95/p96) is the decade-gated neighbor path.
     */
   private val p89 = Q(
     "p89_mutual_knn",

@@ -6583,6 +6583,215 @@ object Pipeline {
                CAST(COUNT(*) * (COUNT(*) * COUNT(*) - 1) AS DOUBLE)) AS rho
       FROM ranked GROUP BY source ORDER BY source"""))
 
+  /** p103 — k-anonymity audit: before events ship as training data or
+    * analytics exports, how re-identifiable are they? Quasi-identifier =
+    * (event_type, day, value bucket); a group with fewer than k=5
+    * distinct users is "unsafe" (its members are narrowable to <5
+    * people), and the suppression ledger counts the events a k-anonymous
+    * release would have to drop, per event type. Day is exact integer
+    * epoch-µs floor-division (p55's grain); the value bucket is one
+    * floor(value/50) — a single IEEE double divide+floor, identical in
+    * both engines; everything after is BIGINT.
+    *
+    * 100 TB shape: countDistinct(user) partial-aggregates on
+    * (QI, user) before the distinct count, so the wide state is the
+    * distinct pair set, not the event stream; the rollup is |QI groups|
+    * rows (bounded by types × days × buckets, not by corpus).
+    */
+  private val p103 = Q(
+    "p103_k_anonymity",
+    (s, d) => {
+      import s.implicits._
+      val groups = T(s, d, "events")
+        .select($"event_type", expr("unix_micros(ts) div 86400000000").as("day"),
+          expr("CAST(floor(value / 50.0D) AS BIGINT)").as("vb"), $"user_id")
+        .groupBy($"event_type", $"day", $"vb")
+        .agg(countDistinct($"user_id").as("n_users"),
+          count(lit(1)).as("n_events"))
+      groups.groupBy($"event_type")
+        .agg(count(lit(1)).as("n_groups"),
+          sum(when($"n_users" < 5, 1L).otherwise(0L)).as("unsafe_groups"),
+          sum($"n_events").as("n_events"),
+          sum(when($"n_users" < 5, $"n_events").otherwise(0L))
+            .as("suppressed_events"))
+        .select($"event_type", $"n_groups", $"unsafe_groups", $"n_events",
+          $"suppressed_events",
+          expr("suppressed_events * 1000000L div n_events")
+            .as("suppressed_ppm"))
+        .orderBy($"event_type")
+    },
+    Some("""
+      WITH g AS (
+        SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+          CAST(floor(value / 50.0) AS BIGINT) AS vb,
+          CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+          CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM events GROUP BY 1, 2, 3)
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_groups,
+        CAST(SUM(CASE WHEN n_users < 5 THEN 1 ELSE 0 END) AS BIGINT)
+          AS unsafe_groups,
+        CAST(SUM(n_events) AS BIGINT) AS n_events,
+        CAST(SUM(CASE WHEN n_users < 5 THEN n_events ELSE 0 END) AS BIGINT)
+          AS suppressed_events,
+        CAST(SUM(CASE WHEN n_users < 5 THEN n_events ELSE 0 END) AS BIGINT)
+          * 1000000 // CAST(SUM(n_events) AS BIGINT) AS suppressed_ppm
+      FROM g GROUP BY event_type ORDER BY event_type"""))
+
+  /** p104 — principal dimension by integer power iteration: the PCA step
+    * p66's covariance pass feeds — which embedding dimension carries the
+    * corpus's dominant variance direction? Three unrolled rounds of
+    * v ← C·v over the FULL 64×64 covariance-numerator matrix, all in
+    * exact integer arithmetic: elements milli-quantized (p60 pattern),
+    * covariance numerators n·Σxy − Σx·Σy in DECIMAL(38,0), cells scaled
+    * to BIGINT by a sign-decomposed floor-division (sign(c)·(|c| div
+    * 10⁴) — never a bare `div` on a negative: Spark truncates toward
+    * zero, DuckDB `//` floors, so only the nonnegative half is shared
+    * semantics). Each round renormalizes v to ±10⁶ by the max-|component|
+    * (again sign-decomposed), so every value stays far inside
+    * DECIMAL(38,0) at any corpus size and the whole fixpoint is
+    * bit-identical cross-engine. v₀ = all-ones ⇒ no RNG.
+    *
+    * 100 TB shape: the corpus is read ONCE (one posexplode stats pass +
+    * the p52/p66 in-row slice generator for pairwise products —
+    * partial-aggregated to ≤64²=4096 cells map-side); the iteration then
+    * runs on 4096-row × 64-row broadcast joins whose cost is independent
+    * of corpus size. Cells are pinned once, v pinned per round (p42's
+    * fixpoint discipline).
+    */
+  private val p104 = Q(
+    "p104_principal_dim",
+    (s, d) => {
+      import s.implicits._
+      val e = T(s, d, "embeddings").filter(size($"embedding") === 64)
+        .select(expr(
+          """transform(embedding, x ->
+               CAST(floor(CAST(x AS DOUBLE) * 1000.0D + 0.5D) AS BIGINT))""")
+          .as("e3"))
+      val ex = e.select(posexplode($"e3").as(Seq("i", "x")))
+      val si = ex.groupBy($"i")
+        .agg(sum($"x".cast(DecimalType(38, 0))).as("s_i"),
+          count(lit(1)).as("n"))
+      // i <= j products expand INSIDE each row (slice from 1-based i+1 =
+      // 0-based i..63), so the shuffle is at most 64*65/2 cells.
+      val sij = e
+        .select($"e3", posexplode($"e3").as(Seq("i", "xi")))
+        .select($"i", $"xi",
+          posexplode(expr("slice(e3, i + 1, 64)")).as(Seq("dj", "xj")))
+        .groupBy($"i", ($"i" + $"dj").cast(IntegerType).as("j"))
+        .agg(sum(($"xi" * $"xj").cast(DecimalType(38, 0))).as("s_ij"))
+      val a = si.select($"i", $"s_i".as("s_a"), $"n")
+      val b = si.select($"i".as("j"), $"s_i".as("s_b"))
+      val up = sij.join(broadcast(a), "i").join(broadcast(b), "j")
+        .select($"i", $"j",
+          (($"n".cast(DecimalType(38, 0)) * $"s_ij") - $"s_a" * $"s_b")
+            .cast(DecimalType(38, 0)).as("cnum"))
+        .select($"i", $"j",
+          (when($"cnum" < 0, -1L).otherwise(1L) *
+            expr("abs(cnum) div 10000L")).as("c"))
+      // Mirror the strict upper triangle: C is symmetric EXACTLY (the
+      // scaled cell, not the raw numerator, is copied — no re-derive).
+      val cells = pin(up.unionAll(
+        up.filter($"i" =!= $"j")
+          .select($"j".as("i"), $"i".as("j"), $"c")))
+      var v = si.select($"i".as("j"), lit(1000000L).as("v"))
+      for (_ <- 1 to 3) {
+        val w = cells.join(broadcast(v), "j")
+          .groupBy($"i")
+          .agg(sum($"c".cast(DecimalType(20, 0)) *
+            $"v".cast(DecimalType(12, 0))).as("w"))
+        val m = w.agg(greatest(max(abs($"w")),
+          lit(1).cast(DecimalType(38, 0))).as("m"))
+        v = pin(w.crossJoin(broadcast(m))
+          .select($"i".as("j"),
+            (when($"w" < 0, -1L).otherwise(1L) *
+              expr("(abs(w) * 1000000L) div m")).as("v")))
+      }
+      v.select($"j".as("dim"), $"v".as("loading_ppm"))
+        .orderBy(abs($"v").desc, $"j").limit(8)
+    },
+    Some("""
+      WITH e AS (SELECT vec_id, list_transform(embedding, x ->
+                   CAST(floor(CAST(x AS DOUBLE) * 1000.0 + 0.5) AS BIGINT))
+                   AS e3
+                 FROM embeddings WHERE len(embedding) = 64),
+      ex AS (SELECT vec_id, CAST(i AS INT) AS i, e3[CAST(i AS INT)+1] AS x
+             FROM e, UNNEST(range(0, 64)) t(i)),
+      si AS (SELECT i, CAST(SUM(x) AS HUGEINT) AS s_i,
+               CAST(COUNT(*) AS HUGEINT) AS n FROM ex GROUP BY i),
+      sij AS (SELECT a.i AS i, b.i AS j,
+                CAST(SUM(CAST(a.x AS HUGEINT) * b.x) AS HUGEINT) AS s_ij
+              FROM ex a JOIN ex b ON a.vec_id = b.vec_id
+              GROUP BY a.i, b.i),
+      cells AS (SELECT i, j,
+          (CASE WHEN cnum < 0 THEN -1 ELSE 1 END) * (abs(cnum) // 10000)
+            AS c
+        FROM (SELECT s.i, s.j, a.n * s.s_ij - a.s_i * b.s_i AS cnum
+              FROM sij s JOIN si a ON s.i = a.i JOIN si b ON s.j = b.i)),
+      v0 AS (SELECT i AS j, CAST(1000000 AS HUGEINT) AS v FROM si),
+      w1 AS (SELECT c.i, SUM(c.c * v.v) AS w FROM cells c
+             JOIN v0 v ON c.j = v.j GROUP BY c.i),
+      m1 AS (SELECT GREATEST(MAX(abs(w)), 1) AS m FROM w1),
+      v1 AS (SELECT i AS j, (CASE WHEN w < 0 THEN -1 ELSE 1 END) *
+               (abs(w) * 1000000 // m) AS v FROM w1, m1),
+      w2 AS (SELECT c.i, SUM(c.c * v.v) AS w FROM cells c
+             JOIN v1 v ON c.j = v.j GROUP BY c.i),
+      m2 AS (SELECT GREATEST(MAX(abs(w)), 1) AS m FROM w2),
+      v2 AS (SELECT i AS j, (CASE WHEN w < 0 THEN -1 ELSE 1 END) *
+               (abs(w) * 1000000 // m) AS v FROM w2, m2),
+      w3 AS (SELECT c.i, SUM(c.c * v.v) AS w FROM cells c
+             JOIN v2 v ON c.j = v.j GROUP BY c.i),
+      m3 AS (SELECT GREATEST(MAX(abs(w)), 1) AS m FROM w3),
+      v3 AS (SELECT i AS j, (CASE WHEN w < 0 THEN -1 ELSE 1 END) *
+               (abs(w) * 1000000 // m) AS v FROM w3, m3)
+      SELECT CAST(j AS INT) AS dim, CAST(v AS BIGINT) AS loading_ppm
+      FROM v3 ORDER BY abs(v) DESC, j LIMIT 8"""))
+
+  /** p105 — positional phrase search: exact-phrase retrieval ("join part
+    * filter") through the positional-inverted-index topology — per-term
+    * posting lists of (doc_id, position), adjacency by joining term t's
+    * postings against term t+1's shifted by one. The complement of p34's
+    * conjunctive bag-of-words probe: order and adjacency matter here.
+    * Counts are integers; nothing floating anywhere.
+    *
+    * 100 TB shape: only the THREE query terms' postings survive the
+    * filter (the IN-list prunes inside the narrow token explode — the
+    * corpus never shuffles); the adjacency joins co-partition on
+    * (doc_id, pos) and are sized by posting-list lengths, exactly how a
+    * distributed phrase query probes a sharded index.
+    */
+  private val p105 = Q(
+    "p105_phrase_search",
+    (s, d) => {
+      import s.implicits._
+      // Fixed query phrase, chosen to occur at every shipped SF so the
+      // gate row is never trivially empty.
+      val phrase = Seq("join", "part", "filter")
+      val toks = T(s, d, "documents")
+        .select($"doc_id", posexplode(split($"text", " ")).as(Seq("pos", "w")))
+        .filter($"w".isin(phrase: _*))
+      val t0 = toks.filter($"w" === phrase(0)).select($"doc_id", $"pos")
+      val t1 = toks.filter($"w" === phrase(1))
+        .select($"doc_id", ($"pos" - 1).as("pos"))
+      val t2 = toks.filter($"w" === phrase(2))
+        .select($"doc_id", ($"pos" - 2).as("pos"))
+      t0.join(t1, Seq("doc_id", "pos")).join(t2, Seq("doc_id", "pos"))
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_hits"), min($"pos").as("first_pos"))
+        .orderBy($"n_hits".desc, $"doc_id").limit(10)
+    },
+    Some("""
+      WITH toks AS (
+        SELECT doc_id, CAST(i - 1 AS INT) AS pos, a[CAST(i AS INT)] AS w
+        FROM (SELECT doc_id, string_split(text, ' ') AS a FROM documents),
+             UNNEST(range(1, len(a) + 1)) t(i)),
+      t0 AS (SELECT doc_id, pos FROM toks WHERE w = 'join'),
+      t1 AS (SELECT doc_id, pos - 1 AS pos FROM toks WHERE w = 'part'),
+      t2 AS (SELECT doc_id, pos - 2 AS pos FROM toks WHERE w = 'filter')
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits,
+        CAST(MIN(pos) AS INT) AS first_pos
+      FROM t0 JOIN t1 USING (doc_id, pos) JOIN t2 USING (doc_id, pos)
+      GROUP BY doc_id ORDER BY n_hits DESC, doc_id LIMIT 10"""))
+
   val all: Seq[Q] = Seq(p01, p02, p03, p04, p05, p06, p07, p08, p09, p10,
     p11, p12, p13, p14, p15, p16, p17, p18, p19, p20, p21, p22, p23, p24,
     p25, p26, p27, p28, p29, p30, p31, p32, p33, p34, p35, p36, p37, p38,
@@ -6590,5 +6799,5 @@ object Pipeline {
     p53, p54, p55, p56, p57, p58, p59, p60, p61, p62, p63, p64, p65, p66,
     p67, p68, p69, p70, p71, p72, p73, p74, p75, p76, p77, p78, p79, p80,
     p81, p82, p83, p84, p85, p86, p87, p88, p89, p90, p91, p92, p93, p94,
-    p95, p96, p97, p98, p99, p100, p101, p102)
+    p95, p96, p97, p98, p99, p100, p101, p102, p103, p104, p105)
 }

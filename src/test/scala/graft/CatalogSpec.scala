@@ -2064,4 +2064,78 @@ class SemanticsSpec extends AnyFunSuite {
       assert(exp(src) == ((n, d2, rho)), s"$src spearman")
     }
   }
+
+  test("k-anonymity ledger matches an exact driver replay") {
+    val sf = "/root/testdata/sf0.01"
+    val ev = Tables.load(spark, sf, "events")
+      .select($"event_type", unix_micros($"ts").as("us"), $"value", $"user_id")
+      .as[(String, Long, Double, Long)].collect()
+    val groups = ev.groupBy { case (t, us, v, _) =>
+      (t, us / 86400000000L, math.floor(v / 50.0).toLong)
+    }
+    val exp = groups.toSeq.groupBy(_._1._1).map { case (t, gs) =>
+      val unsafe = gs.filter(_._2.map(_._4).distinct.length < 5)
+      t -> ((gs.size.toLong, unsafe.size.toLong,
+        gs.map(_._2.length.toLong).sum, unsafe.map(_._2.length.toLong).sum))
+    }
+    val rows = Catalog.byName("p103_k_anonymity").run(spark, sf)
+      .select($"event_type", $"n_groups", $"unsafe_groups", $"n_events",
+        $"suppressed_events", $"suppressed_ppm")
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+    assert(rows.exists(_._3 > 0), "no unsafe groups anywhere — degenerate")
+    assert(rows.exists(r => r._3 < r._2), "every group unsafe — degenerate")
+    rows.foreach { case (t, ng, ug, ne, se, ppm) =>
+      assert(exp(t) == ((ng, ug, ne, se)), s"$t ledger")
+      assert(ppm == se * 1000000L / ne, s"$t ppm")
+    }
+  }
+
+  test("principal dimension matches a BigInt power-iteration replay") {
+    val sf = "/root/testdata/sf0.01"
+    val vecs = Tables.load(spark, sf, "embeddings")
+      .select($"embedding").as[Seq[Float]].collect()
+      .filter(_.length == 64)
+      .map(_.map(x => BigInt(math.floor(x.toDouble * 1000.0 + 0.5).toLong)))
+    val n = BigInt(vecs.length)
+    val s = Array.tabulate(64)(i => vecs.map(_(i)).sum)
+    val c = Array.tabulate(64, 64) { (i, j) =>
+      val sij = vecs.map(v => v(i) * v(j)).sum
+      val cnum = n * sij - s(i) * s(j)
+      cnum.sign * (cnum.abs / 10000)
+    }
+    var v = Array.fill(64)(BigInt(1000000))
+    for (_ <- 1 to 3) {
+      val w = Array.tabulate(64)(i => (0 until 64).map(j => c(i)(j) * v(j)).sum)
+      val m = w.map(_.abs).max.max(BigInt(1))
+      v = w.map(x => x.sign * (x.abs * 1000000 / m))
+    }
+    val exp = (0 until 64).map(i => (i, v(i)))
+      .sortBy { case (i, l) => (-l.abs, i) }.take(8)
+      .map { case (i, l) => (i, l.toLong) }
+    val rows = Catalog.byName("p104_principal_dim").run(spark, sf)
+      .select($"dim", $"loading_ppm").as[(Int, Long)].collect().toSeq
+    assert(rows == exp, "power-iteration top-8 mismatch")
+    assert(rows.head._2.abs == 1000000L, "top loading must be the norm anchor")
+    assert(rows.map(_._2.abs).distinct.length > 1,
+      "all loadings equal — iteration never mixed (degenerate)")
+  }
+
+  test("phrase search matches a sliding-window scan replay") {
+    val sf = "/root/testdata/sf0.01"
+    val docs = Tables.load(spark, sf, "documents")
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    val phrase = Array("join", "part", "filter")
+    val exp = docs.flatMap { case (id, t) =>
+      val a = t.split(" ", -1)
+      val hits = (0 to a.length - 3)
+        .filter(i => a(i) == phrase(0) && a(i + 1) == phrase(1) &&
+          a(i + 2) == phrase(2))
+      if (hits.isEmpty) None else Some((id, hits.length.toLong, hits.min))
+    }.sortBy { case (id, h, _) => (-h, id) }.take(10).toSeq
+    val rows = Catalog.byName("p105_phrase_search").run(spark, sf)
+      .select($"doc_id", $"n_hits", $"first_pos").as[(Long, Long, Int)]
+      .collect().toSeq
+    assert(rows.nonEmpty, "phrase absent at the gate sf — degenerate")
+    assert(rows == exp, "phrase-hit top-10 mismatch")
+  }
 }

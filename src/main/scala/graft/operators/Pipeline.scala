@@ -6792,6 +6792,194 @@ object Pipeline {
       FROM t0 JOIN t1 USING (doc_id, pos) JOIN t2 USING (doc_id, pos)
       GROUP BY doc_id ORDER BY n_hits DESC, doc_id LIMIT 10"""))
 
+  /** p106 — quality-filter threshold sensitivity sweep: before a 100 TB
+    * filtering run commits to a stopword-ratio cutoff, how much of each
+    * source survives at EVERY candidate threshold? Per-doc stopword ppm
+    * (exact integer, p04's signal), bucketed into ten 2%-wide threshold
+    * rungs (capped at the 18% rung); a descending cumulative window then
+    * reads out docs/tokens retained at "keep if stop_ppm >= t" for each
+    * rung — the retention curve that shows where a cutoff starts starving
+    * a source. All integer: ppm by BIGINT floor-division (operands
+    * nonnegative, so Spark `div` and DuckDB `//` agree).
+    *
+    * 100 TB shape: one corpus pass partial-aggregates to at most
+    * |sources| x 10 cells; the sweep windows run on that rollup, so
+    * evaluating ten thresholds costs the same one shuffle as evaluating
+    * one — the reason to sweep declaratively instead of re-running the
+    * filter per candidate cutoff.
+    */
+  private val p106 = Q(
+    "p106_filter_sweep",
+    (s, d) => {
+      import s.implicits._
+      val stopList = stops.map(w => s"'$w'").mkString("(", ", ", ")")
+      val perDoc = T(s, d, "documents")
+        .select($"source",
+          size(split($"text", " ")).cast(LongType).as("n_tokens"),
+          expr(s"CAST(size(filter(split(text, ' '), t -> t IN $stopList)) AS BIGINT)")
+            .as("n_stop"))
+        .select($"source", $"n_tokens",
+          expr("least((n_stop * 1000000L div n_tokens) div 20000L, 9L)")
+            .as("bucket"))
+      val g = perDoc.groupBy($"source", $"bucket")
+        .agg(count(lit(1)).as("n_docs"), sum($"n_tokens").as("n_toks"))
+      val cum = Window.partitionBy($"source").orderBy($"bucket".desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val tot = Window.partitionBy($"source")
+      g.select($"source", ($"bucket" * 20000L).as("threshold_ppm"),
+          sum($"n_docs").over(cum).as("docs_kept"),
+          sum($"n_toks").over(cum).as("tokens_kept"),
+          sum($"n_docs").over(tot).as("total_docs"))
+        .select($"source", $"threshold_ppm", $"docs_kept", $"tokens_kept",
+          expr("docs_kept * 1000000L div total_docs").as("docs_kept_ppm"))
+        .orderBy($"source", $"threshold_ppm")
+    },
+    Some("""
+      WITH perdoc AS (
+        SELECT source,
+          CAST(length(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+          CAST(length(list_filter(string_split(text, ' '),
+            t -> t IN ('the', 'a', 'of', 'and', 'to', 'in'))) AS BIGINT)
+            AS n_stop
+        FROM documents),
+      b AS (SELECT source, n_tokens,
+              LEAST((n_stop * 1000000 // n_tokens) // 20000, 9) AS bucket
+            FROM perdoc),
+      g AS (SELECT source, bucket, CAST(COUNT(*) AS BIGINT) AS n_docs,
+              CAST(SUM(n_tokens) AS BIGINT) AS n_toks
+            FROM b GROUP BY 1, 2),
+      w AS (SELECT source, bucket * 20000 AS threshold_ppm,
+              SUM(n_docs) OVER (PARTITION BY source ORDER BY bucket DESC)
+                AS docs_kept,
+              SUM(n_toks) OVER (PARTITION BY source ORDER BY bucket DESC)
+                AS tokens_kept,
+              SUM(n_docs) OVER (PARTITION BY source) AS total_docs
+            FROM g)
+      SELECT source, CAST(threshold_ppm AS BIGINT) AS threshold_ppm,
+        CAST(docs_kept AS BIGINT) AS docs_kept,
+        CAST(tokens_kept AS BIGINT) AS tokens_kept,
+        CAST(docs_kept * 1000000 // total_docs AS BIGINT) AS docs_kept_ppm
+      FROM w ORDER BY source, threshold_ppm"""))
+
+  /** p107 — per-dimension label discriminability (exact-integer one-way
+    * ANOVA): which embedding dimensions actually separate the `label`
+    * classes? For each of the 64 dims, the between-class and within-class
+    * sum-of-squares over milli-quantized values (p60 pattern), via the
+    * partial-aggregable identities SSB = sum_l S_l^2/n_l - S^2/n and
+    * SSW = Q - sum_l S_l^2/n_l, everything scaled x1000 and floor-divided
+    * while still NONNEGATIVE (Spark `div` truncates toward zero, DuckDB
+    * `//` floors — shared semantics only on the nonnegative half; the one
+    * possibly-negative value, the floor-error residual of ssb, is clamped
+    * by greatest(_, 0) before the final ratio). The F-style ratio ranks
+    * dims for feature selection before a training run.
+    *
+    * 100 TB shape: one corpus pass partial-aggregates to (dim, label)
+    * cells — at most 64 x |labels| rows cross the wire regardless of
+    * corpus size; the per-dim rollup and ranking run on that. The
+    * x1000-scaled quotients fit BIGINT through the gated decades
+    * (sf10: ~2e16); the production form at 1e10+ rows keeps the division
+    * in DECIMAL(38,0).
+    */
+  private val p107 = Q(
+    "p107_dim_anova",
+    (s, d) => {
+      import s.implicits._
+      val e = T(s, d, "embeddings").filter(size($"embedding") === 64)
+        .select($"label", expr(
+          """transform(embedding, x ->
+               CAST(floor(CAST(x AS DOUBLE) * 1000.0D + 0.5D) AS BIGINT))""")
+          .as("e3"))
+      val ex = e.select($"label", posexplode($"e3").as(Seq("i", "x")))
+      val g1 = ex.groupBy($"i", $"label")
+        .agg(count(lit(1)).as("n_l"),
+          sum($"x".cast(DecimalType(38, 0))).as("s_l"),
+          sum(($"x" * $"x").cast(DecimalType(38, 0))).as("q_l"))
+      val g2 = g1.groupBy($"i")
+        .agg(sum($"n_l").as("n"), sum($"s_l").as("s"), sum($"q_l").as("q"),
+          sum(expr("(s_l * s_l * 1000) div n_l").cast(DecimalType(38, 0)))
+            .as("ssbq"))
+      g2.select($"i",
+          expr("ssbq - (s * s * 1000) div n").as("ssb"),
+          expr("q * 1000 - ssbq").as("ssw"))
+        .select($"i".cast(IntegerType).as("dim"),
+          $"ssb".cast(LongType).as("ssb_milli"),
+          $"ssw".cast(LongType).as("ssw_milli"),
+          expr("(greatest(ssb, CAST(0 AS DECIMAL(38,0))) * 1000000) " +
+            "div greatest(ssw, CAST(1 AS DECIMAL(38,0)))").as("f_ppm"))
+        .orderBy($"f_ppm".desc, $"dim").limit(16)
+    },
+    Some("""
+      WITH e AS (SELECT label, list_transform(embedding, x ->
+                   CAST(floor(CAST(x AS DOUBLE) * 1000.0 + 0.5) AS BIGINT))
+                   AS e3
+                 FROM embeddings WHERE len(embedding) = 64),
+      ex AS (SELECT label, CAST(i AS INT) AS i, e3[CAST(i AS INT)+1] AS x
+             FROM e, UNNEST(range(0, 64)) t(i)),
+      g1 AS (SELECT i, label, CAST(COUNT(*) AS HUGEINT) AS n_l,
+               CAST(SUM(x) AS HUGEINT) AS s_l,
+               CAST(SUM(x * x) AS HUGEINT) AS q_l
+             FROM ex GROUP BY 1, 2),
+      g2 AS (SELECT i, CAST(SUM(n_l) AS HUGEINT) AS n,
+               CAST(SUM(s_l) AS HUGEINT) AS s,
+               CAST(SUM(q_l) AS HUGEINT) AS q,
+               CAST(SUM((s_l * s_l * 1000) // n_l) AS HUGEINT) AS ssbq
+             FROM g1 GROUP BY 1),
+      f AS (SELECT i, ssbq - (s * s * 1000) // n AS ssb,
+              q * 1000 - ssbq AS ssw
+            FROM g2)
+      SELECT CAST(i AS INT) AS dim, CAST(ssb AS BIGINT) AS ssb_milli,
+        CAST(ssw AS BIGINT) AS ssw_milli,
+        CAST(GREATEST(ssb, 0) * 1000000 // GREATEST(ssw, 1) AS BIGINT)
+          AS f_ppm
+      FROM f ORDER BY f_ppm DESC, dim LIMIT 16"""))
+
+  /** p108 — inter-event gap spectrum: the burstiness audit behind session
+    * gap and watermark tuning — per event type, a base-2 log histogram of
+    * the microsecond gap to the SAME USER's previous event (any type).
+    * The bucket is the gap's binary magnitude, length(bin(gap)) — the
+    * position of the most significant bit — which both engines compute as
+    * the length of the unpadded binary string, keeping the whole entry in
+    * exact integers (no log2 float at bucket boundaries). The histogram
+    * is what picks a session gap (w03/nx_q11's 10 s) and a watermark
+    * delay from data instead of folklore.
+    *
+    * 100 TB shape: one shuffle to co-locate each user's events (the same
+    * per-user partitioning every sessionization already pays), a narrow
+    * lag window inside it, then a partial-aggregable rollup bounded by
+    * |event types| x ~40 magnitude buckets. The (us, event_id) sort key
+    * is unique, so the lag is deterministic under ts ties.
+    */
+  private val p108 = Q(
+    "p108_gap_spectrum",
+    (s, d) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"us", $"event_id")
+      T(s, d, "events")
+        .select($"user_id", $"event_id", $"event_type",
+          expr("unix_micros(ts)").as("us"))
+        .withColumn("gap", $"us" - lag($"us", 1).over(w))
+        .filter($"gap".isNotNull)
+        .select($"event_type", length(bin($"gap")).cast(IntegerType)
+          .as("bucket"), $"gap")
+        .groupBy($"event_type", $"bucket")
+        .agg(count(lit(1)).as("n_gaps"), min($"gap").as("min_gap"),
+          max($"gap").as("max_gap"))
+        .orderBy($"event_type", $"bucket")
+    },
+    Some("""
+      WITH ev AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us
+                  FROM events),
+      g AS (SELECT event_type,
+              us - LAG(us) OVER (PARTITION BY user_id ORDER BY us, event_id)
+                AS gap
+            FROM ev)
+      SELECT event_type, CAST(length(bin(gap)) AS INT) AS bucket,
+        CAST(COUNT(*) AS BIGINT) AS n_gaps,
+        CAST(MIN(gap) AS BIGINT) AS min_gap,
+        CAST(MAX(gap) AS BIGINT) AS max_gap
+      FROM g WHERE gap IS NOT NULL
+      GROUP BY 1, 2 ORDER BY 1, 2"""))
+
   val all: Seq[Q] = Seq(p01, p02, p03, p04, p05, p06, p07, p08, p09, p10,
     p11, p12, p13, p14, p15, p16, p17, p18, p19, p20, p21, p22, p23, p24,
     p25, p26, p27, p28, p29, p30, p31, p32, p33, p34, p35, p36, p37, p38,
@@ -6799,5 +6987,6 @@ object Pipeline {
     p53, p54, p55, p56, p57, p58, p59, p60, p61, p62, p63, p64, p65, p66,
     p67, p68, p69, p70, p71, p72, p73, p74, p75, p76, p77, p78, p79, p80,
     p81, p82, p83, p84, p85, p86, p87, p88, p89, p90, p91, p92, p93, p94,
-    p95, p96, p97, p98, p99, p100, p101, p102, p103, p104, p105)
+    p95, p96, p97, p98, p99, p100, p101, p102, p103, p104, p105, p106,
+    p107, p108)
 }

@@ -2138,4 +2138,87 @@ class SemanticsSpec extends AnyFunSuite {
     assert(rows.nonEmpty, "phrase absent at the gate sf — degenerate")
     assert(rows == exp, "phrase-hit top-10 mismatch")
   }
+
+  test("filter-sweep retention matches an exact driver replay") {
+    val sf = "/root/testdata/sf0.01"
+    val stops = Set("the", "a", "of", "and", "to", "in")
+    val docs = Tables.load(spark, sf, "documents")
+      .select($"source", $"text").as[(String, String)].collect()
+      .map { case (src, t) =>
+        val toks = t.split(" ", -1)
+        val ppm = toks.count(stops) * 1000000L / toks.length
+        (src, toks.length.toLong, math.min(ppm / 20000L, 9L))
+      }
+    val bySrc = docs.groupBy(_._1)
+    val rows = Catalog.byName("p106_filter_sweep").run(spark, sf)
+      .select($"source", $"threshold_ppm", $"docs_kept", $"tokens_kept",
+        $"docs_kept_ppm")
+      .as[(String, Long, Long, Long, Long)].collect()
+    assert(rows.map(_._1).distinct.length > 1, "single source — degenerate")
+    rows.foreach { case (src, t, dk, tk, ppm) =>
+      val all = bySrc(src)
+      val kept = all.filter(_._3 * 20000L >= t)
+      assert(dk == kept.length.toLong, s"$src@$t docs")
+      assert(tk == kept.map(_._2).sum, s"$src@$t tokens")
+      assert(ppm == dk * 1000000L / all.length, s"$src@$t ppm")
+    }
+    // The sweep must be monotone: raising the threshold never keeps more.
+    rows.groupBy(_._1).values.foreach { rs =>
+      val sorted = rs.sortBy(_._2).map(_._3)
+      assert(sorted.zip(sorted.tail).forall { case (a, b) => a >= b },
+        "retention not monotone in threshold")
+    }
+  }
+
+  test("dim-anova ranking matches a BigInt replay") {
+    val sf = "/root/testdata/sf0.01"
+    val vecs = Tables.load(spark, sf, "embeddings")
+      .select($"label", $"embedding").as[(Int, Seq[Float])].collect()
+      .filter(_._2.length == 64)
+      .map { case (l, v) =>
+        (l, v.map(x => BigInt(math.floor(x.toDouble * 1000.0 + 0.5).toLong)))
+      }
+    val exp = (0 until 64).map { i =>
+      val xs = vecs.map { case (l, v) => (l, v(i)) }
+      val n = BigInt(xs.length)
+      val s = xs.map(_._2).sum
+      val q = xs.map(x => x._2 * x._2).sum
+      val ssbq = xs.groupBy(_._1).values.map { g =>
+        val sl = g.map(_._2).sum
+        (sl * sl * 1000) / BigInt(g.length)
+      }.sum
+      val ssb = ssbq - (s * s * 1000) / n
+      val ssw = q * 1000 - ssbq
+      val f = (ssb.max(BigInt(0)) * 1000000) / ssw.max(BigInt(1))
+      (i, ssb.toLong, ssw.toLong, f.toLong)
+    }.sortBy { case (i, _, _, f) => (-f, i) }.take(16)
+    val rows = Catalog.byName("p107_dim_anova").run(spark, sf)
+      .select($"dim", $"ssb_milli", $"ssw_milli", $"f_ppm")
+      .as[(Int, Long, Long, Long)].collect().toSeq
+    assert(rows == exp, "anova top-16 mismatch")
+    assert(rows.map(_._4).distinct.length > 1,
+      "all F ratios equal — degenerate")
+  }
+
+  test("gap spectrum matches a per-user scan replay") {
+    val sf = "/root/testdata/sf0.01"
+    val ev = Tables.load(spark, sf, "events")
+      .select($"user_id", $"event_id", $"event_type", unix_micros($"ts"))
+      .as[(Long, Long, String, Long)].collect()
+    val exp = ev.groupBy(_._1).values.flatMap { g =>
+      val sorted = g.sortBy(e => (e._4, e._2))
+      sorted.zip(sorted.tail).map { case (prev, cur) =>
+        val gap = cur._4 - prev._4
+        (cur._3, gap.toBinaryString.length, gap)
+      }
+    }.toSeq.groupBy(t => (t._1, t._2)).map { case ((et, b), gs) =>
+      (et, b, gs.length.toLong, gs.map(_._3).min, gs.map(_._3).max)
+    }.toSeq.sortBy(r => (r._1, r._2))
+    val rows = Catalog.byName("p108_gap_spectrum").run(spark, sf)
+      .select($"event_type", $"bucket", $"n_gaps", $"min_gap", $"max_gap")
+      .as[(String, Int, Long, Long, Long)].collect().toSeq
+    assert(rows.map(_._2).distinct.length > 3,
+      "fewer than four magnitude buckets — degenerate")
+    assert(rows == exp, "gap histogram mismatch")
+  }
 }

@@ -6980,6 +6980,140 @@ object Pipeline {
       FROM g WHERE gap IS NOT NULL
       GROUP BY 1, 2 ORDER BY 1, 2"""))
 
+  /** p109 — Zipf constancy audit: Zipf's law says rank×frequency is
+    * roughly constant; a corpus whose head violates it (rf collapsing
+    * after rank ~10) is template- or boilerplate-dominated rather than
+    * natural text — a corpus-health check run before trusting frequency
+    * -based vocab/filter decisions. Top-100 types by count (deterministic
+    * term tie-break), each with rank, rf = rank×freq, and rf as ppm of
+    * the rank-1 product — all exact integers.
+    *
+    * 100 TB shape: the corpus pass partial-aggregates to the vocabulary;
+    * top-100 travels via TakeOrdered (no global sort materializes the
+    * vocab); the ranking window then runs on 100 rows in one partition
+    * (intentional and bounded — the frame is the LIMIT, not the corpus),
+    * and the rank-1 anchor is a broadcast singleton.
+    */
+  private val p109 = Q(
+    "p109_zipf_audit",
+    (s, d) => {
+      import s.implicits._
+      val vocab = T(s, d, "documents")
+        .select(explode(split($"text", " ")).as("term"))
+        .groupBy($"term").agg(count(lit(1)).as("freq"))
+      val top = vocab.orderBy($"freq".desc, $"term").limit(100)
+      val w = Window.orderBy($"freq".desc, $"term")
+      val ranked = top.select($"term", $"freq",
+        row_number().over(w).cast(LongType).as("rank"))
+        .select($"term", $"freq", $"rank", ($"rank" * $"freq").as("rf"))
+      val r1 = ranked.agg(max(when($"rank" === 1, $"rf")).as("rf1"))
+      ranked.crossJoin(broadcast(r1))
+        .select($"rank", $"term", $"freq", $"rf",
+          expr("rf * 1000000L div rf1").as("rf_ppm_of_r1"))
+        .orderBy($"rank")
+    },
+    Some("""
+      WITH vocab AS (
+        SELECT unnest(string_split(text, ' ')) AS term FROM documents),
+      counts AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS freq
+                 FROM vocab GROUP BY term),
+      top AS (SELECT term, freq,
+                CAST(ROW_NUMBER() OVER (ORDER BY freq DESC, term) AS BIGINT)
+                  AS rank
+              FROM counts ORDER BY freq DESC, term LIMIT 100),
+      rf AS (SELECT rank, term, freq, rank * freq AS rf FROM top),
+      r1 AS (SELECT rf AS rf1 FROM rf WHERE rank = 1)
+      SELECT rank, term, freq, rf,
+        CAST(rf * 1000000 // rf1 AS BIGINT) AS rf_ppm_of_r1
+      FROM rf, r1 ORDER BY rank"""))
+
+  /** p110 — tokenizer fertility by language: tokens-per-word and
+    * chars-per-token for the BPE-ish regex pre-tokenizer (p03's pattern)
+    * per (source, lang) — the table that decides whether a tokenizer
+    * under-serves a language (high fertility = more tokens per word =
+    * worse compression and higher training cost for that slice). Exact
+    * integer ppm/milli by floor division on nonnegative sums.
+    *
+    * 100 TB shape: pure map-side per-row counting (regexp_count — no
+    * explode, the token ARRAYS never materialize) followed by one rollup
+    * bounded by |sources|×|langs|.
+    */
+  private val p110 = Q(
+    "p110_fertility",
+    (s, d) => {
+      import s.implicits._
+      T(s, d, "documents")
+        .select($"source", $"lang",
+          size(split($"text", " ")).cast(LongType).as("ws"),
+          regexp_count($"text", lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"))
+            .cast(LongType).as("bpe"),
+          length($"text").cast(LongType).as("chars"))
+        .groupBy($"source", $"lang")
+        .agg(count(lit(1)).as("n_docs"), sum($"ws").as("ws_tokens"),
+          sum($"bpe").as("bpe_tokens"), sum($"chars").as("n_chars"))
+        .select($"source", $"lang", $"n_docs", $"ws_tokens", $"bpe_tokens",
+          expr("bpe_tokens * 1000000L div ws_tokens").as("fertility_ppm"),
+          expr("n_chars * 1000L div bpe_tokens").as("chars_per_tok_milli"))
+        .orderBy($"source", $"lang")
+    },
+    Some("""
+      WITH perdoc AS (
+        SELECT source, lang,
+          CAST(length(string_split(text, ' ')) AS BIGINT) AS ws,
+          CAST(length(regexp_extract_all(text,
+            '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS bpe,
+          CAST(length(text) AS BIGINT) AS chars
+        FROM documents)
+      SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        CAST(SUM(ws) AS BIGINT) AS ws_tokens,
+        CAST(SUM(bpe) AS BIGINT) AS bpe_tokens,
+        CAST(SUM(bpe) * 1000000 // SUM(ws) AS BIGINT) AS fertility_ppm,
+        CAST(SUM(chars) * 1000 // SUM(bpe) AS BIGINT) AS chars_per_tok_milli
+      FROM perdoc GROUP BY 1, 2 ORDER BY 1, 2"""))
+
+  /** p111 — duplicate-family spectrum: the size×spread distribution of
+    * template-head families (10-token-opening digest, p76's fingerprint —
+    * this corpus has ZERO exact full-text duplicates, so md5(text)
+    * families would be all singletons; the head digest is the collider
+    * that actually fires) — how much of the dedup bill comes from many
+    * small pairs vs few huge families, and whether families stay inside
+    * one source or span several (cross-source families implicate
+    * syndication/mirrors; within-source implicate re-crawls). The
+    * economics complement of p81's per-source attrition funnel: p81 says
+    * who loses docs, this says what SHAPE the duplication has.
+    *
+    * 100 TB shape: the canonical digest shuffle (text never travels past
+    * the head digest), a per-family (count, countDistinct source) rollup
+    * — the distinct-source count partial-aggregates on (digest, source) —
+    * and a spectrum rollup bounded by |family sizes|×|source spreads|.
+    */
+  private val p111 = Q(
+    "p111_dup_spectrum",
+    (s, d) => {
+      import s.implicits._
+      val fams = T(s, d, "documents")
+        .groupBy(md5(array_join(slice(split($"text", " "), 1, 10), " "))
+          .as("h"))
+        .agg(count(lit(1)).as("n_copies"),
+          countDistinct($"source").as("n_sources"))
+      fams.groupBy($"n_copies", $"n_sources")
+        .agg(count(lit(1)).as("n_families"),
+          ($"n_copies" * count(lit(1))).as("n_docs"))
+        .select($"n_copies", $"n_sources", $"n_families", $"n_docs",
+          (($"n_copies" - 1L) * $"n_families").as("removable_docs"))
+        .orderBy($"n_copies", $"n_sources")
+    },
+    Some("""
+      WITH fams AS (
+        SELECT md5(array_to_string(string_split(text, ' ')[1:10], ' ')) AS h,
+          CAST(COUNT(*) AS BIGINT) AS n_copies,
+          CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources
+        FROM documents GROUP BY 1)
+      SELECT n_copies, n_sources, CAST(COUNT(*) AS BIGINT) AS n_families,
+        CAST(n_copies * COUNT(*) AS BIGINT) AS n_docs,
+        CAST((n_copies - 1) * COUNT(*) AS BIGINT) AS removable_docs
+      FROM fams GROUP BY 1, 2 ORDER BY 1, 2"""))
+
   val all: Seq[Q] = Seq(p01, p02, p03, p04, p05, p06, p07, p08, p09, p10,
     p11, p12, p13, p14, p15, p16, p17, p18, p19, p20, p21, p22, p23, p24,
     p25, p26, p27, p28, p29, p30, p31, p32, p33, p34, p35, p36, p37, p38,
@@ -6988,5 +7122,5 @@ object Pipeline {
     p67, p68, p69, p70, p71, p72, p73, p74, p75, p76, p77, p78, p79, p80,
     p81, p82, p83, p84, p85, p86, p87, p88, p89, p90, p91, p92, p93, p94,
     p95, p96, p97, p98, p99, p100, p101, p102, p103, p104, p105, p106,
-    p107, p108)
+    p107, p108, p109, p110, p111)
 }

@@ -2221,4 +2221,68 @@ class SemanticsSpec extends AnyFunSuite {
       "fewer than four magnitude buckets — degenerate")
     assert(rows == exp, "gap histogram mismatch")
   }
+
+  test("zipf audit matches an exact frequency replay") {
+    val sf = "/root/testdata/sf0.01"
+    val freqs = Tables.load(spark, sf, "documents")
+      .select($"text").as[String].collect()
+      .flatMap(_.split(" ", -1)).groupBy(identity)
+      .map { case (t, xs) => (t, xs.length.toLong) }.toSeq
+    val top = freqs.sortBy { case (t, f) => (-f, t) }.take(100)
+    val rf1 = 1L * top.head._2
+    val exp = top.zipWithIndex.map { case ((t, f), i) =>
+      val r = i + 1L
+      (r, t, f, r * f, r * f * 1000000L / rf1)
+    }
+    val rows = Catalog.byName("p109_zipf_audit").run(spark, sf)
+      .select($"rank", $"term", $"freq", $"rf", $"rf_ppm_of_r1")
+      .as[(Long, String, Long, Long, Long)].collect().toSeq
+    assert(rows == exp, "zipf top-100 mismatch")
+    assert(rows.head._5 == 1000000L, "rank-1 must anchor at 1e6 ppm")
+  }
+
+  test("fertility table matches an exact driver replay") {
+    val sf = "/root/testdata/sf0.01"
+    val bpe = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]".r
+    val docs = Tables.load(spark, sf, "documents")
+      .select($"source", $"lang", $"text")
+      .as[(String, String, String)].collect()
+    val exp = docs.groupBy(d => (d._1, d._2)).map { case ((src, lg), ds) =>
+      val ws = ds.map(_._3.split(" ", -1).length.toLong).sum
+      val bp = ds.map(d => bpe.findAllIn(d._3).length.toLong).sum
+      val ch = ds.map(_._3.length.toLong).sum
+      (src, lg) -> ((ds.length.toLong, ws, bp,
+        bp * 1000000L / ws, ch * 1000L / bp))
+    }
+    val rows = Catalog.byName("p110_fertility").run(spark, sf)
+      .select($"source", $"lang", $"n_docs", $"ws_tokens", $"bpe_tokens",
+        $"fertility_ppm", $"chars_per_tok_milli")
+      .as[(String, String, Long, Long, Long, Long, Long)].collect()
+    assert(rows.length == exp.size, "cell count mismatch")
+    rows.foreach { case (src, lg, nd, ws, bp, fppm, cpt) =>
+      assert(exp((src, lg)) == ((nd, ws, bp, fppm, cpt)), s"($src,$lg)")
+    }
+    assert(rows.forall(_._6 >= 1000000L),
+      "fertility below 1 token per word — regex lost tokens")
+  }
+
+  test("dup spectrum matches an exact family replay") {
+    val sf = "/root/testdata/sf0.01"
+    val docs = Tables.load(spark, sf, "documents")
+      .select($"text", $"source").as[(String, String)].collect()
+      .map { case (t, src) => (t.split(" ", -1).take(10).mkString(" "), src) }
+    val fams = docs.groupBy(_._1).values
+      .map(g => (g.length.toLong, g.map(_._2).distinct.length.toLong))
+    val exp = fams.groupBy(identity).map { case ((nc, ns), fs) =>
+      (nc, ns, fs.size.toLong, nc * fs.size, (nc - 1) * fs.size)
+    }.toSeq.sortBy(r => (r._1, r._2))
+    val rows = Catalog.byName("p111_dup_spectrum").run(spark, sf)
+      .select($"n_copies", $"n_sources", $"n_families", $"n_docs",
+        $"removable_docs")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(rows == exp, "dup spectrum mismatch")
+    assert(rows.exists(_._1 > 1), "no duplicate families — degenerate")
+    // Conservation: spectrum docs must add back up to the corpus.
+    assert(rows.map(_._4).sum == docs.length.toLong, "doc conservation")
+  }
 }

@@ -7114,6 +7114,117 @@ object Pipeline {
         CAST((n_copies - 1) * COUNT(*) AS BIGINT) AS removable_docs
       FROM fams GROUP BY 1, 2 ORDER BY 1, 2"""))
 
+  /** p112 — posting-list spectrum: the shard-planning statistics for a
+    * distributed inverted index (the p34/p51/p105 family's storage side)
+    * — postings bucketed on two axes of base-2 magnitude: the term's
+    * document frequency (how long its posting list is — the axis that
+    * forces list sharding and impact-ordered cutoffs) and the posting's
+    * within-doc occurrence count (how heavy its position payload is).
+    * Buckets are length(bin(x)) — the same exact-integer MSB trick as
+    * p108; no log2 float anywhere.
+    *
+    * 100 TB shape: one (term, doc) partial aggregation (distinct pairs
+    * with an occurrence count — no posting lists materialize), a
+    * vocab-bounded per-term df rollup REJOINED to the pairs on the term
+    * key (broadcast: the dictionary is small; at web scale this join
+    * stays co-partitioned on the term key the pairs already have), then
+    * a ~30×30-cell spectrum rollup.
+    */
+  private val p112 = Q(
+    "p112_posting_spectrum",
+    (s, d) => {
+      import s.implicits._
+      val pairs = T(s, d, "documents")
+        .select($"doc_id", explode(split($"text", " ")).as("term"))
+        .groupBy($"term", $"doc_id").agg(count(lit(1)).as("in_doc"))
+      val terms = pairs.groupBy($"term").agg(count(lit(1)).as("df"))
+      pairs.join(broadcast(terms), "term")
+        .select(length(bin($"df")).cast(IntegerType).as("df_bucket"),
+          length(bin($"in_doc")).cast(IntegerType).as("tf_bucket"),
+          $"in_doc", $"term")
+        .groupBy($"df_bucket", $"tf_bucket")
+        .agg(count(lit(1)).as("n_postings"),
+          countDistinct($"term").as("n_terms"),
+          sum($"in_doc").as("n_occurrences"),
+          max($"in_doc").as("max_in_doc"))
+        .orderBy($"df_bucket", $"tf_bucket")
+    },
+    Some("""
+      WITH pairs AS (
+        SELECT term, doc_id, CAST(COUNT(*) AS BIGINT) AS in_doc
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+              FROM documents)
+        GROUP BY 1, 2),
+      terms AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df
+                FROM pairs GROUP BY 1)
+      SELECT CAST(length(bin(df)) AS INT) AS df_bucket,
+        CAST(length(bin(in_doc)) AS INT) AS tf_bucket,
+        CAST(COUNT(*) AS BIGINT) AS n_postings,
+        CAST(COUNT(DISTINCT p.term) AS BIGINT) AS n_terms,
+        CAST(SUM(in_doc) AS BIGINT) AS n_occurrences,
+        CAST(MAX(in_doc) AS BIGINT) AS max_in_doc
+      FROM pairs p JOIN terms t ON p.term = t.term
+      GROUP BY 1, 2 ORDER BY 1, 2"""))
+
+  /** p113 — class-separation matrix: exact squared distance between every
+    * pair of label centroids in milli-quantized embedding space — which
+    * classes are geometrically confusable BEFORE training (the pairwise
+    * complement of p74's assignment confusion and p107's per-dim ANOVA).
+    * Fraction-free exactness: mean_a − mean_b per dim is
+    * (n_b·S_a − n_a·S_b)/(n_a·n_b), so Σ(n_b·S_a,i − n_a·S_b,i)² in
+    * DECIMAL(38,0) is the (n_a·n_b)²-scaled squared distance, and one
+    * final nonnegative floor-division by (n_a·n_b)² emits comparable
+    * milli units — no per-dim division ever happens.
+    *
+    * 100 TB shape: the corpus collapses in ONE pass to (label, dim)
+    * sums — ≤ 64×|labels| rows — and the pair matrix is a broadcast
+    * self-join of that tiny frame: |labels|²/2 × 64 cells, corpus-size
+    * independent (p104's iteration-on-rollup discipline).
+    */
+  private val p113 = Q(
+    "p113_class_separation",
+    (s, d) => {
+      import s.implicits._
+      val ex = T(s, d, "embeddings").filter(size($"embedding") === 64)
+        .select($"label", posexplode(expr(
+          """transform(embedding, x ->
+               CAST(floor(CAST(x AS DOUBLE) * 1000.0D + 0.5D) AS BIGINT))"""))
+          .as(Seq("i", "x")))
+      val g = ex.groupBy($"label", $"i")
+        .agg(sum($"x".cast(DecimalType(38, 0))).as("s"),
+          count(lit(1)).as("n"))
+      val a = g.select($"label".as("la"), $"i", $"s".as("sa"), $"n".as("na"))
+      val b = g.select($"label".as("lb"), $"i", $"s".as("sb"), $"n".as("nb"))
+      a.join(broadcast(b), Seq("i")).filter($"la" < $"lb")
+        .select($"la", $"lb", $"na", $"nb",
+          (($"nb".cast(DecimalType(38, 0)) * $"sa" -
+            $"na".cast(DecimalType(38, 0)) * $"sb")).as("diff"))
+        .select($"la", $"lb", $"na", $"nb",
+          ($"diff" * $"diff").cast(DecimalType(38, 0)).as("cell"))
+        .groupBy($"la", $"lb", $"na", $"nb")
+        .agg(sum($"cell").cast(DecimalType(38, 0)).as("dsc"))
+        .select($"la", $"lb", $"na", $"nb",
+          expr("(dsc * 1000) div (na * nb * na * nb)").as("d2_milli"))
+        .orderBy($"la", $"lb")
+    },
+    Some("""
+      WITH ex AS (SELECT label, CAST(i AS INT) AS i,
+                    e3[CAST(i AS INT)+1] AS x
+                  FROM (SELECT label, list_transform(embedding, x ->
+                          CAST(floor(CAST(x AS DOUBLE) * 1000.0 + 0.5)
+                            AS BIGINT)) AS e3
+                        FROM embeddings WHERE len(embedding) = 64),
+                       UNNEST(range(0, 64)) t(i)),
+      g AS (SELECT label, i, CAST(SUM(x) AS HUGEINT) AS s,
+              CAST(COUNT(*) AS HUGEINT) AS n
+            FROM ex GROUP BY 1, 2),
+      cells AS (SELECT a.label AS la, b.label AS lb, a.n AS na, b.n AS nb,
+                  (b.n * a.s - a.n * b.s) * (b.n * a.s - a.n * b.s) AS cell
+                FROM g a JOIN g b ON a.i = b.i AND a.label < b.label)
+      SELECT la, lb, CAST(na AS BIGINT) AS na, CAST(nb AS BIGINT) AS nb,
+        CAST(SUM(cell) * 1000 // (na * nb * na * nb) AS BIGINT) AS d2_milli
+      FROM cells GROUP BY la, lb, na, nb ORDER BY 1, 2"""))
+
   val all: Seq[Q] = Seq(p01, p02, p03, p04, p05, p06, p07, p08, p09, p10,
     p11, p12, p13, p14, p15, p16, p17, p18, p19, p20, p21, p22, p23, p24,
     p25, p26, p27, p28, p29, p30, p31, p32, p33, p34, p35, p36, p37, p38,
@@ -7122,5 +7233,5 @@ object Pipeline {
     p67, p68, p69, p70, p71, p72, p73, p74, p75, p76, p77, p78, p79, p80,
     p81, p82, p83, p84, p85, p86, p87, p88, p89, p90, p91, p92, p93, p94,
     p95, p96, p97, p98, p99, p100, p101, p102, p103, p104, p105, p106,
-    p107, p108, p109, p110, p111)
+    p107, p108, p109, p110, p111, p112, p113)
 }

@@ -2285,4 +2285,62 @@ class SemanticsSpec extends AnyFunSuite {
     // Conservation: spectrum docs must add back up to the corpus.
     assert(rows.map(_._4).sum == docs.length.toLong, "doc conservation")
   }
+
+  test("posting spectrum matches an exact index replay") {
+    val sf = "/root/testdata/sf0.01"
+    val docs = Tables.load(spark, sf, "documents")
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    val pairs = docs.flatMap { case (id, t) =>
+      t.split(" ", -1).groupBy(identity).map { case (w, xs) =>
+        (w, id, xs.length.toLong)
+      }
+    }
+    val df = pairs.groupBy(_._1).map { case (w, ps) => (w, ps.length.toLong) }
+    val exp = pairs.groupBy { case (w, _, c) =>
+      (df(w).toBinaryString.length, c.toBinaryString.length)
+    }.map { case ((db, tb), ps) =>
+      (db, tb, ps.length.toLong, ps.map(_._1).distinct.length.toLong,
+        ps.map(_._3).sum, ps.map(_._3).max)
+    }.toSeq.sortBy(r => (r._1, r._2))
+    val rows = Catalog.byName("p112_posting_spectrum").run(spark, sf)
+      .select($"df_bucket", $"tf_bucket", $"n_postings", $"n_terms",
+        $"n_occurrences", $"max_in_doc")
+      .as[(Int, Int, Long, Long, Long, Long)].collect().toSeq
+    assert(rows.map(_._2).distinct.length > 2,
+      "fewer than three payload buckets — degenerate")
+    assert(rows == exp, "posting spectrum mismatch")
+    // Conservation: occurrences across cells == corpus token count.
+    assert(rows.map(_._5).sum ==
+      docs.map(_._2.split(" ", -1).length.toLong).sum, "token conservation")
+  }
+
+  test("class separation matches a BigInt centroid replay") {
+    val sf = "/root/testdata/sf0.01"
+    val vecs = Tables.load(spark, sf, "embeddings")
+      .select($"label", $"embedding").as[(Int, Seq[Float])].collect()
+      .filter(_._2.length == 64)
+      .map { case (l, v) =>
+        (l, v.map(x => BigInt(math.floor(x.toDouble * 1000.0 + 0.5).toLong)))
+      }
+    val byL = vecs.groupBy(_._1).map { case (l, g) =>
+      l -> ((BigInt(g.length),
+        (0 until 64).map(i => g.map(_._2(i)).sum)))
+    }
+    val labels = byL.keys.toSeq.sorted
+    val exp = (for {
+      a <- labels; b <- labels if a < b
+    } yield {
+      val (na, sa) = byL(a); val (nb, sb) = byL(b)
+      val dsc = (0 until 64).map { i =>
+        val diff = nb * sa(i) - na * sb(i); diff * diff
+      }.sum
+      (a, b, na.toLong, nb.toLong, ((dsc * 1000) / (na * nb * na * nb)).toLong)
+    }).sortBy(r => (r._1, r._2))
+    val rows = Catalog.byName("p113_class_separation").run(spark, sf)
+      .select($"la", $"lb", $"na", $"nb", $"d2_milli")
+      .as[(Int, Int, Long, Long, Long)].collect().toSeq
+    assert(rows == exp, "separation matrix mismatch")
+    assert(rows.map(_._5).distinct.length > 1,
+      "all class distances equal — degenerate")
+  }
 }

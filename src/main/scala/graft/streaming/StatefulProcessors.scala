@@ -34,6 +34,13 @@ case class PathEvent(userId: Long, eventId: Long, eventType: String, tsUs: Long)
 case class PathState(lastUs: Long, lastId: Long, lastType: String)
 case class PathEdge(userId: Long, src: String, dst: String)
 
+/** Gap-spectrum twin rows (p108): O(1) per-user state — the previous
+  * event's timestamp — and one magnitude-bucketed gap out per event that
+  * has a predecessor.
+  */
+case class GapLastState(lastUs: Long)
+case class GapOut(eventType: String, bucket: Int, gapUs: Long)
+
 /** Keep-best twin rows (p63): one fingerprinted document in, one winner
   * CHANGE out; state is the current best member per cluster.
   */
@@ -352,6 +359,56 @@ object StatefulProcessors {
   /** Keep-best stream over fingerprinted document frames
     * (simhash, doc_id, source, n_chars).
     */
+  /** Streaming twin of the p108 inter-event gap spectrum: per-user O(1)
+    * state (the last event's µs timestamp) and one bucketed gap emitted
+    * per event with a predecessor — the live form of the session-gap /
+    * watermark tuning audit, so the histogram a downstream monitor
+    * aggregates is available continuously instead of per batch job. The
+    * bucket is the gap's binary magnitude (Long.toBinaryString length ==
+    * the batch entry's length(bin(gap))). Same arrival contract as
+    * SessionPathProcessor: within a batch rows sort by (tsUs, eventId);
+    * across batches per-user event-time order must be non-decreasing —
+    * the file-per-chunk replay pattern the restart tests pin.
+    */
+  class GapSpectrumProcessor
+      extends StatefulProcessor[Long, PathEvent, GapOut] {
+    @transient private var st: ValueState[GapLastState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[GapLastState]("lastSeen",
+        Encoders.product[GapLastState], TTLConfig.NONE)
+
+    override def handleInputRows(user: Long, rows: Iterator[PathEvent],
+        timerValues: TimerValues): Iterator[GapOut] = {
+      var last = if (st.exists()) st.get().lastUs else -1L
+      val out = scala.collection.mutable.ListBuffer.empty[GapOut]
+      rows.toSeq.sortBy(e => (e.tsUs, e.eventId)).foreach { e =>
+        if (last >= 0) {
+          val gap = e.tsUs - last
+          out += GapOut(e.eventType, java.lang.Long.toBinaryString(gap).length,
+            gap)
+        }
+        last = e.tsUs
+      }
+      st.update(GapLastState(last))
+      out.iterator
+    }
+  }
+
+  /** Gap-spectrum stream over raw event frames
+    * (user_id, event_id, event_type, ts). */
+  def gapSpectrum(events: DataFrame): Dataset[GapOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.select(col("user_id").cast("long").as("userId"),
+        col("event_id").cast("long").as("eventId"),
+        col("event_type").as("eventType"), unix_micros(col("ts")).as("tsUs"))
+      .as[PathEvent]
+      .groupByKey(_.userId)
+      .transformWithState(new GapSpectrumProcessor,
+        TimeMode.None(), OutputMode.Append())
+  }
+
   def keepBest(docs: DataFrame): Dataset[WinnerRow] = {
     val spark = docs.sparkSession
     import spark.implicits._

@@ -720,6 +720,37 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming gap spectrum matches the p108 batch histogram") {
+    withRocksDb {
+      implicit val sqlCtx = spark.sqlContext
+      val sf = "/root/testdata/sf0.001"
+      val ev = graft.Tables.load(spark, sf, "events")
+        .select($"user_id", $"event_id", $"event_type", $"ts")
+      val rows = ev.orderBy($"ts", $"event_id").as[PathEvCC].collect().toSeq
+      // Two chunks across the global time order: exercises the
+      // cross-batch state handoff (a user's last event in chunk 1 is the
+      // predecessor of their first event in chunk 2).
+      val (c1, c2) = rows.splitAt(rows.length / 2)
+      val ms = MemoryStream[PathEvCC]
+      ms.addData(c1)
+      ms.addData(c2)
+      val q = StatefulProcessors.gapSpectrum(ms.toDF())
+        .writeStream.format("memory").queryName("gap_sink")
+        .outputMode("append").start()
+      q.processAllAvailable()
+      q.stop()
+      val got = spark.table("gap_sink")
+        .groupBy($"eventType", $"bucket")
+        .agg(count(lit(1)).as("n"), min($"gapUs").as("mn"),
+          max($"gapUs").as("mx"))
+        .as[(String, Int, Long, Long, Long)].collect().toSeq.sorted
+      val expect = graft.Catalog.byName("p108_gap_spectrum").run(spark, sf)
+        .as[(String, Int, Long, Long, Long)].collect().toSeq.sorted
+      assert(got == expect, s"stream ${got.size} cells vs batch ${expect.size}")
+      assert(got.map(_._2).distinct.length > 3, "degenerate bucket spread")
+    }
+  }
+
   private def tmpDir(prefix: String): String =
     java.nio.file.Files.createTempDirectory(prefix).toString
 

@@ -5101,6 +5101,12 @@ object Pipeline {
     * runs inside blocks only; per-source rollup partial-aggregates. Hot
     * template heads (the p76 finding) are exactly the skew the p15 cap +
     * salt answer handles if a block explodes.
+    *
+    * Scale contract (same as p13/p89): within-block pairs square with the
+    * replica factor — target/sf10's 100-way key-offset families square
+    * the head blocks — so this entry is gated through sf1 and EXCLUDED
+    * from decade scale-ups by contract; the production form routes
+    * oversized blocks through the p15 capped representative star.
     */
   private val p82 = Q(
     "p82_prefix_contain",

@@ -790,6 +790,24 @@ object Pipeline {
     cp.sparkSession.createDataFrame(cp.rdd, cp.schema)
   }
 
+  /** pin at DISK_ONLY — for LARGE static frames an iterative op re-reads
+    * across many jobs (p42's multi-GB adjacency). The default
+    * MEMORY_AND_DISK pin squats in the PROTECTED half of unified memory
+    * (spark.memory.storageFraction): execution can only evict storage
+    * down to that floor, so a couple of GB of pinned blocks permanently
+    * halves the aggregate/join memory every concurrent task shares — the
+    * sf10 p42 OOM class. DISK_ONLY keeps the whole execution pool free;
+    * re-reads come off the OS page cache (the blocks were written
+    * moments ago), which is exactly how a reliable-checkpoint round trip
+    * behaves on a real cluster. Small per-round frames (labels, ranks)
+    * stay on the memory pin above.
+    */
+  private def pinDisk(df: DataFrame): DataFrame = {
+    val cp = df.localCheckpoint(true,
+      org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    cp.sparkSession.createDataFrame(cp.rdd, cp.schema)
+  }
+
   /** One hook step on the quotient graph: for each current label-group,
     * find the min label adjacent to any member and move the whole group
     * there. `hint` wraps the small side of each join — `broadcast` while
@@ -2279,14 +2297,48 @@ object Pipeline {
         .select(($"o_custkey" * 2).as("cnode"),
           ($"l_suppkey" * 2 + 1).as("snode"))
         .distinct()
-      // Pin the UNDIRECTED pairs (5.9M rows at sf1), not the doubled edge
-      // list (11.7M): the union-reversal is a narrow re-projection of the
-      // pinned blocks, so each round scans the same total rows either way
-      // while the checkpoint write/storage halves.
-      val pinnedPairs = pin(pairs)
-      val edges = pinnedPairs.select($"cnode".as("src"), $"snode".as("dst"))
-        .unionAll(pinnedPairs.select($"snode".as("src"), $"cnode".as("dst")))
-      val deg = pin(edges.groupBy($"src").agg(count(lit(1)).as("outdeg")))
+      // Intermediate pin: pairs derive once (lineitem⋈orders + distinct),
+      // the edges pin reads them twice (forward + reversed); the blocks
+      // are explicitly FREED right after edges materializes — at sf10
+      // they're ~1 GB of storage that would otherwise squat next to the
+      // broadcast rank for all three rounds.
+      val cpPairs = pairs.localCheckpoint(true,
+        org.apache.spark.storage.StorageLevel.DISK_ONLY)
+      val pinnedPairs =
+        cpPairs.sparkSession.createDataFrame(cpPairs.rdd, cpPairs.schema)
+      // Pin the doubled edge list HASH-PARTITIONED BY dst (the round
+      // aggregate's key). This is the per-round memory fix the sf10 gate
+      // needed: with edges unclustered, every round's partial
+      // `groupBy(dst)` map holds ~ALL node keys in EVERY task (1.6M keys
+      // × 32 concurrent maps at sf10 ≈ several GB of execution memory —
+      // the UNABLE_TO_ACQUIRE_MEMORY incident under the default 8g heap,
+      // BENCH_NOTES r7). Partitioned by dst, each task's map holds only
+      // its partition's share (~nodes/32), the partial output IS the
+      // final per-dst sum, and the per-round exchange carries ~node-count
+      // pre-aggregated rows instead of the full edge count. One extra
+      // 2×|pairs| shuffle at build time buys three (at real iteration
+      // counts: all) rounds of partition-local aggregation — the same
+      // partitioned-adjacency discipline distributed PageRank uses at
+      // cluster scale, where the adjacency is partitioned once and every
+      // superstep reuses it.
+      // DISK_ONLY (see pinDisk): the adjacency is the one multi-GB
+      // resident; keeping it out of protected storage memory is what
+      // lets the round aggregates breathe inside the default heap.
+      val edges = pinDisk(
+        pinnedPairs.select($"cnode".as("src"), $"snode".as("dst"))
+          .unionAll(pinnedPairs.select($"snode".as("src"), $"cnode".as("dst")))
+          .repartition($"dst"))
+      cpPairs.rdd.unpersist(blocking = false)
+      // Degree is counted on DST, not src: the doubled edge list is
+      // symmetric (pair (c,s) contributes src occurrences {c,s} AND dst
+      // occurrences {s,c}), so outdeg(x) == indeg(x) — and grouping on
+      // the partitioning key keeps THIS aggregate's maps partition-local
+      // too. Grouping on src here was the second memory hot spot: over
+      // dst-partitioned edges every task sees ~every src key, which is
+      // exactly the 32-concurrent-full-keyspace-maps shape the
+      // repartition exists to prevent.
+      val deg = pin(edges.groupBy($"dst".as("src"))
+        .agg(count(lit(1)).as("outdeg")))
       // pin resets plan stats to default (huge), so size-based planning
       // would sort-merge every round. The node table is edge-ENDPOINTs —
       // orders of magnitude smaller than edges — so hint broadcast while
@@ -2336,7 +2388,8 @@ object Pipeline {
     var edges: DataFrame = null
     time("p42.edges_pin") {
       edges = pin(pairs.select($"cnode".as("src"), $"snode".as("dst"))
-        .unionAll(pairs.select($"snode".as("src"), $"cnode".as("dst"))))
+        .unionAll(pairs.select($"snode".as("src"), $"cnode".as("dst")))
+        .repartition($"dst"))
       edges.count()
     }
     var deg: DataFrame = null
@@ -5106,7 +5159,8 @@ object Pipeline {
     * replica factor — target/sf10's 100-way key-offset families square
     * the head blocks — so this entry is gated through sf1 and EXCLUDED
     * from decade scale-ups by contract; the production form routes
-    * oversized blocks through the p15 capped representative star.
+    * oversized blocks through the p15 capped representative star — that
+    * form is GATED AT EVERY SF as its own entry, p82_capped below.
     */
   private val p82 = Q(
     "p82_prefix_contain",
@@ -5150,6 +5204,95 @@ object Pipeline {
         CAST(COALESCE(ANY_VALUE(pr.n_contained), 0) AS BIGINT) AS n_contained,
         CAST(COALESCE(ANY_VALUE(pr.n_pairs), 0) AS BIGINT) AS n_pairs
       FROM documents d LEFT JOIN pr ON pr.src_a = d.source
+      GROUP BY d.source ORDER BY d.source"""))
+
+  /** p82_capped — prefix-containment through the CAPPED block route: the
+    * decade-scale production form of p82 (whose exact within-block verify
+    * squares with the replica factor and is excluded from sf10 by
+    * contract). Same head-digest blocking, but candidate pairs come from
+    * [[cappedBlockPairs]] — exact all-pairs for blocks ≤ cap,
+    * representative-star via the 1-row MinHash sub-key for oversized
+    * blocks — so pair count is bounded ~linearly at ANY corpus size.
+    * Within capped blocks the result equals p82 exactly; inside an
+    * oversized block recall degrades to containments that touch the
+    * sub-bucket representative (the same documented trade as p15/p16).
+    * The oracle mirrors the cap EXACTLY, so the gate holds at every sf —
+    * this is the sf10-board row p82's contract note pointed at.
+    *
+    * Candidate pairs carry doc_ids ONLY through the window + salt chain;
+    * texts rejoin by id afterwards (p16's rejoin lesson — carrying text
+    * through the salted explode copies every payload nsalt+2 times).
+    * Containment is direction-resolved AFTER pairing: an unordered
+    * candidate (a,b) yields a contained-row for whichever side is the
+    * strict token-prefix of the other (both directions can't hold — the
+    * lengths are strict).
+    */
+  private val p82c = Q(
+    "p82_capped_prefix_contain",
+    (s, d) => {
+      import s.implicits._
+      val dd = T(s, d, "documents")
+        .select($"doc_id", $"source", $"text", $"n_chars",
+          md5(array_join(slice(split($"text", " "), 1, 10), " ")).as("hg"))
+      val txt = dd.select($"doc_id", $"text", $"n_chars", $"source")
+      val cand = cappedBlockPairs(dd, Seq("hg"), Seq(), DefaultBlockCap)
+        .join(txt.select($"doc_id".as("jid_a"), $"text".as("t_a"),
+          $"n_chars".as("c_a"), $"source".as("s_a")), $"id_a" === $"jid_a")
+        .join(txt.select($"doc_id".as("jid_b"), $"text".as("t_b"),
+          $"n_chars".as("c_b"), $"source".as("s_b")), $"id_b" === $"jid_b")
+      val fwd = cand.select($"id_a".as("cid"), $"s_a".as("csrc"),
+        $"t_a".as("ct"), $"c_a".as("cc"), $"t_b".as("bt"), $"c_b".as("bc"))
+      val rev = cand.select($"id_b".as("cid"), $"s_b".as("csrc"),
+        $"t_b".as("ct"), $"c_b".as("cc"), $"t_a".as("bt"), $"c_a".as("bc"))
+      val pr = fwd.unionAll(rev)
+        .filter($"bc" > $"cc" && expr("startswith(bt, concat(ct, ' '))"))
+        .groupBy($"csrc")
+        .agg(countDistinct($"cid").as("n_contained"),
+          count(lit(1)).as("n_pairs"))
+      T(s, d, "documents").groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"))
+        .join(pr, $"source" === $"csrc", "left_outer")
+        .select($"source", $"n_docs",
+          coalesce($"n_contained", lit(0L)).as("n_contained"),
+          coalesce($"n_pairs", lit(0L)).as("n_pairs"))
+        .orderBy($"source")
+    },
+    Some(s"""
+      WITH d0 AS (
+        SELECT doc_id, source, text, n_chars,
+          md5(array_to_string(string_split(text, ' ')[1:10], ' ')) AS hg
+        FROM documents),
+      d AS (SELECT *, COUNT(*) OVER (PARTITION BY hg) AS blk_n FROM d0),
+      small AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.text AS ta, b.text AS tb,
+               a.n_chars AS ca, b.n_chars AS cb, a.source AS sa, b.source AS sb
+        FROM d a JOIN d b ON a.hg = b.hg AND a.doc_id < b.doc_id
+        WHERE a.blk_n <= $DefaultBlockCap),
+      bigsub AS (
+        SELECT *, list_min(list_transform($shinglesSqlDuck,
+            sg -> ('0x' || substr(md5(sg), 1, 15))::BIGINT)) AS sub
+        FROM d WHERE blk_n > $DefaultBlockCap),
+      big AS (
+        SELECT *, MIN(doc_id) OVER (PARTITION BY hg, sub) AS rep_id
+        FROM bigsub),
+      bigp AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.text AS ta, b.text AS tb,
+               a.n_chars AS ca, b.n_chars AS cb, a.source AS sa, b.source AS sb
+        FROM big a JOIN big b ON a.doc_id = b.rep_id AND b.doc_id > b.rep_id),
+      pairs AS (SELECT * FROM small UNION ALL SELECT * FROM bigp),
+      contained AS (
+        SELECT id_a AS cid, sa AS csrc FROM pairs
+        WHERE cb > ca AND starts_with(tb, ta || ' ')
+        UNION ALL
+        SELECT id_b, sb FROM pairs
+        WHERE ca > cb AND starts_with(ta, tb || ' ')),
+      pr AS (SELECT csrc, CAST(COUNT(DISTINCT cid) AS BIGINT) AS n_contained,
+               CAST(COUNT(*) AS BIGINT) AS n_pairs
+             FROM contained GROUP BY csrc)
+      SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        CAST(COALESCE(ANY_VALUE(pr.n_contained), 0) AS BIGINT) AS n_contained,
+        CAST(COALESCE(ANY_VALUE(pr.n_pairs), 0) AS BIGINT) AS n_pairs
+      FROM documents d LEFT JOIN pr ON pr.csrc = d.source
       GROUP BY d.source ORDER BY d.source"""))
 
   /** p83 — quality-filter bias audit: compare a single GLOBAL quality
@@ -6161,8 +6304,8 @@ object Pipeline {
 
   /** p97 — retrieval ranking-quality audit (nDCG/MRR): rank documents
     * per query term by RAW term frequency (the naive ranker), judge them
-    * by length-normalized density (rel 2 when tf·20 ≥ doc_len, rel 1
-    * when tf·40 ≥ doc_len — editorial relevance the ranker does NOT see,
+    * by length-normalized density (rel 2 when tf·9 ≥ doc_len, rel 1
+    * when tf·14 ≥ doc_len — editorial relevance the ranker does NOT see,
     * so the audit is non-degenerate), and score the top 10 with
     * EXPONENTIAL-discount DCG: weight 2^(10−rank), all-integer, so
     * DCG/IDCG are exact BIGINTs in both engines and nDCG is ONE double
@@ -7210,7 +7353,13 @@ object Pipeline {
         .groupBy($"la", $"lb", $"na", $"nb")
         .agg(sum($"cell").cast(DecimalType(38, 0)).as("dsc"))
         .select($"la", $"lb", $"na", $"nb",
-          expr("(dsc * 1000) div (na * nb * na * nb)").as("d2_milli"))
+          // Divisor (na·nb)² in DECIMAL(38,0), matching the oracle's
+          // HUGEINT: in BIGINT it overflows silently once na·nb exceeds
+          // ~3e9 (na,nb ≈ 55k each — reachable). Decimal holds to
+          // na·nb ≈ 1e19, i.e. ~3e9 rows PER LABEL on each side.
+          expr("""(dsc * 1000) div (CAST(na AS DECIMAL(38,0)) *
+                  CAST(nb AS DECIMAL(38,0)) * CAST(na AS DECIMAL(38,0)) *
+                  CAST(nb AS DECIMAL(38,0)))""").as("d2_milli"))
         .orderBy($"la", $"lb")
     },
     Some("""
@@ -7237,7 +7386,7 @@ object Pipeline {
     p39, p40, p41, p42, p43, p44, p45, p46, p47, p48, p49, p50, p51, p52,
     p53, p54, p55, p56, p57, p58, p59, p60, p61, p62, p63, p64, p65, p66,
     p67, p68, p69, p70, p71, p72, p73, p74, p75, p76, p77, p78, p79, p80,
-    p81, p82, p83, p84, p85, p86, p87, p88, p89, p90, p91, p92, p93, p94,
-    p95, p96, p97, p98, p99, p100, p101, p102, p103, p104, p105, p106,
+    p81, p82, p82c, p83, p84, p85, p86, p87, p88, p89, p90, p91, p92, p93,
+    p94, p95, p96, p97, p98, p99, p100, p101, p102, p103, p104, p105, p106,
     p107, p108, p109, p110, p111, p112, p113)
 }

@@ -41,6 +41,13 @@ case class PathEdge(userId: Long, src: String, dst: String)
 case class GapLastState(lastUs: Long)
 case class GapOut(eventType: String, bucket: Int, gapUs: Long)
 
+/** Session-window twin rows (q11): per-bidder event-time sessions. */
+case class SessBidIn(bidder: Int, price: Int, tsUs: Long)
+case class SessState(startUs: Long, lastUs: Long, n: Long,
+    minP: Int, maxP: Int)
+case class SessionRow(bidder: Int, sessionStartUs: Long, sessionEndUs: Long,
+    nBids: Long, minPrice: Int, maxPrice: Int)
+
 /** Keep-best twin rows (p63): one fingerprinted document in, one winner
   * CHANGE out; state is the current best member per cluster.
   */
@@ -150,6 +157,78 @@ object StatefulProcessors {
       st.clear()
       Iterator.single(
         GapWindowOut(bidder, s.startMs, s.startMs + sizeMs, s.n))
+    }
+  }
+
+  /** NEXMark q11's EVENT-TIME session windows on explicit timers — the
+    * reference's actual per-key gap algorithm (flock-function/src/aws/
+    * window/session.rs:64-179: per-key open-session state, close when the
+    * event-time gap exceeds the threshold), where the gated q11 entry uses
+    * the built-in `session_window` aggregate. Semantics match the
+    * built-in exactly: an event EXTENDS the session iff ts < last + gap
+    * (strict — touching windows don't merge), session_end = last + gap.
+    *
+    * Timer discipline: one event-time timer per open session at
+    * ceil((last+gap)/1ms); every input batch first cancels the prior
+    * registration, folds the rows (sorted — within a batch arrival order
+    * is irrelevant), closes inline any session a same-batch successor
+    * outran, and re-registers for the surviving session. The
+    * stale-expiry guard mirrors GapWindowProcessor: only the timer whose
+    * expiry matches the CURRENT state may close it. Late rows (behind
+    * the watermark) never reach the processor, so a fired timer is
+    * final — exactly the close condition the reference's epoch scan
+    * evaluates. O(1) state + one timer per in-flight (bidder) key.
+    */
+  class SessionWindowProcessor(gapUs: Long)
+      extends StatefulProcessor[Int, SessBidIn, SessionRow] {
+    @transient private var st: ValueState[SessState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[SessState]("sess",
+        Encoders.product[SessState], TTLConfig.NONE)
+
+    /** Timer slot for a session: first whole millisecond at or after the
+      * µs close instant — a timer must never fire BEFORE the session can
+      * still be extended.
+      */
+    private def expiryMs(s: SessState): Long =
+      -Math.floorDiv(-(s.lastUs + gapUs), 1000L)
+
+    private def emit(bidder: Int, s: SessState): SessionRow =
+      SessionRow(bidder, s.startUs, s.lastUs + gapUs, s.n, s.minP, s.maxP)
+
+    override def handleInputRows(bidder: Int, rows: Iterator[SessBidIn],
+        timerValues: TimerValues): Iterator[SessionRow] = {
+      val out = scala.collection.mutable.ListBuffer.empty[SessionRow]
+      var cur = if (st.exists()) Some(st.get()) else None
+      cur.foreach(s => getHandle.deleteTimer(expiryMs(s)))
+      rows.toSeq.sortBy(_.tsUs).foreach { r =>
+        cur match {
+          case Some(s) if r.tsUs < s.lastUs + gapUs =>
+            cur = Some(SessState(s.startUs, math.max(s.lastUs, r.tsUs),
+              s.n + 1, math.min(s.minP, r.price), math.max(s.maxP, r.price)))
+          case Some(s) =>
+            out += emit(bidder, s)
+            cur = Some(SessState(r.tsUs, r.tsUs, 1L, r.price, r.price))
+          case None =>
+            cur = Some(SessState(r.tsUs, r.tsUs, 1L, r.price, r.price))
+        }
+      }
+      cur.foreach { s =>
+        st.update(s)
+        getHandle.registerTimer(expiryMs(s))
+      }
+      out.iterator
+    }
+
+    override def handleExpiredTimer(bidder: Int, timerValues: TimerValues,
+        expiredTimerInfo: ExpiredTimerInfo): Iterator[SessionRow] = {
+      if (!st.exists()) return Iterator.empty
+      val s = st.get()
+      if (expiredTimerInfo.getExpiryTimeInMs() != expiryMs(s))
+        return Iterator.empty
+      st.clear()
+      Iterator.single(emit(bidder, s))
     }
   }
 
@@ -431,6 +510,26 @@ object StatefulProcessors {
       .groupByKey(_.auction)
       .transformWithState(new AuctionTopK(k),
         TimeMode.None(), OutputMode.Update())
+  }
+
+  /** q11 twin of StreamQueries.q11, on explicit event-time timers.
+    * Applies the watermark internally (event-time timers require one);
+    * emits closed sessions with µs bounds — `timestamp_micros` the
+    * sessionStartUs/sessionEndUs columns to compare against the batch
+    * q11's timestamps.
+    */
+  def sessionWindowsTws(bids: DataFrame, gapUs: Long = 10000000L,
+      delay: String = "5 seconds"): Dataset[SessionRow] = {
+    val spark = bids.sparkSession
+    import spark.implicits._
+    bids.withWatermark("b_date_time", delay)
+      .select(col("bidder").cast("int").as("bidder"),
+        col("price").cast("int").as("price"),
+        unix_micros(col("b_date_time")).as("tsUs"))
+      .as[SessBidIn]
+      .groupByKey(_.bidder)
+      .transformWithState(new SessionWindowProcessor(gapUs),
+        TimeMode.EventTime(), OutputMode.Append())
   }
 
   /** q12 twin of StreamQueries.q12, on explicit timers. */

@@ -103,6 +103,19 @@ object StreamPipeline {
     *
     * Emits the accepted documents in append mode (no aggregate, so rows
     * flow immediately; the watermark only bounds dedup state).
+    *
+    * SURVIVOR-SELECTION CONTRACT (caller-facing): within a duplicate
+    * group this keeps the FIRST ARRIVAL, which equals the batch twin's
+    * "min doc_id per digest" rule ONLY when arrival order follows doc_id
+    * order within the watermark horizon. Out-of-order arrival inside the
+    * horizon silently picks a different (still single, still
+    * deterministic-per-replay) survivor — the accepted SET of fingerprints
+    * is identical either way; only WHICH doc represents a group differs.
+    * Callers needing batch-identical survivors must either feed the
+    * stream in doc_id order (the mode StreamingSpec pins with its
+    * in-order-replay equality test) or reconcile downstream on the
+    * emitted doc_id, which this passes through untouched for exactly
+    * that purpose.
     */
   def ingestStream(docs: DataFrame, indexFps: DataFrame,
       horizon: String = "10 seconds"): DataFrame =

@@ -492,6 +492,71 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("transformWithState session windows (q11 twin) == batch session_window") {
+    withRocksDb {
+      implicit val sqlCtx = spark.sqlContext
+      // Sentinel far past the data: advances the event-time watermark
+      // beyond every real session's expiry so the timers fire and every
+      // session emits in append mode (same flush the built-in q11 test
+      // uses); its own session is filtered out below.
+      val maxTs = batchBids.agg(max($"b_date_time")).head().getTimestamp(0)
+      val sentinel = BidCC(-1, -1, 0,
+        java.sql.Timestamp.from(maxTs.toInstant.plusSeconds(3600)))
+      val ms = MemoryStream[BidCC]
+      val q = StatefulProcessors.sessionWindowsTws(ms.toDF())
+        .toDF().writeStream.format("memory").queryName("tws_sess")
+        .outputMode("append").start()
+      ms.addData(bidRows)
+      q.processAllAvailable()
+      ms.addData(Seq(sentinel))
+      q.processAllAvailable()
+      q.stop()
+      val got = spark.table("tws_sess").filter($"bidder" =!= -1)
+        .select($"bidder", $"sessionStartUs", $"sessionEndUs", $"nBids",
+          $"minPrice", $"maxPrice")
+      val expect = StreamQueries.q11(batchBids)
+        .select($"bidder", unix_micros($"session_start").as("sessionStartUs"),
+          unix_micros($"session_end").as("sessionEndUs"), $"n_bids".as("nBids"),
+          $"min_price".as("minPrice"), $"max_price".as("maxPrice"))
+      assert(got.count() > 100, "degenerate: almost no sessions emitted")
+      assertSameRows(got, expect)
+    }
+  }
+
+  test("session windows (q11 twin) survive a checkpoint restart with state carried") {
+    withRocksDb {
+      implicit val sqlCtx = spark.sqlContext
+      // Event-time median cut: sessions in flight at the cut are carried
+      // as state + a re-registered timer into run 2.
+      val bids = batchBids.select($"bidder", $"price",
+        $"b_date_time".as("ts"))
+      val cutUs = bids.select(unix_micros($"ts").as("us"))
+        .stat.approxQuantile("us", Array(0.5), 0.0).head.toLong
+      val maxTs = batchBids.agg(max($"b_date_time")).head().getTimestamp(0)
+      val flush = Seq((-1, 0, java.sql.Timestamp.from(
+        maxTs.toInstant.plusSeconds(3600))))
+        .toDF("bidder", "price", "ts")
+      val (run1, run2) = restartRuns(
+        bids.unionByName(flush), cutUs,
+        df => StatefulProcessors.sessionWindowsTws(
+          df.withColumnRenamed("ts", "b_date_time")))(
+        df => df.as[SessionRow].collect().toSeq)
+      val gotAll = (run1 ++ run2).filter(_.bidder != -1)
+        .map(r => (r.bidder, r.sessionStartUs, r.sessionEndUs, r.nBids,
+          r.minPrice, r.maxPrice)).sorted
+      val expect = StreamQueries.q11(batchBids)
+        .select($"bidder", unix_micros($"session_start"),
+          unix_micros($"session_end"), $"n_bids", $"min_price", $"max_price")
+        .as[(Int, Long, Long, Long, Int, Int)].collect().toSeq.sorted
+      assert(gotAll == expect,
+        s"restarted session stream ${gotAll.size} vs batch ${expect.size}")
+      // State genuinely crossed the restart: at least one emitted session
+      // spans the cut (starts before it, closes after it).
+      assert(gotAll.exists(r => r._2 < cutUs && r._3 > cutUs),
+        "no session spanned the restart boundary — cut proves nothing")
+    }
+  }
+
   test("dropDuplicatesWithinWatermark dedups near-in-time twins with bounded state") {
     implicit val sqlCtx = spark.sqlContext
     val t0 = 1700000000000L

@@ -3,10 +3,23 @@
 # single oracle whose cost explodes at a big SF (documented-quadratic class)
 # cannot stall a full-board gate. Usage:
 #   tools/check_all.sh <sfDir> <verifyOutDir> [timeout_s] > log
-# Prints check.py's own ok/FAIL lines plus TIMEOUT markers.
+# Prints check.py's own ok/FAIL lines, plus TIMEOUT (exit 124 from
+# timeout(1)) or ERROR markers. A check.py crash (traceback, missing file,
+# import error) is labeled ERROR with its exit code, never TIMEOUT — the
+# exit status is captured before any pipe so it can't be discarded.
 SF="$1"; OUT="$2"; T="${3:-900}"
+TMP=$(mktemp)
+trap 'rm -f "$TMP"' EXIT
 for d in "$OUT"/*/; do
   n=$(basename "$d")
-  timeout "$T" python3 tools/check.py "$SF" "$OUT" "$n" 2>&1 | grep -E "^(ok|FAIL)" \
-    || echo "TIMEOUT $n (> ${T}s)"
+  timeout "$T" python3 tools/check.py "$SF" "$OUT" "$n" >"$TMP" 2>&1
+  rc=$?
+  if grep -E "^(ok|FAIL)" "$TMP"; then
+    :
+  elif [ "$rc" -eq 124 ]; then
+    echo "TIMEOUT $n (> ${T}s)"
+  else
+    echo "ERROR $n (exit $rc)"
+    sed 's/^/  # /' "$TMP" | tail -5
+  fi
 done

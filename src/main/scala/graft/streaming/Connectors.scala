@@ -26,7 +26,11 @@ import org.apache.spark.sql.types._
   * data-source-lookup error — i.e. the first thing a deploying cluster's
   * classpath fixes.
   *
-  * ENABLEMENT (deploying cluster, verbatim):
+  * ENABLEMENT (deploying cluster, verbatim) — and once enabled, the
+  * ready-made end-to-end proof is [[graft.streaming.KafkaIntegrationSpec]]
+  * (cancels cleanly offline; runs unmodified against
+  * tools/kafka/docker-compose.yml with
+  * `-Dgraft.kafka.bootstrap=localhost:9092`):
   *   Kafka — add to spark-submit:
   *     --packages org.apache.spark:spark-sql-kafka-0-10_2.13:4.1.2
   *   (pulls kafka-clients, spark-token-provider-kafka-0-10, commons-pool2

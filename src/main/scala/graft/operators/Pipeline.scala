@@ -271,6 +271,36 @@ object Pipeline {
       .distinct()
   }
 
+  /** CC candidate edges as per-bucket STARS: every (band, h) bucket
+    * contributes member→min-member edges instead of its all-pairs
+    * clique. The union over buckets has IDENTICAL connected components
+    * (a clique and its star span the same vertex set), at O(docs·bands)
+    * edges instead of Σ|bucket|² — at sf10's 100-way replica families
+    * that is ~20M edges instead of ~250M+, the difference between a CC
+    * loop that fits the default heap and one whose per-round sort-merge
+    * spills past free disk (r8 probe forensics). p08 keeps the
+    * all-pairs form: its deliverable IS the pair list (and is excluded
+    * from decade scale-up for exactly that output shape); p17's
+    * deliverable is the component, which the star preserves bit-exactly
+    * — the committed recursive-CTE oracle runs on the CLIQUE graph and
+    * still matches.
+    */
+  def lshStarEdges(sigs: DataFrame, bands: Int, rowsPerBand: Int): DataFrame = {
+    val bandKey = (b: Int) =>
+      if (rowsPerBand == 1) col(s"m$b")
+      else array((0 until rowsPerBand).map(r => col(s"m${b * rowsPerBand + r}")): _*)
+    val bandsDf = sigs.select(col("doc_id"),
+      explode(array((0 until bands).map(b =>
+        struct(lit(b).as("band"), bandKey(b).as("h"))): _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.h").as("h"))
+    bandsDf
+      .withColumn("rep",
+        min(col("doc_id")).over(Window.partitionBy(col("band"), col("h"))))
+      .filter(col("doc_id") > col("rep"))
+      .select(col("rep").as("id_a"), col("doc_id").as("id_b"))
+      .distinct()
+  }
+
   /** The sh/sigs/bands/cand CTE chain of the 4×1 LSH oracle — shared body
     * for the p08 and p17 oracles (p17 prepends WITH RECURSIVE).
     */
@@ -729,6 +759,13 @@ object Pipeline {
     * nsalt+2 times and made p16 the worst scaler in the sf1 spot-gate
     * (10.7 s vs 3.9 s with the rejoin). At 100 TB the rejoin is two
     * id-key joins where each array moves exactly once per side.
+    *
+    * Oracle contract: the committed DuckDB oracle pays a per-pair
+    * list-intersection that is quadratic in shingle length — fine
+    * through sf1, past the wall cap at sf10. The decade gate is
+    * tools/ngram_check.py (linear DuckDB derivation + python jaccard
+    * memoized by distinct text pair), cross-validated against this
+    * oracle at sf0.01/sf0.1 and green at sf10 (r8).
     */
   /** p16 body — blocked exact n-gram Jaccard pairs with the same cap. */
   def ngramJaccardPairs(docs: DataFrame, cap: Int = DefaultBlockCap): DataFrame = {
@@ -808,6 +845,18 @@ object Pipeline {
     cp.sparkSession.createDataFrame(cp.rdd, cp.schema)
   }
 
+  /** Free a pin's blocks the moment it is superseded. Without this,
+    * checkpoint blocks survive until the DRIVER GC collects the RDD
+    * reference (ContextCleaner) — an iterative loop accumulates every
+    * round's pin in storage memory for its whole run (Bench unpersists
+    * between entries; this is the within-entry form). Only call on pins
+    * nothing will read again: a localCheckpointed RDD cannot be
+    * recomputed (Spark logs exactly that WARN on this call — expected).
+    */
+  private def freePin(df: DataFrame): Unit =
+    try df.rdd.unpersist(blocking = false)
+    catch { case _: Throwable => () }
+
   /** One hook step on the quotient graph: for each current label-group,
     * find the min label adjacent to any member and move the whole group
     * there. `hint` wraps the small side of each join — `broadcast` while
@@ -832,20 +881,35 @@ object Pipeline {
     val dbg = sys.env.contains("GRAFT_CC_DEBUG")
     def now = System.nanoTime()
     val tStart = now
-    val cand = lshCandidates(sigsDf(s, d, 4), 4, 1)
-    var edges = pin(cand.select($"id_a".as("src"), $"id_b".as("dst"))
+    // Star edges, not the all-pairs clique — same components, linear
+    // edge count (see lshStarEdges).
+    val cand = lshStarEdges(sigsDf(s, d, 4), 4, 1)
+    // Both edge pins at DISK_ONLY (see pinDisk: at sf10 the edge list is
+    // the multi-GB resident, and MEMORY_AND_DISK pins squat in protected
+    // storage memory — the p42 OOM class; the r8 sf10 probe hit the same
+    // wall here). The pre-repartition pin is freed as soon as the
+    // repartitioned one materializes.
+    val edges0 = pinDisk(cand.select($"id_a".as("src"), $"id_b".as("dst"))
       .union(cand.select($"id_b".as("src"), $"id_a".as("dst"))))
     // Size the loop tables to the data: the edge set is tiny relative to
     // the corpus (near-dup pairs only), and the loop's cost is per-round
     // job overhead, not volume — so pick partitions from the actual edge
     // count (~2M rows each) instead of inheriting the scan parallelism.
-    val nEdges = edges.count()
+    val nEdges = edges0.count()
     if (dbg) System.err.println(
       f"[cc] edges=$nEdges built at ${(now - tStart) / 1e9}%.2fs")
     val parts = math.max(1L, nEdges / 2000000L).toInt
-    edges = pin(edges.repartition(parts))
+    // HASH partitioning, not round-robin: `repartition(n)` makes Spark
+    // sort every input partition first (spark.sql.execution
+    // .sortBeforeRepartition, for deterministic retries) — at sf10 that
+    // is 32 concurrent full-partition UnsafeExternalRowSorters on top of
+    // the pinned storage, the second OOM site of the r8 probe. Hashing
+    // on src needs no sort, and clusters each node's edges for the
+    // loop's per-round src-side joins.
+    val edges = pinDisk(edges0.repartition(parts, $"src"))
+    freePin(edges0)
     var labels = pin(edges.select($"src".as("id")).distinct()
-      .select($"id", $"id".as("label")).repartition(parts))
+      .select($"id", $"id".as("label")).repartition(parts, $"id"))
     // Broadcast guard: the loop's `broadcast()` hints are only correct
     // while the endpoint set is small. Count it ONCE (labels only ever
     // shrink in distinctness, never grow) and pick hint-vs-plain for the
@@ -900,10 +964,12 @@ object Pipeline {
         val s = labelSum(jumped)
         jumping = s < prevSum
         prevSum = s
-        cur = jumped
+        freePin(cur) // superseded round pin; 25-round loops otherwise
+        cur = jumped //   hold every generation in storage at once
       }
       changed = prevSum < curSum
       curSum = prevSum
+      freePin(labels)
       labels = cur
       iter += 1
       if (dbg) System.err.println(

@@ -33,11 +33,20 @@ def main():
         con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{p}')")
     sql = json.load(open(os.path.join(out_dir, "oracle_sql.json")))[
         "p17_dedup_clusters"]
-    # Cut the oracle at the recursive closure: keep everything up to (and
-    # excluding) the `reach` CTE, select the candidate edges instead.
-    cut = sql.index("reach(id, lab)")
+    # Cut the oracle at the candidate clique: keep everything up to (and
+    # excluding) the `cand` CTE — the per-doc band keys, verbatim from
+    # the committed oracle — and derive per-bucket STAR edges instead of
+    # the all-pairs clique. A bucket's star and its clique have identical
+    # connected components, and the star's edge count is linear in docs
+    # (the clique's is quadratic in the replica factor — the reason this
+    # gate was sf1-bound before r8).
+    cut = sql.index("cand AS")
     prefix = sql[:cut].rstrip().rstrip(",")
-    edges = con.execute(prefix + "\nSELECT id_a, id_b FROM cand").fetchall()
+    edges = con.execute(prefix + """,
+      star AS (SELECT MIN(doc_id) OVER (PARTITION BY band, h) AS rep,
+                      doc_id
+               FROM bands)
+      SELECT DISTINCT rep, doc_id FROM star WHERE doc_id > rep""").fetchall()
 
     # Union by min id: the root of every set is its minimum member, so
     # find() yields the same cluster_id = min(component) as the oracle.

@@ -78,6 +78,12 @@ object Verify {
       .config("spark.sql.session.timeZone", "UTC")
       // int96 would reach DuckDB as ns; micros keeps epoch_us == unix_micros.
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      // Compress persisted RDD blocks (lz4): the iterative ops pin
+      // multi-GB integer frames at DISK_ONLY, which Spark stores RAW by
+      // default — at sf100 p42's uncompressed pins alone (~31 GB) blew
+      // local disk; lz4 cuts them 3-4x for a decode cost far below the
+      // IO saved. Cluster equivalent: compressed checkpoint storage.
+      .config("spark.rdd.compress", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

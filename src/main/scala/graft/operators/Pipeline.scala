@@ -2408,10 +2408,15 @@ object Pipeline {
       // pin resets plan stats to default (huge), so size-based planning
       // would sort-merge every round. The node table is edge-ENDPOINTs —
       // orders of magnitude smaller than edges — so hint broadcast while
-      // it fits, counted ONCE from the pinned table (p17's guard pattern;
-      // past the cap every round degrades to sort-merge, same topology).
+      // it fits, counted ONCE from the pinned table (p17's guard pattern).
+      // PAST the cap, hint SHUFFLE_HASH on the node side rather than
+      // falling to sort-merge: SMJ sorts the BILLION-row edge side every
+      // round (32 concurrent UnsafeExternalSorters was the sf100 OOM
+      // site), while a shuffled hash join builds ~nodes/32-row maps per
+      // task and STREAMS the edge side — same result, no edge sort.
       val hint: DataFrame => DataFrame =
-        if (deg.count() <= maxBroadcastNodes) broadcast else identity
+        if (deg.count() <= maxBroadcastNodes) broadcast
+        else df => df.hint("shuffle_hash")
       // Bidirectional edges: every node has outdeg >= 1 and indeg >= 1.
       // rank carries outdeg so each round is ONE edges-side join (the
       // per-edge contribution) + one node-side left join (the update).

@@ -855,7 +855,7 @@ object Pipeline {
     */
   private def freePin(df: DataFrame): Unit =
     try df.rdd.unpersist(blocking = false)
-    catch { case _: Throwable => () }
+    catch { case scala.util.control.NonFatal(_) => () }
 
   /** One hook step on the quotient graph: for each current label-group,
     * find the min label adjacent to any member and move the whole group
@@ -7451,6 +7451,242 @@ object Pipeline {
         CAST(SUM(cell) * 1000 // (na * nb * na * nb) AS BIGINT) AS d2_milli
       FROM cells GROUP BY la, lb, na, nb ORDER BY 1, 2"""))
 
+  /** Exact per-key median on the value-count histogram — the 100 TB
+    * median shape: `percentile()`-style collect-all-values aggregation
+    * buffers every row of a group in executor memory (a billion-row
+    * group dies), but a (key, value) count table is bounded by the
+    * DISTINCT value count, and the two middle order statistics fall out
+    * of a cumulative window over it. Returns (key, n, m2) where
+    * m2 = x_⌈n/2⌉ + x_⌊n/2⌋+1 = 2·median — kept doubled so callers stay
+    * in exact integer space (a median of integers is integer or
+    * half-integer). Matches quantile_cont(v, 0.5) = m2/2 exactly.
+    */
+  private def median2ByKey(df: DataFrame, key: String, v: String,
+      out: String): DataFrame = {
+    val s = df.sparkSession
+    import s.implicits._
+    val cnt = df.groupBy(col(key), col(v)).agg(count(lit(1)).as("c"))
+    val cum = cnt
+      .withColumn("cum", sum($"c").over(
+        Window.partitionBy(col(key)).orderBy(col(v))))
+      .withColumn("n", sum($"c").over(Window.partitionBy(col(key))))
+    cum.groupBy(col(key)).agg(
+      max($"n").as("n"),
+      (min(when($"cum" >= floor(($"n" + 1) / 2), col(v))) +
+        min(when($"cum" >= floor(($"n" + 2) / 2), col(v)))).as(out))
+  }
+
+  /** p114 — robust length outliers per source: median and MAD (median
+    * absolute deviation) of n_chars, and the count of docs beyond the
+    * classic 3·MAD fence. Mean/stddev outlier fences (p55's z-score
+    * family) are themselves dragged by the outliers they hunt; MAD has a
+    * 50% breakdown point, so a source whose crawler glued pages together
+    * or truncated everything shows up even when the contamination is
+    * heavy — the per-source corpus-health check quality scores miss.
+    *
+    * Integer-exact core: medians stay DOUBLED (m2 = 2·median, integer),
+    * deviations dev = |2x − m2| = 2|x − med| (integer), mad4 = 2·med(dev)
+    * = 4·MAD (integer), and the fence |x−med| > 3·MAD becomes
+    * 2·dev > 3·mad4 — all integer compares, no float until the two
+    * final exact halvings for display.
+    *
+    * 100 TB shape: medians run on the (source, value) count histogram
+    * (median2ByKey — bounded by distinct lengths, never buffers a
+    * group), one broadcast-size join back per med/MAD pass, one final
+    * rollup. No percentile() collect-the-group aggregation anywhere.
+    */
+  private val p114 = Q(
+    "p114_mad_outliers",
+    (s, d) => {
+      import s.implicits._
+      val docs = T(s, d, "documents").select($"source", $"n_chars")
+      val med = median2ByKey(docs, "source", "n_chars", "m2")
+        .withColumnRenamed("n", "n_docs")
+      val dev = docs.join(broadcast(med), "source")
+        .withColumn("dev", abs(lit(2) * $"n_chars" - $"m2"))
+      val mad = median2ByKey(dev.select($"source", $"dev"), "source",
+        "dev", "mad4").select($"source", $"mad4")
+      dev.join(broadcast(mad), "source")
+        .groupBy($"source", $"n_docs", $"m2", $"mad4")
+        .agg(sum(when(lit(2) * $"dev" > lit(3) * $"mad4", 1L)
+          .otherwise(0L)).as("n_outliers"))
+        .select($"source", $"n_docs",
+          ($"m2".cast("double") / 2.0).as("median_chars"),
+          ($"mad4".cast("double") / 4.0).as("mad_chars"),
+          $"n_outliers")
+        .orderBy($"source")
+    },
+    Some("""
+      WITH med AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+          CAST(2.0 * quantile_cont(n_chars, 0.5) AS BIGINT) AS m2
+        FROM documents GROUP BY source),
+      dev AS (
+        SELECT d.source, med.n_docs, med.m2,
+          abs(2 * d.n_chars - med.m2) AS dev
+        FROM documents d JOIN med USING (source)),
+      mad AS (
+        SELECT source, CAST(2.0 * quantile_cont(dev, 0.5) AS BIGINT) AS mad4
+        FROM dev GROUP BY source)
+      SELECT dev.source, dev.n_docs,
+        CAST(dev.m2 AS DOUBLE) / 2.0 AS median_chars,
+        CAST(mad.mad4 AS DOUBLE) / 4.0 AS mad_chars,
+        CAST(SUM(CASE WHEN 2 * dev.dev > 3 * mad.mad4 THEN 1 ELSE 0 END)
+          AS BIGINT) AS n_outliers
+      FROM dev JOIN mad USING (source)
+      GROUP BY dev.source, dev.n_docs, dev.m2, mad.mad4
+      ORDER BY dev.source"""))
+
+  /** p115 — token-budget water-filling: allocate a global training-token
+    * budget (60% of the corpus here) across (source, lang) strata by
+    * capping every stratum at a common water level c chosen so that
+    * Σ min(tokens, c) = budget — the standard way to spend a data budget
+    * without letting the biggest crawl dominate the mixture (small strata
+    * keep everything; big ones are clipped to the level). The level has a
+    * closed form: sort strata by token count ascending, find the first
+    * position where covering the rest at that stratum's height would
+    * overshoot, split the remainder evenly — no iteration, pure window
+    * functions + a 1-row pivot frame.
+    *
+    * Determinism: token counts and prefix sums are exact integers; the
+    * level c is ONE double division of two exact integers; allocations
+    * are either the exact integer count or c.
+    *
+    * 100 TB shape: the only data-scale work is the per-stratum token
+    * count (one map-side-combinable shuffle); the waterfill itself runs
+    * on the strata frame (|sources|×|langs| rows — constant), where the
+    * unpartitioned sort window and the broadcast 1-row pivot/cap frames
+    * are free.
+    */
+  private val p115 = Q(
+    "p115_budget_waterfill",
+    (s, d) => {
+      import s.implicits._
+      val tok = T(s, d, "documents").groupBy($"source", $"lang")
+        .agg(sum(size(split($"text", " ")).cast("long")).as("tok"))
+      val wOrd = Window.orderBy($"tok", $"source", $"lang")
+      val srt = tok
+        .withColumn("i", row_number().over(wOrd).cast("long"))
+        .withColumn("pfx", sum($"tok").over(wOrd))
+      val b = tok.agg((sum($"tok") * 6).divide(10).cast("long").as("budget"),
+        count(lit(1)).as("n"))
+      val piv = srt.crossJoin(broadcast(b))
+        .filter(($"pfx" - $"tok") + $"tok" * ($"n" - $"i" + 1) > $"budget")
+        .agg(min($"i").as("ip"))
+      val pfxBefore = srt.join(broadcast(piv), $"i" === $"ip" - 1, "inner")
+        .agg(max($"pfx").as("pfx_before"))
+      val cap = piv.crossJoin(broadcast(b)).crossJoin(broadcast(pfxBefore))
+        .select($"ip",
+          (($"budget" - coalesce($"pfx_before", lit(0L))).cast("double") /
+            ($"n" - $"ip" + 1).cast("double")).as("c"))
+      srt.crossJoin(broadcast(cap))
+        .select($"source", $"lang", $"tok",
+          when($"ip".isNull || $"i" < $"ip", $"tok".cast("double"))
+            .otherwise($"c").cast(DecimalType(18, 4)).as("allocated"),
+          ($"ip".isNotNull && $"i" >= $"ip").as("capped"))
+        .orderBy($"source", $"lang")
+    },
+    Some("""
+      WITH tok AS (
+        SELECT source, lang,
+          CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS tok
+        FROM documents GROUP BY source, lang),
+      tot AS (SELECT CAST(SUM(tok) AS BIGINT) AS total,
+                     CAST(COUNT(*) AS BIGINT) AS n FROM tok),
+      srt AS (
+        SELECT source, lang, tok,
+          CAST(row_number() OVER (ORDER BY tok, source, lang) AS BIGINT) AS i,
+          CAST(SUM(tok) OVER (ORDER BY tok, source, lang) AS BIGINT) AS pfx
+        FROM tok),
+      b AS (SELECT total * 6 // 10 AS budget, n FROM tot),
+      piv AS (
+        SELECT MIN(i) AS ip FROM srt, b
+        WHERE (pfx - tok) + tok * (b.n - i + 1) > b.budget),
+      cap AS (
+        SELECT CAST(b.budget - COALESCE(
+            (SELECT pfx FROM srt, piv WHERE i = piv.ip - 1), 0) AS DOUBLE)
+          / CAST(b.n - piv.ip + 1 AS DOUBLE) AS c
+        FROM piv, b WHERE piv.ip IS NOT NULL)
+      SELECT srt.source, srt.lang, srt.tok,
+        CAST(CASE WHEN piv.ip IS NULL OR srt.i < piv.ip
+             THEN CAST(srt.tok AS DOUBLE) ELSE cap.c END AS DECIMAL(18,4))
+          AS allocated,
+        (piv.ip IS NOT NULL AND srt.i >= piv.ip) AS capped
+      FROM srt, piv LEFT JOIN cap ON TRUE
+      ORDER BY srt.source, srt.lang"""))
+
+  /** p116 — distribution drift per source: the two-sample
+    * Kolmogorov–Smirnov distance between each source's n_chars
+    * distribution and the whole corpus — max |ECDF_s − ECDF_corpus| over
+    * the union of jump points. The distribution-free counterpart of
+    * p40's embedding-drift means: a source whose LENGTH DISTRIBUTION
+    * shifted (new boilerplate, truncation bug, template change) moves
+    * its KS stat even when the mean stays put. Both ECDFs are step
+    * functions jumping only at observed values, so evaluating at every
+    * distinct value is the exact sup, not a grid approximation.
+    *
+    * Determinism: cumulative counts are exact integers; each ECDF value
+    * is one exact-int division; their difference/abs/max are single
+    * IEEE ops with no accumulation — bit-identical across engines.
+    *
+    * 100 TB shape: two (key, value)-count shuffles (map-side
+    * combinable), then everything runs on the distinct-value grid
+    * (|values| × |sources| rows — bounded by the value domain, not the
+    * corpus); the per-source cumulative windows partition cleanly and
+    * the corpus frame broadcasts.
+    */
+  private val p116 = Q(
+    "p116_ks_drift",
+    (s, d) => {
+      import s.implicits._
+      val docs = T(s, d, "documents").select($"source", $"n_chars")
+      val v = docs.select($"n_chars".as("x")).distinct()
+      val stot = docs.groupBy($"source").agg(count(lit(1)).as("ns"))
+      val atot = docs.agg(count(lit(1)).as("na"))
+      val sc = docs.groupBy($"source", $"n_chars".as("x"))
+        .agg(count(lit(1)).as("c"))
+      val ac = v.join(docs.groupBy($"n_chars".as("x"))
+            .agg(count(lit(1)).as("c")), Seq("x"), "left")
+        .select($"x", coalesce($"c", lit(0L)).as("c"))
+        .withColumn("ca", sum($"c").over(Window.orderBy($"x")))
+        .select($"x", $"ca")
+      val grid = v.crossJoin(broadcast(stot))
+        .join(sc, Seq("source", "x"), "left")
+        .select($"source", $"ns", $"x", coalesce($"c", lit(0L)).as("c"))
+      val cum = grid.withColumn("cs", sum($"c").over(
+        Window.partitionBy($"source").orderBy($"x")))
+      cum.join(ac, Seq("x")).crossJoin(broadcast(atot))
+        .groupBy($"source", $"ns")
+        .agg(max(abs($"cs".cast("double") / $"ns".cast("double") -
+          $"ca".cast("double") / $"na".cast("double"))).as("ksd"))
+        .select($"source", $"ns".as("n_docs"),
+          $"ksd".cast(DecimalType(18, 6)).as("ks"))
+        .orderBy($"source")
+    },
+    Some("""
+      WITH v AS (SELECT DISTINCT n_chars AS x FROM documents),
+      stot AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS ns
+               FROM documents GROUP BY source),
+      atot AS (SELECT CAST(COUNT(*) AS BIGINT) AS na FROM documents),
+      sc AS (SELECT source, n_chars AS x, CAST(COUNT(*) AS BIGINT) AS c
+             FROM documents GROUP BY source, n_chars),
+      ac AS (SELECT v.x, SUM(COALESCE(g.c, 0)) OVER (ORDER BY v.x) AS ca
+             FROM v LEFT JOIN (
+               SELECT n_chars AS x, CAST(COUNT(*) AS BIGINT) AS c
+               FROM documents GROUP BY n_chars) g ON g.x = v.x),
+      grid AS (SELECT s.source, s.ns, v.x, COALESCE(sc.c, 0) AS c
+               FROM stot s CROSS JOIN v
+               LEFT JOIN sc ON sc.source = s.source AND sc.x = v.x),
+      cum AS (SELECT source, ns, x,
+                SUM(c) OVER (PARTITION BY source ORDER BY x) AS cs
+              FROM grid)
+      SELECT cum.source, cum.ns AS n_docs,
+        CAST(MAX(abs(CAST(cum.cs AS DOUBLE) / CAST(cum.ns AS DOUBLE)
+                   - CAST(ac.ca AS DOUBLE) / CAST(atot.na AS DOUBLE)))
+          AS DECIMAL(18,6)) AS ks
+      FROM cum JOIN ac USING (x), atot
+      GROUP BY cum.source, cum.ns ORDER BY cum.source"""))
+
   val all: Seq[Q] = Seq(p01, p02, p03, p04, p05, p06, p07, p08, p09, p10,
     p11, p12, p13, p14, p15, p16, p17, p18, p19, p20, p21, p22, p23, p24,
     p25, p26, p27, p28, p29, p30, p31, p32, p33, p34, p35, p36, p37, p38,
@@ -7459,5 +7695,5 @@ object Pipeline {
     p67, p68, p69, p70, p71, p72, p73, p74, p75, p76, p77, p78, p79, p80,
     p81, p82, p82c, p83, p84, p85, p86, p87, p88, p89, p90, p91, p92, p93,
     p94, p95, p96, p97, p98, p99, p100, p101, p102, p103, p104, p105, p106,
-    p107, p108, p109, p110, p111, p112, p113)
+    p107, p108, p109, p110, p111, p112, p113, p114, p115, p116)
 }

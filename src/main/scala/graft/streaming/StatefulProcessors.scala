@@ -41,10 +41,17 @@ case class PathEdge(userId: Long, src: String, dst: String)
 case class GapLastState(lastUs: Long)
 case class GapOut(eventType: String, bucket: Int, gapUs: Long)
 
-/** Session-window twin rows (q11): per-bidder event-time sessions. */
-case class SessBidIn(bidder: Int, price: Int, tsUs: Long)
+/** Session-window twin rows (q11): per-bidder event-time sessions.
+  * `eventTime` carries the watermarked column through to the stateful
+  * operator so the engine's late-row filtering applies to exactly the
+  * rows the built-in would drop; the processor itself reads only tsUs.
+  */
+case class SessBidIn(bidder: Int, price: Int, tsUs: Long,
+    eventTime: java.sql.Timestamp)
 case class SessState(startUs: Long, lastUs: Long, n: Long,
     minP: Int, maxP: Int)
+/** All concurrently-open sessions of one key, disjoint and gap-separated. */
+case class SessList(sessions: Seq[SessState])
 case class SessionRow(bidder: Int, sessionStartUs: Long, sessionEndUs: Long,
     nBids: Long, minPrice: Int, maxPrice: Int)
 
@@ -165,27 +172,33 @@ object StatefulProcessors {
     * window/session.rs:64-179: per-key open-session state, close when the
     * event-time gap exceeds the threshold), where the gated q11 entry uses
     * the built-in `session_window` aggregate. Semantics match the
-    * built-in exactly: an event EXTENDS the session iff ts < last + gap
-    * (strict — touching windows don't merge), session_end = last + gap.
+    * built-in exactly FOR ANY arrival order above the watermark: each
+    * event is a proto-session [ts, ts+gap); sessions merge iff their
+    * windows strictly overlap (touching windows don't merge), so a later
+    * batch's earlier-timestamped row extends a session BACKWARDS or
+    * bridges two open sessions, exactly like the built-in's
+    * window-merging state.
     *
-    * Timer discipline: one event-time timer per open session at
-    * ceil((last+gap)/1ms); every input batch first cancels the prior
-    * registration, folds the rows (sorted — within a batch arrival order
-    * is irrelevant), closes inline any session a same-batch successor
-    * outran, and re-registers for the surviving session. The
-    * stale-expiry guard mirrors GapWindowProcessor: only the timer whose
-    * expiry matches the CURRENT state may close it. Late rows (behind
-    * the watermark) never reach the processor, so a fired timer is
-    * final — exactly the close condition the reference's epoch scan
-    * evaluates. O(1) state + one timer per in-flight (bidder) key.
+    * Emission discipline: sessions close ONLY via event-time timers —
+    * never inline — because a session "outrun" by a same-batch successor
+    * can still legally merge with an out-of-order row arriving in a later
+    * microbatch (above the watermark, within the delay). State is the
+    * full set of concurrently-open (disjoint, gap-separated) sessions per
+    * key; one timer per open session at ceil((last+gap)/1ms). A fired
+    * timer closes every session whose expiry it covers: the watermark has
+    * passed last+gap, and any future row has ts ≥ watermark ≥ last+gap,
+    * which the strict `<` extension test rejects — the close is final by
+    * the same argument the reference's epoch scan makes. Open-session
+    * count is bounded by (watermark delay / gap) + 1, so state stays O(1)
+    * per key for any fixed lateness horizon.
     */
   class SessionWindowProcessor(gapUs: Long)
       extends StatefulProcessor[Int, SessBidIn, SessionRow] {
-    @transient private var st: ValueState[SessState] = _
+    @transient private var st: ValueState[SessList] = _
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
-      st = getHandle.getValueState[SessState]("sess",
-        Encoders.product[SessState], TTLConfig.NONE)
+      st = getHandle.getValueState[SessList]("sess",
+        Encoders.product[SessList], TTLConfig.NONE)
 
     /** Timer slot for a session: first whole millisecond at or after the
       * µs close instant — a timer must never fire BEFORE the session can
@@ -199,36 +212,41 @@ object StatefulProcessors {
 
     override def handleInputRows(bidder: Int, rows: Iterator[SessBidIn],
         timerValues: TimerValues): Iterator[SessionRow] = {
-      val out = scala.collection.mutable.ListBuffer.empty[SessionRow]
-      var cur = if (st.exists()) Some(st.get()) else None
-      cur.foreach(s => getHandle.deleteTimer(expiryMs(s)))
-      rows.toSeq.sortBy(_.tsUs).foreach { r =>
-        cur match {
-          case Some(s) if r.tsUs < s.lastUs + gapUs =>
-            cur = Some(SessState(s.startUs, math.max(s.lastUs, r.tsUs),
-              s.n + 1, math.min(s.minP, r.price), math.max(s.maxP, r.price)))
-          case Some(s) =>
-            out += emit(bidder, s)
-            cur = Some(SessState(r.tsUs, r.tsUs, 1L, r.price, r.price))
-          case None =>
-            cur = Some(SessState(r.tsUs, r.tsUs, 1L, r.price, r.price))
+      val prev: List[SessState] =
+        if (st.exists()) st.get().sessions.toList else Nil
+      var sessions = prev
+      // Merge is commutative and associative (interval union + agg fold),
+      // so no within-batch sort is needed; a row can bridge at most two
+      // gap-separated sessions and the partition absorbs both.
+      rows.foreach { r =>
+        var cur = SessState(r.tsUs, r.tsUs, 1L, r.price, r.price)
+        val (hit, miss) = sessions.partition(s =>
+          r.tsUs < s.lastUs + gapUs && s.startUs < r.tsUs + gapUs)
+        hit.foreach { s =>
+          cur = SessState(math.min(cur.startUs, s.startUs),
+            math.max(cur.lastUs, s.lastUs), cur.n + s.n,
+            math.min(cur.minP, s.minP), math.max(cur.maxP, s.maxP))
         }
+        sessions = cur :: miss
       }
-      cur.foreach { s =>
-        st.update(s)
-        getHandle.registerTimer(expiryMs(s))
-      }
-      out.iterator
+      val oldExp = prev.map(expiryMs).toSet
+      val newExp = sessions.map(expiryMs).toSet
+      (oldExp diff newExp).foreach(getHandle.deleteTimer)
+      (newExp diff oldExp).foreach(getHandle.registerTimer)
+      st.update(SessList(sessions.sortBy(_.startUs)))
+      Iterator.empty
     }
 
     override def handleExpiredTimer(bidder: Int, timerValues: TimerValues,
         expiredTimerInfo: ExpiredTimerInfo): Iterator[SessionRow] = {
       if (!st.exists()) return Iterator.empty
-      val s = st.get()
-      if (expiredTimerInfo.getExpiryTimeInMs() != expiryMs(s))
-        return Iterator.empty
-      st.clear()
-      Iterator.single(emit(bidder, s))
+      val fired = expiredTimerInfo.getExpiryTimeInMs()
+      // A session merged away since this timer was set has a LATER expiry
+      // and stays open — the stale-expiry race resolves itself because
+      // closure is decided by the session's own expiry, not the timer's.
+      val (done, open) = st.get().sessions.partition(s => expiryMs(s) <= fired)
+      if (open.isEmpty) st.clear() else st.update(SessList(open))
+      done.sortBy(_.startUs).iterator.map(emit(bidder, _))
     }
   }
 
@@ -525,7 +543,8 @@ object StatefulProcessors {
     bids.withWatermark("b_date_time", delay)
       .select(col("bidder").cast("int").as("bidder"),
         col("price").cast("int").as("price"),
-        unix_micros(col("b_date_time")).as("tsUs"))
+        unix_micros(col("b_date_time")).as("tsUs"),
+        col("b_date_time").as("eventTime"))
       .as[SessBidIn]
       .groupByKey(_.bidder)
       .transformWithState(new SessionWindowProcessor(gapUs),

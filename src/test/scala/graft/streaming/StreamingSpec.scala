@@ -523,6 +523,62 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("tws session windows merge out-of-order rows across batches == batch session_window") {
+    withRocksDb {
+      implicit val sqlCtx = spark.sqlContext
+      // Adversarial arrival order: rows shuffled globally, split into four
+      // microbatches, watermark delay longer than the whole data span — so
+      // rows routinely arrive BEFORE already-open later sessions (backward
+      // extension), BETWEEN two open sessions (bridge merge), and AFTER a
+      // session a same-batch successor outran (the r8 advice's
+      // late-but-valid class). The built-in session_window over the same
+      // rows as a batch is the truth.
+      val t0 = 1700000000000L
+      val rnd = new scala.util.Random(42)
+      val random = for {
+        bidder <- 0 until 20
+        _ <- 0 until 30
+      } yield BidCC(1, bidder, 100 + rnd.nextInt(900),
+        new java.sql.Timestamp(t0 + rnd.nextInt(300000)))
+      // Deterministic bridge: sessions [20s,30s) and [31s,41s) open first;
+      // t=25s arrives two batches later and must merge them into one
+      // session [20s,41s) — impossible for a processor that only extends
+      // forward or closes inline.
+      val b999 = Seq(20000L, 31000L, 25000L).map(off =>
+        BidCC(1, 999, 500, new java.sql.Timestamp(t0 + off)))
+      val shuffled = rnd.shuffle(random)
+      val chunks = Seq(
+        shuffled.take(150) :+ b999(0) :+ b999(1),
+        shuffled.slice(150, 300),
+        shuffled.slice(300, 450) :+ b999(2),
+        shuffled.drop(450))
+      val sentinel = BidCC(-1, -1, 0,
+        new java.sql.Timestamp(t0 + 10L * 3600 * 1000))
+      val ms = MemoryStream[BidCC]
+      val q = StatefulProcessors.sessionWindowsTws(ms.toDF(), delay = "1 hour")
+        .toDF().writeStream.format("memory").queryName("tws_sess_ooo")
+        .outputMode("append").start()
+      chunks.foreach { c => ms.addData(c); q.processAllAvailable() }
+      ms.addData(Seq(sentinel)); q.processAllAvailable()
+      q.stop()
+      val got = spark.table("tws_sess_ooo").filter($"bidder" =!= -1)
+        .select($"bidder", $"sessionStartUs", $"sessionEndUs", $"nBids",
+          $"minPrice", $"maxPrice")
+      val all = (random ++ b999).toDF()
+      val expect = StreamQueries.q11(all)
+        .select($"bidder", unix_micros($"session_start").as("sessionStartUs"),
+          unix_micros($"session_end").as("sessionEndUs"), $"n_bids".as("nBids"),
+          $"min_price".as("minPrice"), $"max_price".as("maxPrice"))
+      assertSameRows(got, expect)
+      // The bridge really happened: bidder 999 has exactly one session,
+      // [20s, 41s), with all three bids in it.
+      val b = got.filter($"bidder" === 999)
+        .as[(Int, Long, Long, Long, Int, Int)].collect().toSeq
+      assert(b == Seq((999, (t0 + 20000) * 1000, (t0 + 41000) * 1000,
+        3L, 500, 500)), s"bridge session wrong: $b")
+    }
+  }
+
   test("session windows (q11 twin) survive a checkpoint restart with state carried") {
     withRocksDb {
       implicit val sqlCtx = spark.sqlContext

@@ -14,12 +14,21 @@ for d in "$OUT"/*/; do
   n=$(basename "$d")
   timeout "$T" python3 tools/check.py "$SF" "$OUT" "$n" >"$TMP" 2>&1
   rc=$?
-  if grep -E "^(ok|FAIL)" "$TMP"; then
-    :
-  elif [ "$rc" -eq 124 ]; then
+  # rc first: a check that prints an ok line but then times out (rc=124)
+  # or crashes must surface as TIMEOUT/ERROR — partial ok output must
+  # never mask it. check.py exits 1 when it PRINTS FAIL lines, so a
+  # nonzero rc is only a crash when no FAIL line explains it; FAIL output
+  # stays authoritative.
+  if [ "$rc" -eq 124 ]; then
     echo "TIMEOUT $n (> ${T}s)"
-  else
+    grep -E "^(ok|FAIL)" "$TMP" | sed 's/^/  # partial: /'
+  elif [ "$rc" -ne 0 ] && ! grep -qE "^FAIL" "$TMP"; then
     echo "ERROR $n (exit $rc)"
+    sed 's/^/  # /' "$TMP" | tail -5
+  elif grep -E "^(ok|FAIL)" "$TMP"; then
+    :
+  else
+    echo "ERROR $n (exit $rc, no ok/FAIL line)"
     sed 's/^/  # /' "$TMP" | tail -5
   fi
 done

@@ -55,6 +55,12 @@ object SoakRun {
       // session count, not the run length.
       case "q11" => StreamQueries.q11(
         bids.withWatermark("b_date_time", "5 seconds"), gap = "10 seconds")
+      // The explicit-timer session twin (SessionWindowProcessor, list
+      // state): same shape as q11 but exercising transformWithState's
+      // per-session timers and the open-session-list merge path — state
+      // must stay bounded by live sessions exactly like the built-in.
+      case "q11tws" =>
+        StatefulProcessors.sessionWindowsTws(bids, delay = "5 seconds").toDF()
       case "q12" => StreamQueries.q12(bids, sizeMs = 2000).toDF()
       case "q5agg" =>
         // The stateful half of q5 (hopping count per auction); the

@@ -55,6 +55,13 @@ case class SessList(sessions: Seq[SessState])
 case class SessionRow(bidder: Int, sessionStartUs: Long, sessionEndUs: Long,
     nBids: Long, minPrice: Int, maxPrice: Int)
 
+/** Near-dup twin rows: one (LSH band-bucket, doc) probe in, one claim
+  * decision out; state is the bucket's first claimant.
+  */
+case class BucketProbe(bucket: String, docId: Long, tsUs: Long, band: Int)
+case class ClaimState(tsUs: Long, docId: Long)
+case class ClaimOut(docId: Long, band: Int, claimantId: Long, isDup: Boolean)
+
 /** Keep-best twin rows (p63): one fingerprinted document in, one winner
   * CHANGE out; state is the current best member per cluster.
   */
@@ -451,6 +458,79 @@ object StatefulProcessors {
         Iterator.single(WinnerRow(sim, s.docId, s.source, s.nChars))
       } else Iterator.empty
     }
+  }
+
+  /** ONLINE MinHash-LSH near-dup detection — the streaming form of the
+    * p08/p15 batch candidate generation: every arriving document probes
+    * its LSH band buckets; the FIRST document to touch a bucket claims it
+    * (first-writer-wins), and any later document hitting a claimed bucket
+    * is flagged as a near-dup candidate of the claimant. This is exactly
+    * what an ingestion filter needs: a per-document verdict available the
+    * moment the document arrives, against everything already ingested —
+    * no re-clustering, no batch recompute.
+    *
+    * Emits one ClaimOut per (doc, band): winners carry claimant == self /
+    * isDup = false; a document is a near-dup candidate iff ANY of its
+    * band rows has isDup = true (the same ≥1-shared-bucket rule as the
+    * batch LSH candidate join) — the per-doc rollup is a trivial
+    * aggregation of this evidence stream, same pattern as
+    * SessionPathProcessor's edge stream.
+    *
+    * Arrival contract (same as FunnelProcessor): per-key event-time order
+    * across triggers; within a trigger, rows sort by (tsUs, docId), so
+    * same-batch collisions resolve to the batch total order
+    * deterministically. State is ONE row per distinct claimed bucket —
+    * bounded by corpus novelty, not stream length (duplicates add no
+    * state); a production deployment bounds it further with a state TTL
+    * (the claim window) — correctness-free here, so the test form keeps
+    * claims forever.
+    */
+  class BucketClaimProcessor
+      extends StatefulProcessor[String, BucketProbe, ClaimOut] {
+    @transient private var owner: ValueState[ClaimState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      owner = getHandle.getValueState[ClaimState]("owner",
+        Encoders.product[ClaimState], TTLConfig.NONE)
+
+    override def handleInputRows(bucket: String, rows: Iterator[BucketProbe],
+        timerValues: TimerValues): Iterator[ClaimOut] = {
+      var cur = if (owner.exists()) owner.get() else null
+      val out = scala.collection.mutable.ListBuffer.empty[ClaimOut]
+      rows.toSeq.sortBy(r => (r.tsUs, r.docId)).foreach { r =>
+        if (cur == null) {
+          cur = ClaimState(r.tsUs, r.docId)
+          out += ClaimOut(r.docId, r.band, r.docId, isDup = false)
+        } else {
+          out += ClaimOut(r.docId, r.band, cur.docId, isDup = true)
+        }
+      }
+      if (cur != null) owner.update(cur)
+      out.iterator
+    }
+  }
+
+  /** Near-dup claim stream over raw document frames
+    * (doc_id, text, event_time): MinHash signature via the same native
+    * expression as the batch entries (one md5 per shingle, k = `bands`
+    * permutations, 1 row per band — p08's banding), exploded to
+    * band-bucket probes. Stateless until the per-bucket claim state.
+    */
+  def nearDupStream(docs: DataFrame, bands: Int = 4): Dataset[ClaimOut] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .withColumn("sig",
+        graft.functions.MinHashShingleSig.minhash_sig(col("text"), bands))
+      .select(col("doc_id").cast("long").as("docId"),
+        unix_micros(col("event_time")).as("tsUs"),
+        posexplode(col("sig")))
+      .select(concat_ws(":", col("pos"), col("col")).as("bucket"),
+        col("docId"), col("tsUs"), col("pos").cast("int").as("band"))
+      .as[BucketProbe]
+      .groupByKey(_.bucket)
+      .transformWithState(new BucketClaimProcessor,
+        TimeMode.None(), OutputMode.Append())
   }
 
   /** Keep-best stream over fingerprinted document frames

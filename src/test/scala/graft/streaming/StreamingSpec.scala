@@ -3,6 +3,7 @@ package graft.streaming
 import graft.SparkTestSession
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -610,6 +611,78 @@ class StreamingSpec extends AnyFunSuite {
       // spans the cut (starts before it, closes after it).
       assert(gotAll.exists(r => r._2 < cutUs && r._3 > cutUs),
         "no session spanned the restart boundary — cut proves nothing")
+    }
+  }
+
+  test("streaming near-dup claims == batch first-claimant recompute") {
+    withRocksDb {
+      implicit val sqlCtx = spark.sqlContext
+      val t0 = 1700000000000L
+      // Real corpus (it contains genuine near-dup families), synthetic
+      // in-order event times: ts = t0 + doc_id seconds.
+      val docs = graft.Tables.load(spark, "/root/testdata/sf0.01", "documents")
+        .select($"doc_id", $"text",
+          timestamp_millis(lit(t0) + $"doc_id" * 1000).as("event_time"))
+        .cache()
+      val rows = docs.as[(Long, String, java.sql.Timestamp)]
+        .collect().sortBy(_._1)
+      val ms = MemoryStream[(Long, String, java.sql.Timestamp)]
+      val q = StatefulProcessors.nearDupStream(
+          ms.toDF().toDF("doc_id", "text", "event_time"))
+        .toDF().writeStream.format("memory").queryName("neardup_sink")
+        .outputMode("append").start()
+      // Three in-order chunks: bucket claims must carry across batches.
+      rows.grouped(200).foreach { c => ms.addData(c); q.processAllAvailable() }
+      q.stop()
+      val got = spark.table("neardup_sink")
+        .select($"docId", $"band", $"claimantId", $"isDup")
+      // Batch truth: same banding, bucket claimant = min (ts, doc_id).
+      val bandsDf = docs.withColumn("sig",
+          graft.functions.MinHashShingleSig.minhash_sig($"text", 4))
+        .select($"doc_id", unix_micros($"event_time").as("ts"),
+          posexplode($"sig"))
+      val expect = bandsDf
+        .withColumn("fc", min(struct($"ts", $"doc_id"))
+          .over(Window.partitionBy($"pos", $"col")))
+        .select($"doc_id".as("docId"), $"pos".cast("int").as("band"),
+          $"fc.doc_id".as("claimantId"),
+          ($"fc.doc_id" =!= $"doc_id").as("isDup"))
+      assertSameRows(got, expect)
+      // Non-degenerate: the corpus has both near-dup and novel docs.
+      val nd = spark.table("neardup_sink")
+        .filter($"isDup").select($"docId").distinct().count()
+      assert(nd > 10 && nd < 500, s"degenerate dup-candidate count $nd")
+    }
+  }
+
+  test("near-dup bucket claims survive a checkpoint restart") {
+    withRocksDb {
+      implicit val sqlCtx = spark.sqlContext
+      val t0 = 1700000000000L
+      val docs = graft.Tables.load(spark, "/root/testdata/sf0.01", "documents")
+        .select($"doc_id", $"text",
+          timestamp_millis(lit(t0) + $"doc_id" * 1000).as("ts"))
+      val cutUs = (t0 + 250L * 1000) * 1000 // doc_ids 0..499 → half each side
+      val (run1, run2) = restartRuns(docs, cutUs,
+        df => StatefulProcessors.nearDupStream(
+          df.withColumnRenamed("ts", "event_time")))(
+        df => df.as[ClaimOut].collect().toSeq)
+      val gotAll = (run1 ++ run2)
+        .map(c => (c.docId, c.band, c.claimantId, c.isDup)).sorted
+      val expect = docs.withColumn("sig",
+          graft.functions.MinHashShingleSig.minhash_sig($"text", 4))
+        .select($"doc_id", unix_micros($"ts").as("us"), posexplode($"sig"))
+        .withColumn("fc", min(struct($"us", $"doc_id"))
+          .over(Window.partitionBy($"pos", $"col")))
+        .select($"doc_id", $"pos".cast("int"), $"fc.doc_id",
+          $"fc.doc_id" =!= $"doc_id")
+        .as[(Long, Int, Long, Boolean)].collect().toSeq.sorted
+      assert(gotAll == expect,
+        s"restarted claim stream ${gotAll.size} vs batch ${expect.size}")
+      // Claims genuinely crossed the restart: a run-2 doc lost a bucket
+      // to a claimant ingested in run 1.
+      assert(run2.exists(c => c.isDup && c.claimantId < 250),
+        "no claim spanned the restart boundary — cut proves nothing")
     }
   }
 

@@ -7687,6 +7687,172 @@ object Pipeline {
       FROM cum JOIN ac USING (x), atot
       GROUP BY cum.source, cum.ns ORDER BY cum.source"""))
 
+  /** p117 — vocabulary saturation (Heaps-law audit) per source: split
+    * each source's docs at the median doc_id and compare how many of its
+    * distinct token types first appear in the second half. A saturated
+    * source (types_h2/n_types → small) is one more crawling won't enrich;
+    * a still-growing one justifies budget — the direct measurement behind
+    * "is more data from this source still adding new vocabulary", which
+    * p25's static OOV rate can't answer (it has no within-source time
+    * axis). Integer-exact: the half boundary reuses median2ByKey's
+    * doubled-median (first half ⟺ 2·first_doc ≤ m2), first appearance is
+    * min(doc_id) per (source, type), the one ratio is a single division.
+    *
+    * 100 TB shape: one (source, token) shuffle with map-side min/count
+    * partials (vocab-bounded output), the median on the (source, doc_id)
+    * histogram, a broadcast join of the tiny per-source medians, and a
+    * per-source rollup.
+    */
+  private val p117 = Q(
+    "p117_vocab_growth",
+    (s, d) => {
+      import s.implicits._
+      val docs = T(s, d, "documents")
+      val tok = docs.select($"source", $"doc_id",
+        explode(split($"text", " ")).as("t"))
+      val firsts = tok.groupBy($"source", $"t")
+        .agg(min($"doc_id").as("fd"))
+      val ntok = tok.groupBy($"source").agg(count(lit(1)).as("n_tokens"))
+      val med = median2ByKey(docs.select($"source", $"doc_id"),
+        "source", "doc_id", "m2").select($"source", $"m2")
+      firsts.join(broadcast(med), "source")
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_types"),
+          sum(when($"fd" * 2 <= $"m2", 1L).otherwise(0L)).as("types_h1"))
+        .join(broadcast(ntok), "source")
+        .withColumn("types_h2", $"n_types" - $"types_h1")
+        .withColumn("growth_ratio", dec($"types_h2" / $"n_types", 18, 6))
+        .select($"source", $"n_tokens", $"n_types", $"types_h1",
+          $"types_h2", $"growth_ratio")
+        .orderBy($"source")
+    },
+    Some("""
+      WITH tok AS (
+        SELECT source, doc_id, unnest(string_split(text, ' ')) AS t
+        FROM documents),
+      firsts AS (SELECT source, t, MIN(doc_id) AS fd
+                 FROM tok GROUP BY source, t),
+      ntok AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_tokens
+               FROM tok GROUP BY source),
+      med AS (SELECT source,
+                CAST(2.0 * quantile_cont(doc_id, 0.5) AS BIGINT) AS m2
+              FROM documents GROUP BY source)
+      SELECT f.source, ntok.n_tokens, CAST(COUNT(*) AS BIGINT) AS n_types,
+        CAST(SUM(CASE WHEN f.fd * 2 <= med.m2 THEN 1 ELSE 0 END)
+          AS BIGINT) AS types_h1,
+        CAST(COUNT(*) - SUM(CASE WHEN f.fd * 2 <= med.m2 THEN 1 ELSE 0 END)
+          AS BIGINT) AS types_h2,
+        CAST(CAST(COUNT(*) - SUM(CASE WHEN f.fd * 2 <= med.m2
+                                 THEN 1 ELSE 0 END) AS DOUBLE)
+          / CAST(COUNT(*) AS DOUBLE) AS DECIMAL(18,6)) AS growth_ratio
+      FROM firsts f JOIN med USING (source)
+      JOIN ntok ON ntok.source = f.source
+      GROUP BY f.source, ntok.n_tokens
+      ORDER BY f.source"""))
+
+  /** p118 — source-salient terms: the top-3 terms per source by an
+    * integer-rational tf·idf surrogate — score = (tf_in_source ·
+    * n_sources · 1000) floor-div (number of sources containing the
+    * term) — stopwords and <3-char tokens excluded. Terms every source
+    * shares score low; a source's private vocabulary scores high — the
+    * one-line answer to "what IS this source about", used to spot
+    * mislabeled or hijacked feeds. Same no-log discipline as p51's BM25
+    * core: the floor division of exact integers is identical in both
+    * engines, ties break on the term.
+    *
+    * 100 TB shape: one (source, term) count shuffle (map-side
+    * combinable), a vocab-bounded source-frequency rollup rejoined on
+    * the term key, and a per-source top-3 window on the scored
+    * vocab-bounded frame.
+    */
+  private val p118 = Q(
+    "p118_source_salience",
+    (s, d) => {
+      import s.implicits._
+      val docs = T(s, d, "documents")
+      val tokc = docs.select($"source", explode(split($"text", " ")).as("t"))
+        .filter(!$"t".isin(stops: _*) && length($"t") >= 3)
+        .groupBy($"source", $"t").agg(count(lit(1)).as("tf"))
+      val sf = tokc.groupBy($"t").agg(count(lit(1)).as("nsrc_term"))
+      val nsrc = docs.agg(countDistinct($"source").as("n_sources"))
+      val w = Window.partitionBy($"source").orderBy($"score".desc, $"t")
+      tokc.join(sf, "t").crossJoin(broadcast(nsrc))
+        .withColumn("score",
+          expr("(tf * n_sources * 1000) DIV nsrc_term"))
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .filter($"rk" <= 3)
+        .select($"source", $"rk", $"t".as("term"), $"tf",
+          $"nsrc_term", $"score")
+        .orderBy($"source", $"rk")
+    },
+    Some(s"""
+      WITH tokc AS (
+        SELECT source, t, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM (SELECT source, unnest(string_split(text, ' ')) AS t
+              FROM documents)
+        WHERE t NOT IN (${stops.map(t => s"'$t'").mkString(", ")})
+          AND length(t) >= 3
+        GROUP BY source, t),
+      sf AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS nsrc_term
+             FROM tokc GROUP BY t),
+      nsrc AS (SELECT CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources
+               FROM documents),
+      scored AS (
+        SELECT tokc.source, tokc.t, tokc.tf, sf.nsrc_term,
+          (tokc.tf * nsrc.n_sources * 1000) // sf.nsrc_term AS score
+        FROM tokc JOIN sf USING (t), nsrc),
+      rk AS (
+        SELECT source, t, tf, nsrc_term, score,
+          CAST(row_number() OVER (PARTITION BY source
+                                  ORDER BY score DESC, t) AS BIGINT) AS rk
+        FROM scored)
+      SELECT source, rk, t AS term, tf, nsrc_term, score
+      FROM rk WHERE rk <= 3 ORDER BY source, rk"""))
+
+  /** p119 — traffic burstiness per event type: the Fano factor
+    * (variance-to-mean dispersion index) of per-(user, day) event
+    * counts. Poisson-like organic traffic sits near 1; scripted/bot
+    * traffic and batchy replays disperse far above it — the first-line
+    * audit for rate anomalies that p55's day-level trailing mean misses
+    * (a bot that spreads evenly across days but bursts within users is
+    * invisible at day granularity). Integer-exact core: with n cells,
+    * S1 = Σx, S2 = Σx², Fano = ((n·S2 − S1²) · 1000) floor-div (n·S1) —
+    * population variance over mean, scaled to milli-units, all integer.
+    *
+    * 100 TB shape: one (type, user, day) count shuffle with map-side
+    * partials, then a per-type rollup of three integer sums — nothing
+    * retains raw events past the first aggregate.
+    */
+  private val p119 = Q(
+    "p119_event_burstiness",
+    (s, d) => {
+      import s.implicits._
+      val cells = T(s, d, "events")
+        .select($"event_type", $"user_id",
+          expr("unix_micros(ts) div 86400000000").as("day"))
+        .groupBy($"event_type", $"user_id", $"day")
+        .agg(count(lit(1)).as("x"))
+      cells.groupBy($"event_type")
+        .agg(count(lit(1)).as("n_cells"),
+          sum($"x").as("s1"),
+          sum($"x" * $"x").as("s2"))
+        .withColumn("fano_milli",
+          expr("((n_cells * s2 - s1 * s1) * 1000) DIV (n_cells * s1)"))
+        .select($"event_type", $"n_cells", $"s1".as("n_events"),
+          $"fano_milli")
+        .orderBy($"event_type")
+    },
+    Some("""
+      WITH cells AS (
+        SELECT event_type, user_id, epoch_us(ts) // 86400000000 AS day,
+          CAST(COUNT(*) AS BIGINT) AS x
+        FROM events GROUP BY event_type, user_id, day)
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_cells,
+        CAST(SUM(x) AS BIGINT) AS n_events,
+        CAST(((COUNT(*) * SUM(x * x) - SUM(x) * SUM(x)) * 1000)
+          // (COUNT(*) * SUM(x)) AS BIGINT) AS fano_milli
+      FROM cells GROUP BY event_type ORDER BY event_type"""))
+
   val all: Seq[Q] = Seq(p01, p02, p03, p04, p05, p06, p07, p08, p09, p10,
     p11, p12, p13, p14, p15, p16, p17, p18, p19, p20, p21, p22, p23, p24,
     p25, p26, p27, p28, p29, p30, p31, p32, p33, p34, p35, p36, p37, p38,
@@ -7695,5 +7861,6 @@ object Pipeline {
     p67, p68, p69, p70, p71, p72, p73, p74, p75, p76, p77, p78, p79, p80,
     p81, p82, p82c, p83, p84, p85, p86, p87, p88, p89, p90, p91, p92, p93,
     p94, p95, p96, p97, p98, p99, p100, p101, p102, p103, p104, p105, p106,
-    p107, p108, p109, p110, p111, p112, p113, p114, p115, p116)
+    p107, p108, p109, p110, p111, p112, p113, p114, p115, p116, p117,
+    p118, p119)
 }

@@ -7461,7 +7461,7 @@ object Pipeline {
     * in exact integer space (a median of integers is integer or
     * half-integer). Matches quantile_cont(v, 0.5) = m2/2 exactly.
     */
-  private def median2ByKey(df: DataFrame, key: String, v: String,
+  private[graft] def median2ByKey(df: DataFrame, key: String, v: String,
       out: String): DataFrame = {
     val s = df.sparkSession
     import s.implicits._

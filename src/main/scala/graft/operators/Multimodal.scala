@@ -302,5 +302,77 @@ object Multimodal {
       WHERE caption_tokens >= 8
       ORDER BY pair_id"""))
 
-  val all: Seq[Q] = Seq(m01, m02, m03, m04, m05, m06)
+  /** m07 — perceptual-hash near-dup groups over binary assets: the
+    * multimodal form of the MinHash-LSH dedup topology. Each asset gets a
+    * 60-bit "perceptual" hash (STUB, like FakeDecoder: md5 of the payload
+    * folded to an int — a real deployment swaps in pHash/aHash from the
+    * decoded pixels; every step after the hash is the production shape),
+    * banded into 4 × 15-bit bands; assets sharing a (modality, band)
+    * bucket become candidates, each verified by Hamming distance
+    * (is_near ⟺ bit_count(xor) ≤ 14 — candidates AND verdicts are both
+    * emitted, the audit-friendly form). Output is the STAR form — every member
+    * pairs with its bucket's min-id canonical — so output stays LINEAR in
+    * asset count even when a 100 TB lake holds million-way duplicate
+    * families (the p17 lesson; the all-pairs form is the p08 quadratic
+    * class).
+    *
+    * 100 TB shape: one shuffle on the (modality, band, value) bucket key;
+    * the canonical's hash rejoins by id (co-keyed); the Hamming verify is
+    * codegen'd integer xor+bit_count, no payload bytes ever shuffle.
+    */
+  private val m07 = Q(
+    "m07_phash_neardup",
+    (s, d) => {
+      import s.implicits._
+      val assets = T(s, d, "documents")
+        .select($"doc_id",
+          element_at(array(lit("image/png"), lit("audio/wav"), lit("video/mp4")),
+            ($"doc_id" % 3 + 1).cast(IntegerType)).as("modality"),
+          expr("CAST(conv(substr(md5(encode(text, 'UTF-8')), 1, 15), 16, 10) AS BIGINT)")
+            .as("phash"))
+      val bands = assets.select($"doc_id", $"modality", $"phash",
+        explode(array((0 until 4).map(i =>
+          struct(lit(i).as("bidx"),
+            shiftright($"phash", 15 * i).bitwiseAND(lit(0x7fffL)).as("bval"))): _*))
+          .as("b"))
+        .select($"doc_id", $"modality", $"phash",
+          $"b.bidx".as("bidx"), $"b.bval".as("bval"))
+      val heads = bands.groupBy($"modality", $"bidx", $"bval")
+        .agg(min($"doc_id").as("canon_id"))
+      val canonHash = assets
+        .select($"doc_id".as("canon_id"), $"phash".as("canon_phash"))
+      bands.join(heads, Seq("modality", "bidx", "bval"))
+        .filter($"doc_id" > $"canon_id")
+        .join(canonHash, Seq("canon_id"))
+        .select($"modality", $"canon_id", $"doc_id".as("member_id"),
+          bit_count($"phash".bitwiseXOR($"canon_phash")).cast(LongType)
+            .as("hamming"))
+        .distinct()
+        .withColumn("is_near", $"hamming" <= 14)
+        .orderBy($"modality", $"canon_id", $"member_id")
+    },
+    Some("""
+      WITH a AS (
+        SELECT doc_id,
+          CASE doc_id % 3 WHEN 0 THEN 'image/png'
+            WHEN 1 THEN 'audio/wav' ELSE 'video/mp4' END AS modality,
+          ('0x' || substr(md5(text), 1, 15))::BIGINT AS phash
+        FROM documents),
+      bands AS (
+        SELECT a.doc_id, a.modality, a.phash, t.i AS bidx,
+          (a.phash >> (15 * t.i)) & 32767 AS bval
+        FROM a, UNNEST(range(0, 4)) t(i)),
+      heads AS (
+        SELECT modality, bidx, bval, MIN(doc_id) AS canon_id
+        FROM bands GROUP BY modality, bidx, bval)
+      SELECT DISTINCT b.modality, h.canon_id, b.doc_id AS member_id,
+        CAST(bit_count(xor(b.phash, c.phash)) AS BIGINT) AS hamming,
+        bit_count(xor(b.phash, c.phash)) <= 14 AS is_near
+      FROM bands b
+      JOIN heads h ON h.modality = b.modality AND h.bidx = b.bidx
+        AND h.bval = b.bval AND b.doc_id > h.canon_id
+      JOIN a c ON c.doc_id = h.canon_id
+      ORDER BY b.modality, h.canon_id, member_id"""))
+
+  val all: Seq[Q] = Seq(m01, m02, m03, m04, m05, m06, m07)
 }

@@ -61,6 +61,19 @@ object SoakRun {
       // must stay bounded by live sessions exactly like the built-in.
       case "q11tws" =>
         StatefulProcessors.sessionWindowsTws(bids, delay = "5 seconds").toDF()
+      // Online LSH near-dup claims under duplicate-heavy load: 1000
+      // distinct synthetic texts cycle at full rate, so ~99.9% of
+      // arrivals are duplicates — state must stay pinned at the bucket
+      // count of the NOVEL corpus (≤ 4 bands x 1000 texts), not grow
+      // with the stream.
+      case "neardup" =>
+        StatefulProcessors.nearDupStream(bids.select(
+          (col("auction").cast("long") * 1000000L + col("bidder")).as("doc_id"),
+          org.apache.spark.sql.functions.concat(
+            org.apache.spark.sql.functions.lit("synthetic bid document text number "),
+            (col("auction") % 1000).cast("string"),
+            org.apache.spark.sql.functions.lit(" end marker")).as("text"),
+          col("b_date_time").as("event_time"))).toDF()
       case "q12" => StreamQueries.q12(bids, sizeMs = 2000).toDF()
       case "q5agg" =>
         // The stateful half of q5 (hopping count per auction); the

@@ -7546,7 +7546,11 @@ object Pipeline {
     * closed form: sort strata by token count ascending, find the first
     * position where covering the rest at that stratum's height would
     * overshoot, split the remainder evenly — no iteration, pure window
-    * functions + a 1-row pivot frame.
+    * functions + a 1-row pivot frame. Complements p75's recipe-shaped
+    * allocator (temperature-weighted proportional quota + ONE
+    * redistribution round under an epoch cap): p75 answers "how many
+    * epochs of each source under this recipe", this entry computes the
+    * EXACT water level Σ min(tok, c) = B that a level-based cap needs.
     *
     * Determinism: token counts and prefix sums are exact integers; the
     * level c is ONE double division of two exact integers; allocations

@@ -17,7 +17,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Fsql {
   private[graft] def isExit(line: String): Boolean = {
-    val l = line.trim.toLowerCase
+    // Trailing-only trim, as the reference (fsql.rs is_exit_command
+    // strips only the end-of-line whitespace): "  exit" is accumulated
+    // as SQL text there, so it must be here too.
+    val l = line.replaceAll("\\s+$", "").toLowerCase
     l == "quit" || l == "exit"
   }
 

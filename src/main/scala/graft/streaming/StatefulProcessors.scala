@@ -484,10 +484,22 @@ object StatefulProcessors {
     * state); a production deployment bounds it further with a state TTL
     * (the claim window) — correctness-free here, so the test form keeps
     * claims forever.
+    *
+    * Out-of-order arrivals are GUARDED, not silently wrong: a probe
+    * whose (tsUs, docId) precedes the stored claim violates the arrival
+    * contract above. The dup/keeper PARTITION is arrival-order-invariant
+    * either way (exactly one isDup=false per bucket — the first arrival —
+    * so the dedup decision stays correct), but the CLAIMANT IDENTITY
+    * would no longer match the batch min-(tsUs, docId) truth the
+    * stream==batch tests pin. The guard makes that loud: `strict=true`
+    * fails the query (use when the upstream replay is supposed to be
+    * ordered); the default logs a warning per violating probe.
     */
-  class BucketClaimProcessor
+  class BucketClaimProcessor(strict: Boolean = false)
       extends StatefulProcessor[String, BucketProbe, ClaimOut] {
     @transient private var owner: ValueState[ClaimState] = _
+    @transient private lazy val log =
+      org.slf4j.LoggerFactory.getLogger(classOf[BucketClaimProcessor])
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
       owner = getHandle.getValueState[ClaimState]("owner",
@@ -502,6 +514,15 @@ object StatefulProcessors {
           cur = ClaimState(r.tsUs, r.docId)
           out += ClaimOut(r.docId, r.band, r.docId, isDup = false)
         } else {
+          if (r.tsUs < cur.tsUs ||
+              (r.tsUs == cur.tsUs && r.docId < cur.docId)) {
+            val msg = s"out-of-order probe on bucket=$bucket: " +
+              s"doc=${r.docId} tsUs=${r.tsUs} precedes the stored claim " +
+              s"(doc=${cur.docId} tsUs=${cur.tsUs}); claimant identity " +
+              "no longer matches the batch min-(tsUs, docId) truth"
+            if (strict) throw new IllegalStateException(msg)
+            else log.warn(msg)
+          }
           out += ClaimOut(r.docId, r.band, cur.docId, isDup = true)
         }
       }
@@ -516,7 +537,8 @@ object StatefulProcessors {
     * permutations, 1 row per band — p08's banding), exploded to
     * band-bucket probes. Stateless until the per-bucket claim state.
     */
-  def nearDupStream(docs: DataFrame, bands: Int = 4): Dataset[ClaimOut] = {
+  def nearDupStream(docs: DataFrame, bands: Int = 4,
+      strict: Boolean = false): Dataset[ClaimOut] = {
     val spark = docs.sparkSession
     import spark.implicits._
     docs
@@ -529,7 +551,7 @@ object StatefulProcessors {
         col("docId"), col("tsUs"), col("pos").cast("int").as("band"))
       .as[BucketProbe]
       .groupByKey(_.bucket)
-      .transformWithState(new BucketClaimProcessor,
+      .transformWithState(new BucketClaimProcessor(strict),
         TimeMode.None(), OutputMode.Append())
   }
 

@@ -38,6 +38,23 @@ class FsqlSpec extends AnyFunSuite {
     assert(out.length == 1 && out(0).startsWith("x\n1"), s"got: $out")
   }
 
+  test("fsql: leading-whitespace exit is SQL text (trailing-only trim)") {
+    // fsql.rs is_exit_command trims only trailing whitespace, so
+    // "  exit" is accumulated as SQL there — and must be here.
+    assert(!Fsql.isExit("  exit"))
+    assert(Fsql.isExit("exit  ") && Fsql.isExit("quit\t") &&
+      Fsql.isExit("EXIT"))
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    Fsql.runLines(spark, Iterator(
+      "SELECT 1 AS x FROM (SELECT 1)",
+      "  exit", // NOT an exit — leading whitespace makes it SQL text
+      ";",
+      "exit",
+      "SELECT 2;" // must never run
+    ), out += _)
+    assert(out.length == 1 && out(0).startsWith("x\n1"), s"got: $out")
+  }
+
   test("fsql: row cap renders a first-N trailer") {
     val out = scala.collection.mutable.ArrayBuffer.empty[String]
     Fsql.runLines(spark,

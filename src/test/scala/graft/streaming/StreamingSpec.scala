@@ -655,6 +655,52 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("near-dup out-of-order guard: lenient keeps one keeper, strict fails") {
+    withRocksDb {
+      implicit val sqlCtx = spark.sqlContext
+      val t0 = 1700000000000L
+      def batch(rows: (Long, Long)*) = // (doc_id, tsOffSec) — identical text
+        rows.map { case (id, off) =>
+          (id, "alpha beta gamma delta epsilon zeta eta theta",
+            new java.sql.Timestamp(t0 + off * 1000))
+        }
+      // Batch 1 ingests doc 10 (t+100); batch 2 replays doc 5 (t+1) —
+      // an arrival-contract violation: its event time precedes the claim.
+      val ms = MemoryStream[(Long, String, java.sql.Timestamp)]
+      val q = StatefulProcessors.nearDupStream(
+          ms.toDF().toDF("doc_id", "text", "event_time"))
+        .toDF().writeStream.format("memory").queryName("ooo_lenient")
+        .outputMode("append").start()
+      ms.addData(batch((10L, 100L))); q.processAllAvailable()
+      ms.addData(batch((5L, 1L))); q.processAllAvailable()
+      q.stop()
+      val out = spark.table("ooo_lenient")
+      // The dup/keeper PARTITION is arrival-order-invariant: the first
+      // arrival keeps every bucket, the late true-owner is flagged dup.
+      assert(out.filter(!$"isDup").select($"docId").distinct()
+        .as[Long].collect().toSeq == Seq(10L))
+      assert(out.filter($"isDup").select($"docId", $"claimantId").distinct()
+        .as[(Long, Long)].collect().toSeq == Seq((5L, 10L)))
+      // Strict mode makes the violation loud: the query fails.
+      val ms2 = MemoryStream[(Long, String, java.sql.Timestamp)]
+      val q2 = StatefulProcessors.nearDupStream(
+          ms2.toDF().toDF("doc_id", "text", "event_time"), strict = true)
+        .toDF().writeStream.format("memory").queryName("ooo_strict")
+        .outputMode("append").start()
+      ms2.addData(batch((10L, 100L))); q2.processAllAvailable()
+      ms2.addData(batch((5L, 1L)))
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q2.processAllAvailable()
+      }
+      q2.stop()
+      def causes(t: Throwable): Seq[Throwable] =
+        if (t == null) Nil else t +: causes(t.getCause)
+      assert(causes(e).exists(c =>
+        Option(c.getMessage).exists(_.contains("out-of-order probe"))),
+        s"strict run failed for the wrong reason: $e")
+    }
+  }
+
   test("near-dup bucket claims survive a checkpoint restart") {
     withRocksDb {
       implicit val sqlCtx = spark.sqlContext

@@ -1,0 +1,60 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.{Files, Paths}
+
+/** Guards the differential SQL fuzzer (SqlFuzz): the committed corpus at
+  * tools/sqlfuzz/corpus.json is the EXACT text the 550-seed differential
+  * run was green against (sf0.01 and sf0.1, tools/check.py, zero fails,
+  * zero triage) — so the generator must keep reproducing it byte-for-byte,
+  * or the corpus must be consciously re-dumped and re-verified.
+  */
+class FuzzSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  test("generate(seed) is a pure function of the seed") {
+    (1 to 40).foreach { s =>
+      assert(SqlFuzz.generate(s) == SqlFuzz.generate(s), s"seed $s drifted")
+    }
+  }
+
+  test("committed corpus reproduces byte-for-byte from the seeds") {
+    val committed = Files.readString(Paths.get("tools/sqlfuzz/corpus.json"))
+    val derived = SqlFuzz.corpusJson(SqlFuzz.DefaultSeeds)
+    assert(derived == committed,
+      "generator output no longer matches tools/sqlfuzz/corpus.json — " +
+        "re-dump with `runMain graft.SqlFuzz --dump tools/sqlfuzz/corpus.json`" +
+        " and re-run the differential gate before committing")
+  }
+
+  test("corpus exercises every shape family") {
+    val all = (1 to SqlFuzz.DefaultSeeds).map(SqlFuzz.generate)
+    def n(p: String => Boolean) = all.count(p)
+    assert(n(_.contains(" JOIN ")) > 100, "join coverage")
+    assert(n(_.contains("GROUP BY")) > 100, "aggregate coverage")
+    assert(n(s => s.contains("UNION") || s.contains("INTERSECT") ||
+      s.contains("EXCEPT")) > 30, "set-op coverage")
+    assert(n(_.contains("(SELECT")) > 60, "subquery coverage")
+    assert(n(_.contains(" IN (SELECT")) > 15, "IN-subquery coverage")
+    assert(n(_.contains("EXISTS")) > 15, "EXISTS coverage")
+    assert(n(_.contains("OVER (")) > 15, "window coverage")
+    assert(n(s => s.contains("ROLLUP") || s.contains("CUBE")) > 10,
+      "rollup/cube coverage")
+    assert(n(_.contains("LIMIT")) > 10, "order-limit coverage")
+    assert(n(_.startsWith("WITH")) > 5, "CTE coverage")
+    assert(n(_.contains("LEFT JOIN")) > 20, "outer-join coverage")
+  }
+
+  test("a seed sample executes through spark.sql (sf0.001)") {
+    Tables.all.foreach(t =>
+      Tables.load(spark, "/root/testdata/sf0.001", t)
+        .createOrReplaceTempView(t))
+    // Every 23rd seed: 24 queries across the shape mix, fast enough for
+    // the suite; the full 550-seed differential gate runs via the main.
+    (1 to SqlFuzz.DefaultSeeds by 23).foreach { s =>
+      val sql = SqlFuzz.generate(s)
+      val df = spark.sql(sql)
+      df.collect() // must execute, not just parse
+    }
+  }
+}

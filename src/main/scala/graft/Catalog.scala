@@ -56,7 +56,8 @@ object Catalog {
       operators.Pipeline.all ++
       operators.Multimodal.all ++
       operators.NexmarkBatch.all ++
-      operators.SqlParity.all
+      operators.SqlParity.all ++
+      operators.StreamGate.all
 
   lazy val byName: Map[String, Q] = {
     val qs = modules

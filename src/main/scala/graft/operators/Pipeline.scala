@@ -171,7 +171,7 @@ object Pipeline {
   private def shinglesCol: Column =
     graft.functions.ShingleArray.shingles(col("text"))
 
-  private val shinglesSqlDuck =
+  private[operators] val shinglesSqlDuck =
     """CASE WHEN length(string_split(text, ' ')) >= 3
          THEN list_distinct(list_transform(range(1, length(string_split(text, ' ')) - 1),
                 i -> array_to_string(list_slice(string_split(text, ' '), i, i + 2), ' ')))
@@ -208,7 +208,7 @@ object Pipeline {
       .select((col("doc_id") +: col("sh") +: sigs): _*)
   }
 
-  private def minhashSqlDuck(alias: String): String =
+  private[operators] def minhashSqlDuck(alias: String): String =
     (0 until 4).map { i =>
       s"""list_min(list_transform(sh, sg -> xor(('0x' || substr(md5(sg), 1, 15))::BIGINT, $i * ('0x' || substr(md5(sg), 17, 15))::BIGINT))) AS m$i"""
     }.mkString(", ")

@@ -50,4 +50,47 @@ object shims {
     spark.sessionState.functionRegistry
       .createOrReplaceTempFunction(name, builder, "built-in")
   }
+
+  /** Virtual processing-time clock for deterministic-boundary streaming
+    * tests (the machinery Spark's own StreamTest suites inject through
+    * StartStream): wraps the private[spark] ManualClock so graft test
+    * code can drive trigger time explicitly without referencing the
+    * private type.
+    */
+  final class GraftManualClock(startMs: Long) {
+    private[graft] val underlying = new org.apache.spark.util.ManualClock(startMs)
+    def advance(ms: Long): Unit = underlying.advance(ms)
+    def timeMs: Long = underlying.getTimeMillis()
+  }
+
+  /** Start a streaming query on a MANUAL trigger clock (private[sql]
+    * StreamingQueryManager.startQuery — the same injection point
+    * StreamTest uses), sinking to an in-memory table. Every batch's
+    * processing time (current_timestamp, GroupStateTimeout deadlines,
+    * transformWithState processing-time timers) then reads the manual
+    * clock, so window boundaries become exact assertable values.
+    * Returns the query and a reader of all sunk rows.
+    */
+  def startWithManualClock(df: org.apache.spark.sql.DataFrame,
+      checkpoint: String, clock: GraftManualClock, intervalMs: Long,
+      outputMode: org.apache.spark.sql.streaming.OutputMode)
+      : (org.apache.spark.sql.streaming.StreamingQuery,
+         () => Seq[org.apache.spark.sql.Row]) = {
+    val sink = new org.apache.spark.sql.execution.streaming.sources.MemorySink
+    val s = df.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    val q = s.streams.startQuery(
+      userSpecifiedName = Some(s"graft_manual_clock_${System.nanoTime()}"),
+      userSpecifiedCheckpointLocation = Some(checkpoint),
+      df = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]],
+      extraOptions = Map.empty[String, String],
+      sink = sink,
+      outputMode = outputMode,
+      useTempCheckpointLocation = false,
+      recoverFromCheckpointLocation = true,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(intervalMs),
+      triggerClock = clock.underlying,
+      catalogAndIdent = None,
+      catalogTable = None)
+    (q, () => sink.allData)
+  }
 }

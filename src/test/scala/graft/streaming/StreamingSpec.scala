@@ -994,6 +994,88 @@ class StreamingSpec extends AnyFunSuite {
   private def tmpDir(prefix: String): String =
     java.nio.file.Files.createTempDirectory(prefix).toString
 
+  // ---- deterministic-clock q12 (r9 verdict, next-round #3) ----
+  // nx_q12's conservation-invariant oracle cannot see a window that
+  // closes EARLY with correct totals (processing-time boundaries are
+  // wall-clock). Driving the trigger with a manual clock (the StreamTest
+  // injection point, via shims.startWithManualClock) makes every batch's
+  // processing time an exact chosen value, so the assertions below pin
+  // the exact per-window boundaries AND counts for both q12 forms.
+
+  private def awaitBatch(q: org.apache.spark.sql.streaming.StreamingQuery,
+      minBatchId: Long): Unit = {
+    val end = System.currentTimeMillis() + 30000
+    def done = Option(q.lastProgress).exists(_.batchId >= minBatchId)
+    while (!done && System.currentTimeMillis() < end) Thread.sleep(10)
+    assert(done, s"batch $minBatchId did not complete in 30s " +
+      s"(last: ${Option(q.lastProgress).map(_.batchId)})")
+  }
+
+  private def awaitRows(rows: () => Seq[org.apache.spark.sql.Row],
+      n: Int): Unit = {
+    val end = System.currentTimeMillis() + 30000
+    while (rows().size < n && System.currentTimeMillis() < end)
+      Thread.sleep(10)
+    assert(rows().size >= n, s"sink stuck at ${rows().size} rows, want $n")
+  }
+
+  /** Drive a gap-window query under a manual clock and return the emitted
+    * (bidder, startMs, endMs, nBids) rows. Scripted timeline (t0 = 10^6,
+    * trigger 1 s, gap 10 s):
+    *   batch0 @ t0        : bids 1,1,1,2,2 → windows open at t0
+    *   batch1 @ t0+1000   : bids 1,1       → same window (count 5)
+    *   batch2 @ t0+12000  : no data        → both windows fire:
+    *                        (1, t0, t0+10000, 5), (2, t0, t0+10000, 2)
+    *   batch3 @ t0+13000  : bid 1          → REOPENS at t0+13000
+    *   batch4 @ t0+24000  : no data        → (1, t0+13000, t0+23000, 1)
+    */
+  private def manualClockGapRun(mk: DataFrame => DataFrame,
+      mode: org.apache.spark.sql.streaming.OutputMode)
+      : Seq[(Int, Long, Long, Long)] = {
+    implicit val sqlCtx = spark.sqlContext
+    val t0 = 1000000L
+    val clock = new org.apache.spark.sql.graft.shims.GraftManualClock(t0)
+    val ms = MemoryStream[Int]
+    ms.addData(Seq(1, 1, 1, 2, 2)) // before start: lands in batch 0 @ t0
+    val (q, rows) = org.apache.spark.sql.graft.shims.startWithManualClock(
+      mk(ms.toDF().toDF("bidder")), tmpDir("manual_clock_ckpt"),
+      clock, 1000, mode)
+    try {
+      awaitBatch(q, 0)
+      ms.addData(Seq(1, 1))
+      clock.advance(1000); awaitBatch(q, 1) // batch1 @ t0+1000
+      clock.advance(11000); awaitRows(rows, 2) // batch2 @ t0+12000: close
+      ms.addData(Seq(1))
+      clock.advance(1000); awaitBatch(q, 3) // batch3 @ t0+13000: reopen
+      clock.advance(11000); awaitRows(rows, 3) // batch4 @ t0+24000: close
+    } finally q.stop()
+    rows().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+  }
+
+  test("q12 gap windows close at exact manual-clock boundaries (timer twin)") {
+    withRocksDb {
+      val t0 = 1000000L
+      val got = manualClockGapRun(
+        df => StatefulProcessors.gapWindowsTws(df).toDF(),
+        org.apache.spark.sql.streaming.OutputMode.Append()).sorted
+      assert(got == Seq(
+        (1, t0, t0 + 10000L, 5L),
+        (1, t0 + 13000L, t0 + 23000L, 1L),
+        (2, t0, t0 + 10000L, 2L)), s"got $got")
+    }
+  }
+
+  test("q12 gap windows close at exact manual-clock boundaries (q12 form)") {
+    val t0 = 1000000L
+    val got = manualClockGapRun(
+      df => StreamQueries.q12(df).toDF(),
+      org.apache.spark.sql.streaming.OutputMode.Append()).sorted
+    assert(got == Seq(
+      (1, t0, t0 + 10000L, 5L),
+      (1, t0 + 13000L, t0 + 23000L, 1L),
+      (2, t0, t0 + 10000L, 2L)), s"got $got")
+  }
+
   /** Split the real events table at an event-time cutoff, land each chunk
     * as one parquet file, and run `mkQuery` twice over a file source on the
     * SAME checkpoint — a fresh query instance per run (the SinksSpec restart

@@ -1,55 +1,48 @@
 package graft.streaming
 
-import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, concat, count, lit, window}
 import org.apache.spark.sql.streaming.Trigger
 
-/** Stateful-streaming soak: runs one STATEFUL query shape (session
-  * windows, processing-time gap windows, hopping aggregation) against the
-  * live NEXMark generator at a sustained event rate and reports
-  * batch-duration and state-store trajectories — the axis NexmarkRun's
-  * stateless throughput runs don't cover. The reference's envelope is
-  * ~1k events/s per Lambda worker (BASELINE.md §A); the point here is to
-  * show the Spark substrate holds the same shapes at 50–100× that rate on
-  * one node with BOUNDED state and NO growing backlog.
+/** Stateful-streaming soak + capacity search: runs one STATEFUL query
+  * shape (tumbling/hopping/session windows, processing-time gap windows,
+  * near-dup claims, per-key top-k, gap spectrum) against the live NEXMark
+  * generator at a sustained event rate and reports batch-duration and
+  * state-store trajectories — the axis NexmarkRun's stateless throughput
+  * runs don't cover. The reference's envelope is ~1k events/s per Lambda
+  * worker (BASELINE.md §A); the point here is to show the Spark substrate
+  * holds the same shapes at 50–100× that rate on one node with BOUNDED
+  * state and NO growing backlog.
   *
   * State store: RocksDB provider (the 100 TB configuration — heap state
   * would cap at executor memory; RocksDB spills to local disk exactly as
   * a production cluster would run it).
   *
   * Usage: sbt "runMain graft.streaming.SoakRun -q q11 -s 60 -e 100000"
-  * Shapes: q11 (session_window), q12 (proc-time gap, custom state),
-  * q5agg (hopping window agg).
+  * Shapes: q11 (session_window), q11tws (SessionWindowProcessor),
+  * q12 (proc-time gap via flatMapGroupsWithState), q12tws
+  * (GapWindowProcessor), q5agg (hopping agg), tumbling (tumbling agg),
+  * neardup (BucketClaimProcessor), topk (AuctionTopK, update mode),
+  * gapspec (GapSpectrumProcessor).
+  *
+  * Capacity search (`-find 1 [-lo 100000] [-hi 3200000]`): bracket the
+  * max sustained events/s by doubling from -lo until a rate fails, then
+  * bisect to <=12.5% relative width. "Sustained" = the second-half mean
+  * batch duration stays under the 1 s trigger period (the stream keeps
+  * up in steady state) — each probe line also carries the state-rows
+  * trajectory so flat-state evidence lands next to the verdict. Prints
+  * one JSON line per probe and a final `capacity` line per shape.
   *
   * Output: one JSON line with per-half mean batch durations (a growing
   * backlog shows up as second_half >> first_half), max batch duration,
   * final state rows/memory, and rows/s throughput.
   */
 object SoakRun {
-  def main(args: Array[String]): Unit = {
-    val opts = args.grouped(2).map {
-      case Array(k, v) if k.startsWith("-") && !v.startsWith("-") => k -> v
-      case other => sys.error(
-        s"bad argument pair '${other.mkString(" ")}' — expected -flag value")
-    }.toMap
-    val shape = opts.getOrElse("-q", "q11")
-    val secs = opts.getOrElse("-s", "60").toInt
-    val eps = opts.getOrElse("-e", "100000").toInt
 
-    val spark = SparkSession.builder()
-      .master("local[8]")
-      .appName(s"graft-soak-$shape")
-      .config("spark.sql.shuffle.partitions", "8")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.streaming.stateStore.providerClass",
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-
+  private def buildQuery(spark: SparkSession, shape: String,
+      eps: Int): DataFrame = {
     val bids = Nexmark.bidStream(spark, rowsPerSecond = eps)
-
-    val df = shape match {
+    shape match {
       // Watermark at 5 s: sessions close (and state evicts) once event
       // time passes session_end + gap — state stays bounded by the live
       // session count, not the run length.
@@ -69,43 +62,84 @@ object SoakRun {
       case "neardup" =>
         StatefulProcessors.nearDupStream(bids.select(
           (col("auction").cast("long") * 1000000L + col("bidder")).as("doc_id"),
-          org.apache.spark.sql.functions.concat(
-            org.apache.spark.sql.functions.lit("synthetic bid document text number "),
+          concat(lit("synthetic bid document text number "),
             (col("auction") % 1000).cast("string"),
-            org.apache.spark.sql.functions.lit(" end marker")).as("text"),
+            lit(" end marker")).as("text"),
           col("b_date_time").as("event_time"))).toDF()
       case "q12" => StreamQueries.q12(bids, sizeMs = 2000).toDF()
+      // The explicit-timer gap twin (GapWindowProcessor): O(1) value
+      // state + one proc-time timer per in-flight bidder.
+      case "q12tws" =>
+        StatefulProcessors.gapWindowsTws(bids, sizeMs = 2000).toDF()
       case "q5agg" =>
         // The stateful half of q5 (hopping count per auction); the
         // ranking half is batch-only (row_number is unsupported on
         // streams) and replays per batch in NexmarkRun — here only the
         // window-state aggregation is under test.
         bids.withWatermark("b_date_time", "5 seconds")
-          .groupBy(
-            org.apache.spark.sql.functions.window(
-              col("b_date_time"), "10 seconds", "5 seconds").as("win"),
+          .groupBy(window(col("b_date_time"), "10 seconds", "5 seconds")
+            .as("win"), col("auction"))
+          .agg(count(lit(1)).as("n_bids"))
+      case "tumbling" =>
+        // q7/q8's window-state shape: one aligned 10 s window per key.
+        bids.withWatermark("b_date_time", "5 seconds")
+          .groupBy(window(col("b_date_time"), "10 seconds").as("win"),
             col("auction"))
-          .agg(org.apache.spark.sql.functions.count(
-            org.apache.spark.sql.functions.lit(1)).as("n_bids"))
+          .agg(count(lit(1)).as("n_bids"))
+      // Per-auction price leaderboard (AuctionTopK, update mode): the
+      // keep-best family — bounded (k=3) list state per key.
+      case "topk" => StatefulProcessors.auctionTopK(bids).toDF()
+      // Per-user inter-event gap spectrum (GapSpectrumProcessor): O(1)
+      // last-seen state per user, one emission per event.
+      case "gapspec" => StatefulProcessors.gapSpectrum(bids.select(
+        col("bidder").cast("long").as("user_id"),
+        col("auction").cast("long").as("event_id"),
+        lit("bid").as("event_type"),
+        col("b_date_time").as("ts"))).toDF()
       case other => sys.error(s"unsupported soak shape: $other")
     }
-    // q5agg aggregates emit on watermark close in append mode; update
-    // mode would re-emit per batch. Both are stateful; append matches
-    // the windows' one-result-per-window contract.
-    val mode = if (shape == "q12") "append" else "append"
-    val q = df.writeStream.format("noop")
-      .outputMode(mode)
+  }
+
+  /** topk emits a refreshed leaderboard per input batch → update mode;
+    * every other shape emits once per closed window/claim → append.
+    */
+  private def modeOf(shape: String): String =
+    if (shape == "topk") "update" else "append"
+
+  private case class Probe(shape: String, eps: Int, secs: Int,
+      batches: Int, inputRows: Long, meanH1: Double, meanH2: Double,
+      maxMs: Long, stateRowsMid: Long, stateRowsLast: Long,
+      stateMemMb: Double) {
+    /** Keeps up iff steady-state (second-half) batches fit the 1 s
+      * trigger period.
+      */
+    def sustained: Boolean = meanH2 < 1000.0
+    def json: String =
+      f"""{"shape":"$shape","eps":$eps,"secs":$secs,""" +
+      f""""batches":$batches,"input_rows":$inputRows,""" +
+      f""""rows_per_sec":${inputRows / secs}%d,""" +
+      f""""mean_batch_ms_h1":$meanH1%.0f,""" +
+      f""""mean_batch_ms_h2":$meanH2%.0f,""" +
+      f""""max_batch_ms":$maxMs,""" +
+      f""""state_rows_mid":$stateRowsMid,""" +
+      f""""state_rows_last":$stateRowsLast,""" +
+      f""""state_mem_mb_last":$stateMemMb%.1f,""" +
+      f""""sustained":$sustained}"""
+  }
+
+  private def runProbe(spark: SparkSession, shape: String, eps: Int,
+      secs: Int): Probe = {
+    val q = buildQuery(spark, shape, eps).writeStream.format("noop")
+      .outputMode(modeOf(shape))
       .option("checkpointLocation",
         s"/tmp/soak_ckpt_${shape}_${System.currentTimeMillis()}")
       .trigger(Trigger.ProcessingTime("1 second"))
       .start()
-
     // Sample every progress update (recentProgress keeps the last 100;
     // at a 1 s trigger a <=100 s soak loses nothing).
     Thread.sleep(secs * 1000L)
     val progress = q.recentProgress.toSeq
     q.stop()
-
     case class Sample(batchMs: Long, inRows: Long, stateRows: Long,
         stateMemBytes: Long)
     val samples = progress.flatMap { p =>
@@ -121,18 +155,67 @@ object SoakRun {
     val (h1, h2) = samples.splitAt(samples.size / 2)
     def mean(xs: Seq[Long]): Double =
       if (xs.isEmpty) 0 else xs.sum.toDouble / xs.size
-    val in = samples.map(_.inRows).sum
-    val json =
-      f"""{"shape":"$shape","eps":$eps,"secs":$secs,""" +
-      f""""batches":${samples.size},"input_rows":$in,""" +
-      f""""rows_per_sec":${in / secs}%d,""" +
-      f""""mean_batch_ms_h1":${mean(h1.map(_.batchMs))}%.0f,""" +
-      f""""mean_batch_ms_h2":${mean(h2.map(_.batchMs))}%.0f,""" +
-      f""""max_batch_ms":${samples.map(_.batchMs).max},""" +
-      f""""state_rows_mid":${h1.lastOption.map(_.stateRows).getOrElse(0L)},""" +
-      f""""state_rows_last":${samples.last.stateRows},""" +
-      f""""state_mem_mb_last":${samples.last.stateMemBytes / 1e6}%.1f}"""
-    println(json)
+    Probe(shape, eps, secs, samples.size, samples.map(_.inRows).sum,
+      mean(h1.map(_.batchMs)), mean(h2.map(_.batchMs)),
+      samples.map(_.batchMs).max,
+      h1.lastOption.map(_.stateRows).getOrElse(0L),
+      samples.last.stateRows, samples.last.stateMemBytes / 1e6)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val opts = args.grouped(2).map {
+      case Array(k, v) if k.startsWith("-") && !v.startsWith("-") => k -> v
+      case other => sys.error(
+        s"bad argument pair '${other.mkString(" ")}' — expected -flag value")
+    }.toMap
+    val shape = opts.getOrElse("-q", "q11")
+    val secs = opts.getOrElse("-s", "60").toInt
+    val eps = opts.getOrElse("-e", "100000").toInt
+    val cpus = opts.getOrElse("-c", "8").toInt
+    val find = opts.get("-find").contains("1")
+
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName(s"graft-soak-$shape")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    if (!find) {
+      println(runProbe(spark, shape, eps, secs).json)
+      spark.stop()
+      return
+    }
+
+    // Capacity search: double from -lo until unsustained (or -hi), then
+    // bisect. Every probe prints, so the trajectory evidence (state rows,
+    // half-means) is in the log next to the verdict.
+    val lo0 = opts.getOrElse("-lo", "100000").toInt
+    val hi0 = opts.getOrElse("-hi", "3200000").toInt
+    def probe(e: Int): Probe = {
+      val p = runProbe(spark, shape, e, secs)
+      println(p.json)
+      p
+    }
+    var lo = 0
+    var hi = 0
+    var e = lo0
+    while (hi == 0 && e <= hi0) {
+      if (probe(e).sustained) { lo = e; e *= 2 }
+      else hi = e
+    }
+    if (hi == 0) hi = hi0 * 2 // never failed below the cap
+    if (lo == 0) lo = lo0 / 2 // first rate already failed
+    while (hi.toDouble / lo > 1.125 && hi - lo > 25000) {
+      val mid = (lo + hi) / 2
+      if (probe(mid).sustained) lo = mid else hi = mid
+    }
+    println(f"""{"capacity_shape":"$shape","max_sustained_eps":$lo,""" +
+      f""""first_unsustained_eps":$hi,"cpus":$cpus,"probe_secs":$secs}""")
     spark.stop()
   }
 }

@@ -49,7 +49,14 @@ import scala.util.Random
   */
 object SqlFuzz {
 
-  val DefaultSeeds = 550
+  /** Seeds 1-550 use the v1 grammar (committed round 10, frozen — their
+    * text must never change); 551-1000 add the v2 shapes (framed window
+    * aggregates, GROUPING SETS + GROUPING(), NULL-propagating CASE
+    * aggregates, two-level IN subqueries, aggregate HAVING predicates,
+    * multi-CTE LEFT JOINs with COALESCE'd outer-null aggregates).
+    */
+  val V1Seeds = 550
+  val DefaultSeeds = 1000
 
   sealed trait CT
   case object IT extends CT // integral
@@ -520,7 +527,11 @@ object SqlFuzz {
   /** The seed's query text — a pure function of the seed. */
   def generate(seed: Int): String = {
     val g = new Gen(new Random(seed.toLong * 2654435761L + 12345L))
-    val sql = g.r.nextInt(20) match {
+    if (seed <= V1Seeds) v1Shape(g) else v2Shape(g)
+  }
+
+  private def v1Shape(g: Gen): String =
+    g.r.nextInt(20) match {
       case 0 | 1 | 2 => qFilterProject(g)
       case 3 | 4 | 5 | 6 => qAggregate(g)
       case 7 | 8 | 9 | 10 | 11 => qJoinShape(g)
@@ -530,7 +541,115 @@ object SqlFuzz {
       case 18 => qRollup(g)
       case _ => if (g.chance(0.5)) qCte(g) else qOrderLimit(g)
     }
-    sql
+
+  private def v2Shape(g: Gen): String =
+    g.r.nextInt(12) match {
+      case 0 | 1 => qFramedWindow(g)
+      case 2 | 3 => qGroupingSets(g)
+      case 4 | 5 => qNullCaseAgg(g)
+      case 6 | 7 => qNestedSubquery(g)
+      case 8 => qHavingAgg(g)
+      case 9 | 10 => qMultiCte(g)
+      case _ => v1Shape(g) // keep v1 shapes in the v2 mix
+    }
+
+  /** ROWS-framed running aggregates over a verified-unique total order
+    * (frame CONTENT is deterministic only under a unique sort key).
+    */
+  private def qFramedWindow(g: Gen): String = {
+    val t = g.pick(tables.filter(_.unique.isDefined))
+    val key = t.unique.get
+    val part = g.groupExpr(t.cols)
+    val k1 = g.int(1, 5)
+    val k2 = g.int(0, 3)
+    val wins = Seq(
+      s"CAST(SUM(${g.intExpr(t.cols, 0)}) OVER (PARTITION BY $part ORDER BY $key " +
+        s"ROWS BETWEEN $k1 PRECEDING AND CURRENT ROW) AS BIGINT) AS w0",
+      s"MIN(${g.pick(g.valCols(t.cols)).name}) OVER (ORDER BY $key " +
+        s"ROWS BETWEEN $k1 PRECEDING AND $k2 FOLLOWING) AS w1",
+      s"CAST(COUNT(*) OVER (PARTITION BY $part ORDER BY $key " +
+        s"ROWS BETWEEN UNBOUNDED PRECEDING AND $k2 FOLLOWING) AS BIGINT) AS w2")
+    val where = if (g.chance(0.5)) s" WHERE ${g.pred(t.cols, g.int(0, 1))}" else ""
+    s"SELECT $key AS k, ${wins.mkString(", ")} FROM ${t.name}$where"
+  }
+
+  /** GROUPING SETS with a GROUPING() disambiguator (rollup NULLs vs real
+    * NULLs — both engines must mark the same rows).
+    */
+  private def qGroupingSets(g: Gen): String = {
+    val s = if (g.chance(0.3)) joinSrc(g) else singleSrc(g)
+    val g0 = g.groupExpr(s.cols)
+    val g1 = g.groupExpr(s.cols)
+    val sets = g.pick(Seq(
+      s"(($g0), ($g0, $g1))",
+      s"(($g0), ($g1))",
+      s"(($g0, $g1), ())",
+      s"(($g0), ($g0, $g1), ())"))
+    s"SELECT $g0 AS g0, $g1 AS g1, CAST(GROUPING($g0) AS BIGINT) AS gf, " +
+      s"${g.aggExpr(s.cols)} AS a0, CAST(COUNT(*) AS BIGINT) AS a1 " +
+      s"FROM ${s.from} GROUP BY GROUPING SETS $sets"
+  }
+
+  /** NULL-propagating CASE (no ELSE) through SUM/COUNT/MIN — aggregates
+    * must skip the NULLs identically.
+    */
+  private def qNullCaseAgg(g: Gen): String = {
+    val s = if (g.chance(0.4)) joinSrc(g) else singleSrc(g)
+    val p1 = g.pred(s.cols, 0)
+    val p2 = g.pred(s.cols, 0)
+    val grp = g.groupExpr(s.cols)
+    s"SELECT $grp AS g0, " +
+      s"CAST(SUM(CASE WHEN $p1 THEN ${g.intExpr(s.cols, 1)} END) AS BIGINT) AS a0, " +
+      s"CAST(COUNT(CASE WHEN $p2 THEN 1 END) AS BIGINT) AS a1, " +
+      s"MIN(CASE WHEN $p1 THEN ${g.strExpr(s.cols, 1)} END) AS a2, " +
+      s"CAST(COUNT(*) AS BIGINT) AS a3 " +
+      s"FROM ${s.from} GROUP BY 1"
+  }
+
+  /** Two-level IN subqueries along composable FK chains. */
+  private def qNestedSubquery(g: Gen): String = {
+    val chains = Seq(
+      ("lineitem", "l_orderkey", "orders", "o_orderkey", "o_custkey",
+        "customer", "c_custkey"),
+      ("orders", "o_custkey", "customer", "c_custkey", "c_nationkey",
+        "nation", "n_nationkey"),
+      ("customer", "c_nationkey", "nation", "n_nationkey", "n_regionkey",
+        "region", "r_regionkey"),
+      ("lineitem", "l_suppkey", "supplier", "s_suppkey", "s_nationkey",
+        "nation", "n_nationkey"))
+    val (t1, fk1, t2, k2, fk2, t3, k3) = g.pick(chains)
+    val neg = if (g.chance(0.25)) "NOT " else ""
+    s"SELECT ${outputs(g, byName(t1).cols, 1, 3).mkString(", ")} FROM $t1 " +
+      s"WHERE $fk1 ${neg}IN (SELECT $k2 FROM $t2 WHERE $fk2 IN " +
+      s"(SELECT $k3 FROM $t3 WHERE ${g.pred(byName(t3).cols, g.int(0, 1))}))"
+  }
+
+  /** HAVING over aggregates the SELECT list doesn't expose. */
+  private def qHavingAgg(g: Gen): String = {
+    val s = if (g.chance(0.4)) joinSrc(g) else singleSrc(g)
+    val grp = g.groupExpr(s.cols)
+    val ints = s.cols.filter(_.t == IT)
+    val hav = g.pick(Seq(
+      s"MIN(CAST(${g.pick(ints).name} AS BIGINT)) > ${g.int(0, 500)}",
+      s"MAX(CAST(${g.pick(ints).name} AS BIGINT)) < ${g.int(500, 200000)}",
+      s"COUNT(DISTINCT ${g.pick(s.cols).name}) >= ${g.int(1, 4)}"))
+    s"SELECT $grp AS g0, ${g.aggExpr(s.cols)} AS a0, " +
+      s"CAST(COUNT(*) AS BIGINT) AS a1 FROM ${s.from} " +
+      s"GROUP BY 1 HAVING $hav AND COUNT(*) > ${g.int(0, 3)}"
+  }
+
+  /** Two CTEs, dim LEFT JOIN agg, COALESCE'd outer-null aggregate. */
+  private def qMultiCte(g: Gen): String = {
+    val e = g.pick(fks)
+    val fact = byName(e._1); val dim = byName(e._3)
+    val factWhere = if (g.chance(0.6)) s" WHERE ${g.pred(fact.cols, 0)}" else ""
+    s"WITH agg AS (SELECT ${e._2} AS k, CAST(COUNT(*) AS BIGINT) AS cnt, " +
+      s"${g.aggExpr(fact.cols)} AS m FROM ${e._1}$factWhere GROUP BY 1), " +
+      s"dims AS (SELECT ${e._4} AS k, " +
+      s"${outputs(g, dim.cols, 1, 2).mkString(", ")} FROM ${e._3} " +
+      s"WHERE ${g.pred(dim.cols, g.int(0, 1))}) " +
+      "SELECT dims.*, COALESCE(agg.cnt, CAST(0 AS BIGINT)) AS ccnt, agg.m AS cm " +
+      "FROM dims LEFT JOIN agg ON dims.k = agg.k"
   }
 
   private def qJoinShape(g: Gen): String = {

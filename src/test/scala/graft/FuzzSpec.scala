@@ -43,6 +43,12 @@ class FuzzSpec extends AnyFunSuite {
     assert(n(_.contains("LIMIT")) > 10, "order-limit coverage")
     assert(n(_.startsWith("WITH")) > 5, "CTE coverage")
     assert(n(_.contains("LEFT JOIN")) > 20, "outer-join coverage")
+    // v2 grammar (seeds 551-1000)
+    assert(n(_.contains("ROWS BETWEEN")) > 40, "framed-window coverage")
+    assert(n(_.contains("GROUPING SETS")) > 40, "grouping-sets coverage")
+    assert(n(v => v.indexOf("(SELECT", v.indexOf("(SELECT") + 1) > 0) > 60,
+      "nested-subquery coverage")
+    assert(n(_.contains("COALESCE(agg.cnt")) > 40, "multi-CTE coverage")
   }
 
   test("a seed sample executes through spark.sql (sf0.001)") {

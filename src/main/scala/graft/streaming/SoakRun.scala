@@ -209,7 +209,13 @@ object SoakRun {
       else hi = e
     }
     if (hi == 0) hi = hi0 * 2 // never failed below the cap
-    if (lo == 0) lo = lo0 / 2 // first rate already failed
+    // First rate already failed: halve DOWN with real probes until a
+    // sustained rate is found — max_sustained must always be a rate
+    // that was actually observed keeping up, never an assumed floor.
+    while (lo == 0 && hi > 12500) {
+      val cand = hi / 2
+      if (probe(cand).sustained) lo = cand else hi = cand
+    }
     while (hi.toDouble / lo > 1.125 && hi - lo > 25000) {
       val mid = (lo + hi) / 2
       if (probe(mid).sustained) lo = mid else hi = mid

@@ -1,7 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, concat, count, lit, window}
+import org.apache.spark.sql.functions.{array, col, concat, count, element_at, lit, window}
 import org.apache.spark.sql.streaming.Trigger
 
 /** Stateful-streaming soak + capacity search: runs one STATEFUL query
@@ -96,6 +96,30 @@ object SoakRun {
         col("auction").cast("long").as("event_id"),
         lit("bid").as("event_type"),
         col("b_date_time").as("ts"))).toDF()
+      // Funnel state machine (view→click→purchase, FunnelProcessor):
+      // O(1) per-user state; event types derived from the auction id so
+      // ~1/27 of users complete (all three stages in order).
+      case "funnel" => StatefulProcessors.funnelStages(bids.select(
+        col("bidder").cast("long").as("user_id"),
+        element_at(array(lit("view"), lit("click"), lit("purchase")),
+          (col("auction") % 3).cast("int") + 1).as("event_type"),
+        col("b_date_time").as("ts"))).toDF()
+      // Session-path edge stream (SessionPathProcessor): O(1) per-user
+      // last-event state, 1-2 transition edges per event.
+      case "paths" => StatefulProcessors.sessionPaths(bids.select(
+        col("bidder").cast("long").as("user_id"),
+        col("auction").cast("long").as("event_id"),
+        element_at(array(lit("view"), lit("click"), lit("purchase")),
+          (col("auction") % 3).cast("int") + 1).as("event_type"),
+        col("b_date_time").as("ts")), gapUs = 10000000L).toDF()
+      // Keep-best changelog (KeepBestProcessor): O(1) per-cluster best;
+      // 1000 synthetic simhash clusters cycle at full rate, so nearly
+      // every arrival is a challenger against existing state.
+      case "keepbest" => StatefulProcessors.keepBest(bids.select(
+        (col("auction") % 1000).cast("long").as("simhash"),
+        (col("auction").cast("long") * 1000000L + col("bidder")).as("doc_id"),
+        lit("soak").as("source"),
+        col("price").cast("long").as("n_chars"))).toDF()
       case other => sys.error(s"unsupported soak shape: $other")
     }
   }

@@ -167,8 +167,20 @@ object SqlFuzz {
     "l_shipdate" -> (9132, 11620), // 1995-01-02 .. 2001-11-04
     "ts" -> (19723, 19752)) // 2024-01-01 .. 2024-01-30
 
-  /** One seeded generation context. All randomness flows through `r`. */
-  final class Gen(val r: Random) {
+  /** Locale-independent "%.2f" — the f-interpolator formats through the
+    * JVM default locale, so a comma-decimal locale (de_DE) would emit
+    * '123,45' — an invalid SQL literal — and break byte-for-byte corpus
+    * reproduction (r10 advice).
+    */
+  private def f2(v: Double): String =
+    String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+
+  /** One seeded generation context. All randomness flows through `r`.
+    * `version` gates generator fixes that would change the text of
+    * frozen seeds: v1/v2 seeds must reproduce byte-identically forever,
+    * so behavior fixes apply from v3 on.
+    */
+  final class Gen(val r: Random, val version: Int = 2) {
     def pick[A](xs: Seq[A]): A = xs(r.nextInt(xs.length))
     def int(lo: Int, hi: Int): Int = lo + r.nextInt(hi - lo + 1)
     def chance(p: Double): Boolean = r.nextDouble() < p
@@ -183,11 +195,17 @@ object SqlFuzz {
     def litFor(col: Col): String = col.t match {
       case IT =>
         val (lo, hi) = intRange.getOrElse(col.base, (0L, 1000L))
-        (lo + math.abs(r.nextLong()) % (hi - lo + 1)).toString
+        // v1/v2 used abs(nextLong) % range, which with probability 2^-64
+        // (abs(Long.MinValue) < 0) lands below lo; floorMod closes that
+        // hole (r10 advice) but changes the draw for negative longs, so
+        // only new-version seeds take it — frozen corpus text is sacred.
+        if (version >= 3)
+          (java.lang.Math.floorMod(r.nextLong(), hi - lo + 1) + lo).toString
+        else (lo + math.abs(r.nextLong()) % (hi - lo + 1)).toString
       case DT =>
         val (lo, hi) = dblRange.getOrElse(col.base, (0.0, 1000.0))
         val v = lo + (hi - lo) * int(0, 100) / 100.0
-        f"$v%.2f"
+        f2(v)
       case ST =>
         strPool.get(col.base).map(p => sqlStr(pick(p)))
           .getOrElse(sqlStr("x"))
@@ -225,7 +243,7 @@ object SqlFuzz {
       val dbls = cols.filter(_.t == DT)
       def leaf: String =
         if (dbls.nonEmpty) pick(dbls).name
-        else f"${r.nextDouble() * 100}%.2f"
+        else f2(r.nextDouble() * 100)
       if (depth <= 0 || dbls.isEmpty) leaf
       else r.nextInt(5) match {
         case 0 => s"(${dblExpr(cols, depth - 1)} * ${dblExpr(cols, depth - 1)})"

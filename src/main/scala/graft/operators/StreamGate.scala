@@ -79,6 +79,30 @@ object StreamGate {
 
   private val B = "read_parquet('{NX}/bids/*.parquet')"
 
+  /** Oracle text of a batch catalog entry, verbatim — stream and batch
+    * then hang off the SAME DuckDB recompute (the stw_gap_spectrum
+    * pattern, generalized).
+    */
+  private def pOracle(name: String): String =
+    Pipeline.all.find(_.name == name)
+      .getOrElse(sys.error(s"no catalog entry '$name'")).oracle
+      .getOrElse(sys.error(s"catalog entry '$name' has no oracle"))
+
+  /** The events table in three time-ordered chunks (the per-key
+    * event-time arrival contract the order-sensitive processors document,
+    * guaranteed by time-ordered chunk predicates).
+    */
+  private def eventChunks(s: SparkSession, d: String): Seq[DataFrame] = {
+    val ev = graft.Tables.load(s, d, "events")
+      .select(col("user_id"), col("event_id"), col("event_type"), col("ts"))
+    def cut(iso: String) = lit(iso).cast("timestamp")
+    Seq(
+      ev.filter(col("ts") < cut("2024-01-11 00:00:00")),
+      ev.filter(col("ts") >= cut("2024-01-11 00:00:00") &&
+        col("ts") < cut("2024-01-21 00:00:00")),
+      ev.filter(col("ts") >= cut("2024-01-21 00:00:00")))
+  }
+
   /** SessionWindowProcessor (explicit event-time timers) over the NEXMark
     * bid replay: three time-ordered chunks + a far-future sentinel whose
     * watermark advance fires every remaining session timer. The oracle is
@@ -176,15 +200,7 @@ object StreamGate {
   private val stwGapSpectrum = Q(
     "stw_gap_spectrum",
     (s, d) => {
-      val ev = graft.Tables.load(s, d, "events")
-        .select(col("user_id"), col("event_id"), col("event_type"), col("ts"))
-      def cut(iso: String) = lit(iso).cast("timestamp")
-      val chunks = Seq(
-        ev.filter(col("ts") < cut("2024-01-11 00:00:00")),
-        ev.filter(col("ts") >= cut("2024-01-11 00:00:00") &&
-          col("ts") < cut("2024-01-21 00:00:00")),
-        ev.filter(col("ts") >= cut("2024-01-21 00:00:00")))
-      replay(s, "gapspec", chunks,
+      replay(s, "gapspec", eventChunks(s, d),
         df => StatefulProcessors.gapSpectrum(df).toDF())
         .select(col("eventType").as("event_type"), col("bucket"),
           col("gapUs"))
@@ -207,5 +223,320 @@ object StreamGate {
       FROM g WHERE gap IS NOT NULL
       GROUP BY 1, 2 ORDER BY 1, 2"""))
 
-  val all: Seq[Q] = Seq(stwSessions, stwNearDup, stwGapSpectrum)
+  /** FunnelProcessor (per-user three-stage state machine) over the real
+    * events table in three time-ordered chunks; output is the per-user
+    * completion table (first view → first later click → first later
+    * purchase), which is exactly p44's `p` CTE joined back through `c`
+    * for the view timestamp — the stream must emit one row per converted
+    * user with all three stage timestamps, across the chunk restarts.
+    */
+  private val stwFunnel = Q(
+    "stw_funnel_complete",
+    (s, d) => {
+      replay(s, "funnel", eventChunks(s, d),
+        df => StatefulProcessors.funnelStages(df).toDF())
+        .select(col("userId").as("user_id"), col("vUs").as("v_us"),
+          col("cUs").as("c_us"), col("pUs").as("p_us"))
+        .orderBy(col("user_id"))
+    },
+    Some("""
+      WITH ev AS (
+        SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+      v AS (SELECT user_id, MIN(us) AS v_us FROM ev
+            WHERE event_type = 'view' GROUP BY user_id),
+      c AS (SELECT e.user_id, v.v_us, MIN(e.us) AS c_us
+            FROM ev e JOIN v ON e.user_id = v.user_id
+            WHERE e.event_type = 'click' AND e.us > v.v_us
+            GROUP BY e.user_id, v.v_us),
+      p AS (SELECT e.user_id, c.v_us, c.c_us, MIN(e.us) AS p_us
+            FROM ev e JOIN c ON e.user_id = c.user_id
+            WHERE e.event_type = 'purchase' AND e.us > c.c_us
+            GROUP BY e.user_id, c.v_us, c.c_us)
+      SELECT user_id, v_us, c_us, p_us FROM p ORDER BY user_id"""))
+
+  /** AttributionProcessor (per-user O(1) last-click state) over the same
+    * three-chunk replay; the per-purchase decision stream rolls up to
+    * exactly p46's status ledger, so the oracle is p46's SQL verbatim —
+    * the stream's strictly-before + 1h-lookback semantics must reproduce
+    * the batch RANGE-frame window scan across the chunk restarts.
+    */
+  private val stwAttribution = Q(
+    "stw_attribution",
+    (s, d) => {
+      replay(s, "attr", eventChunks(s, d),
+        df => StatefulProcessors.attribution(df).toDF())
+        .withColumn("status",
+          when(col("attributed"), "attributed").otherwise("organic"))
+        .groupBy(col("status"))
+        .agg(count(lit(1)).as("n_purchases"),
+          sum(col("lagUs")).as("sum_lag_us"),
+          min(col("lagUs")).as("min_lag_us"),
+          max(col("lagUs")).as("max_lag_us"))
+        .orderBy(col("status"))
+    },
+    Some(pOracle("p46_attribution")))
+
+  /** SessionPathProcessor (per-user O(1) last-event state) over the same
+    * three-chunk replay plus a per-user `_FLUSH_` sentinel chunk (ts past
+    * every real event) that closes still-open sessions — the production
+    * drain. Aggregating the emitted edge stream reproduces p54's
+    * transition matrix, so the oracle is p54's SQL verbatim.
+    */
+  private val stwSessionPaths = Q(
+    "stw_session_paths",
+    (s, d) => {
+      val flush = graft.Tables.load(s, d, "events")
+        .select(col("user_id")).distinct()
+        .select(col("user_id"), col("user_id").as("event_id"),
+          lit("_FLUSH_").as("event_type"),
+          lit("2025-01-01 00:00:00").cast("timestamp").as("ts"))
+      replay(s, "sesspath", eventChunks(s, d) :+ flush,
+        df => StatefulProcessors.sessionPaths(df).toDF())
+        .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("n"))
+        .orderBy(col("src"), col("dst"))
+    },
+    Some(pOracle("p54_session_paths")))
+
+  /** KeepBestProcessor (per-SimHash-cluster argmax state) over the real
+    * document corpus in three DELIBERATELY interleaved chunks
+    * (doc_id % 3) — keep-best is a commutative/idempotent argmax fold,
+    * so the gate feeds the worst case for an arrival contract to prove
+    * there isn't one. The winner-CHANGE log recovers the final winner per
+    * cluster by pure aggregation (each change strictly improves), and the
+    * per-source retention ledger then matches p63's SQL verbatim.
+    */
+  private val stwKeepBest = Q(
+    "stw_keep_best",
+    (s, d) => {
+      val tokenHashes = expr(
+        """transform(array_distinct(split(text, ' ')),
+                     t -> CAST(conv(substr(md5(t), 1, 15), 16, 10) AS BIGINT))""")
+      val docs = graft.Tables.load(s, d, "documents")
+      val withSim = docs.select(col("doc_id"), col("source"), col("n_chars"),
+        graft.functions.VectorFunctions.simhash60(tokenHashes).as("simhash"))
+      val chunks = Seq(0, 1, 2).map(i =>
+        withSim.filter(col("doc_id") % 3 === i))
+      val winners = replay(s, "keepbest", chunks,
+          df => StatefulProcessors.keepBest(df).toDF())
+        .groupBy(col("simhash"))
+        .agg(max(struct(col("nChars"), (-col("docId")).as("nd"),
+          col("source").as("src"))).as("top"))
+      val kept = winners.groupBy(col("top.src").as("source"))
+        .agg(count(lit(1)).as("n_kept"),
+          sum(col("top.nChars")).as("kept_chars"))
+      docs.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+        .join(kept, Seq("source"), "left")
+        .select(col("source"), col("n_docs"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+          (col("n_docs") - coalesce(col("n_kept"), lit(0L))).as("n_dropped"),
+          coalesce(col("kept_chars"), lit(0L)).as("kept_chars"))
+        .orderBy(col("source"))
+    },
+    Some(pOracle("p63_keep_best")))
+
+  /** SpaceSavingProcessor (p19's sketch as keyed RocksDB state) over the
+    * events table in three interleaved chunks (event_id % 3 — exact-regime
+    * SpaceSaving insertion is commutative, same no-contract proof as
+    * keep-best). nSeen strictly increases every trigger that touches a
+    * group, so the group's final emission (max nSeen) is the complete
+    * top-3, and the oracle is p19's SQL verbatim.
+    */
+  private val stwHeavyHitters = Q(
+    "stw_heavy_hitters",
+    (s, d) => {
+      val ev = graft.Tables.load(s, d, "events")
+        .select(col("event_type"), col("user_id"), col("event_id"))
+      val chunks = Seq(0, 1, 2).map(i => ev.filter(col("event_id") % 3 === i))
+      val out = replay(s, "hh", chunks,
+        df => StatefulProcessors.heavyHittersTws(df, 3, 262144).toDF())
+      val last = out.groupBy(col("group")).agg(max(col("nSeen")).as("nSeen"))
+      out.join(last, Seq("group", "nSeen"))
+        .select(col("group").as("event_type"), col("rank"),
+          col("value").as("user_id"), col("count").as("cnt"))
+        .orderBy(col("event_type"), col("rank"))
+    },
+    Some(pOracle("p19_heavy_hitters")))
+
+  /** AuctionTopKLog (k-bounded per-auction leaderboard state) over the
+    * NEXMark bid replay in three time chunks. The append-only parquet log
+    * recovers the final leaderboard by aggregation: a rank's entry only
+    * ever improves in (price desc, tsUs asc, bidder asc), so final =
+    * max(struct(price, -tsUs, -bidder)) per (auction, rank). Oracle: the
+    * per-auction top-3 recompute under the same total order.
+    */
+  private val stwAuctionTopK = Q(
+    "stw_auction_topk",
+    (s, _) => {
+      val bids = Nexmark.bids(s, NexmarkBatch.N)
+      val t = unix_millis(col("b_date_time"))
+      val cut1 = Nexmark.BaseMs + 33000L
+      val cut2 = Nexmark.BaseMs + 66000L
+      val chunks = Seq(
+        bids.filter(t < cut1),
+        bids.filter(t >= cut1 && t < cut2),
+        bids.filter(t >= cut2))
+      replay(s, "topk", chunks,
+          df => StatefulProcessors.auctionTopKLog(df, 3).toDF())
+        .groupBy(col("auction"), col("rank"))
+        .agg(max(struct(col("price"), (-col("tsUs")).as("nts"),
+          (-col("bidder")).as("nb"))).as("w"))
+        .select(col("auction"), col("rank"), col("w.price").as("price"),
+          (-col("w.nb")).as("bidder"), (-col("w.nts")).as("ts_us"))
+        .orderBy(col("auction"), col("rank"))
+    },
+    Some(s"""
+      WITH b AS (SELECT auction, bidder, price, epoch_us(b_date_time) AS us
+                 FROM $B),
+      r AS (SELECT auction, price, bidder, us,
+              CAST(ROW_NUMBER() OVER (PARTITION BY auction
+                ORDER BY price DESC, us, bidder) AS INT) AS rank
+            FROM b)
+      SELECT auction, rank, price, bidder, us AS ts_us
+      FROM r WHERE rank <= 3 ORDER BY auction, rank"""))
+
+  private def awaitBatch(q: org.apache.spark.sql.streaming.StreamingQuery,
+      minBatchId: Long): Unit = {
+    val end = System.currentTimeMillis() + 60000
+    def done = Option(q.lastProgress).exists(_.batchId >= minBatchId)
+    while (!done && System.currentTimeMillis() < end) Thread.sleep(10)
+    require(done, s"manual-clock batch $minBatchId did not complete in 60s" +
+      s" (last: ${Option(q.lastProgress).map(_.batchId)})")
+  }
+
+  private def awaitRows(rows: () => Seq[org.apache.spark.sql.Row],
+      n: Long): Unit = {
+    val end = System.currentTimeMillis() + 60000
+    while (rows().size < n && System.currentTimeMillis() < end)
+      Thread.sleep(10)
+    require(rows().size >= n, s"manual-clock sink stuck at ${rows().size}" +
+      s" rows, want $n")
+  }
+
+  /** GapWindowProcessor (q12's PROCESSING-TIME gap windows on explicit
+    * timers) on the hash gate — the entry the invariant-style nx_q12
+    * oracle could never be: processing time is wall-clock, so exact
+    * boundaries need the trigger driven by a MANUAL clock (the StreamTest
+    * injection point, shims.startWithManualClock; same machinery as the
+    * StreamingSpec boundary tests, now replaying the full NEXMark bid
+    * corpus for the driver's DuckDB compare).
+    *
+    * Script: four event-time chunks of the bid table land as one parquet
+    * file per trigger at clock times t0, t0+1s, t0+2s, t0+3s (window size
+    * 1.5 s), then one far jump fires every remaining timer. A window
+    * opening at batch i therefore absorbs batch i+1 and closes before
+    * batch i+2, so the truth is a per-bidder greedy chain over chunk
+    * occupancy — s_i = has_bids_i AND NOT s_{i-1} — expressible in plain
+    * SQL: window(i) covers exactly chunks i and i+1. This exercises every
+    * path of the processor: multi-batch extension, timer close, inline
+    * close with the stale-timer guard, and reopen.
+    *
+    * The MemorySink readback is the manual-clock harness' contract (a
+    * test sink, driver-side by design); output volume is bounded at ≤2
+    * windows per distinct bidder. The one-row `first()` reads the
+    * expected window count — the scalar-read pattern the iterative
+    * entries use for convergence checks.
+    */
+  private val stwGapWindows = Q(
+    "stw_q12_gap_windows",
+    (s, _) => {
+      import s.implicits._
+      val t0 = 1000000L; val stepMs = 1000L; val sizeMs = 1500L
+      val bids = Nexmark.bids(s, NexmarkBatch.N)
+      val t = unix_millis(col("b_date_time"))
+      val cuts = Seq(25000L, 50000L, 75000L).map(Nexmark.BaseMs + _)
+      val chunks = Seq(
+        bids.filter(t < cuts(0)),
+        bids.filter(t >= cuts(0) && t < cuts(1)),
+        bids.filter(t >= cuts(1) && t < cuts(2)),
+        bids.filter(t >= cuts(2))).map(_.select(col("bidder")))
+      val nExpected = bids
+        .select(col("bidder"),
+          when(t < cuts(0), 0).when(t < cuts(1), 1)
+            .when(t < cuts(2), 2).otherwise(3).as("ck"))
+        .groupBy(col("bidder"))
+        .agg(max(when(col("ck") === 0, 1).otherwise(0)).as("b0"),
+          max(when(col("ck") === 1, 1).otherwise(0)).as("b1"),
+          max(when(col("ck") === 2, 1).otherwise(0)).as("b2"),
+          max(when(col("ck") === 3, 1).otherwise(0)).as("b3"))
+        .withColumn("s0", col("b0"))
+        .withColumn("s1", col("b1") * (lit(1) - col("s0")))
+        .withColumn("s2", col("b2") * (lit(1) - col("s1")))
+        .withColumn("s3", col("b3") * (lit(1) - col("s2")))
+        .agg(sum((col("s0") + col("s1") + col("s2") + col("s3"))
+          .cast("long"))).first().getLong(0)
+      val base = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        s"graft_stw_q12gap_${ProcessHandle.current().pid()}")
+        .toAbsolutePath.toString
+      rmrf(new java.io.File(base))
+      liveDirs.add(base)
+      if (hookArmed.compareAndSet(false, true))
+        sys.addShutdownHook(
+          liveDirs.forEach(d => rmrf(new java.io.File(d)))): Unit
+      val (in, ckpt) = (s"$base/in", s"$base/ckpt")
+      val saved =
+        s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+      s.conf.set("spark.sql.streaming.stateStore.providerClass", Rocks)
+      val out = try {
+        val schema = chunks.head.schema
+        chunks.head.coalesce(1).write.mode("append").parquet(in)
+        val clock = new org.apache.spark.sql.graft.shims.GraftManualClock(t0)
+        val (q, rows) = org.apache.spark.sql.graft.shims.startWithManualClock(
+          StatefulProcessors.gapWindowsTws(
+            s.readStream.schema(schema).parquet(in), sizeMs).toDF(),
+          ckpt, clock, stepMs,
+          org.apache.spark.sql.streaming.OutputMode.Append())
+        try {
+          awaitBatch(q, 0)
+          chunks.tail.zipWithIndex.foreach { case (c, i) =>
+            c.coalesce(1).write.mode("append").parquet(in)
+            clock.advance(stepMs)
+            awaitBatch(q, i + 1)
+          }
+          clock.advance(sizeMs + 2 * stepMs) // one far batch: fire the rest
+          awaitRows(rows, nExpected)
+        } finally q.stop()
+        rows().map(r => (r.getInt(0), ((r.getLong(1) - t0) / stepMs).toInt,
+          r.getLong(2) - r.getLong(1), r.getLong(3)))
+      } finally {
+        saved match {
+          case Some(v) =>
+            s.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+          case None =>
+            s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        }
+      }
+      out.toDF("bidder", "win_batch", "win_len_ms", "n_bids")
+        .orderBy(col("bidder"), col("win_batch"))
+    },
+    Some {
+      val cUs = Seq(25000L, 50000L, 75000L).map(c => (Nexmark.BaseMs + c) * 1000L)
+      s"""
+      WITH b AS (SELECT bidder, epoch_us(b_date_time) AS us FROM $B),
+      occ AS (SELECT bidder,
+        CAST(SUM(CASE WHEN us < ${cUs(0)} THEN 1 ELSE 0 END) AS BIGINT) AS c0,
+        CAST(SUM(CASE WHEN us >= ${cUs(0)} AND us < ${cUs(1)} THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+        CAST(SUM(CASE WHEN us >= ${cUs(1)} AND us < ${cUs(2)} THEN 1 ELSE 0 END) AS BIGINT) AS c2,
+        CAST(SUM(CASE WHEN us >= ${cUs(2)} THEN 1 ELSE 0 END) AS BIGINT) AS c3
+      FROM b GROUP BY bidder),
+      f AS (SELECT bidder, c0, c1, c2, c3,
+        (c0 > 0) AS s0,
+        (c1 > 0 AND NOT (c0 > 0)) AS s1,
+        (c2 > 0 AND NOT (c1 > 0 AND NOT (c0 > 0))) AS s2,
+        (c3 > 0 AND NOT (c2 > 0 AND NOT (c1 > 0 AND NOT (c0 > 0)))) AS s3
+      FROM occ)
+      SELECT bidder, CAST(0 AS INT) AS win_batch,
+        CAST(1500 AS BIGINT) AS win_len_ms, c0 + c1 AS n_bids
+      FROM f WHERE s0
+      UNION ALL SELECT bidder, CAST(1 AS INT), CAST(1500 AS BIGINT), c1 + c2
+      FROM f WHERE s1
+      UNION ALL SELECT bidder, CAST(2 AS INT), CAST(1500 AS BIGINT), c2 + c3
+      FROM f WHERE s2
+      UNION ALL SELECT bidder, CAST(3 AS INT), CAST(1500 AS BIGINT), c3
+      FROM f WHERE s3
+      ORDER BY bidder, win_batch"""
+    })
+
+  val all: Seq[Q] = Seq(stwSessions, stwNearDup, stwGapSpectrum,
+    stwFunnel, stwAttribution, stwSessionPaths, stwKeepBest,
+    stwHeavyHitters, stwAuctionTopK, stwGapWindows)
 }

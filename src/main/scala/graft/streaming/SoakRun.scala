@@ -138,17 +138,19 @@ object SoakRun {
       * trigger period.
       */
     def sustained: Boolean = meanH2 < 1000.0
-    def json: String =
-      f"""{"shape":"$shape","eps":$eps,"secs":$secs,""" +
-      f""""batches":$batches,"input_rows":$inputRows,""" +
-      f""""rows_per_sec":${inputRows / secs}%d,""" +
-      f""""mean_batch_ms_h1":$meanH1%.0f,""" +
-      f""""mean_batch_ms_h2":$meanH2%.0f,""" +
-      f""""max_batch_ms":$maxMs,""" +
-      f""""state_rows_mid":$stateRowsMid,""" +
-      f""""state_rows_last":$stateRowsLast,""" +
-      f""""state_mem_mb_last":$stateMemMb%.1f,""" +
-      f""""sustained":$sustained}"""
+    // Locale.ROOT: the f-interpolator formats through the JVM default
+    // locale; a comma-decimal locale (de_DE) would emit invalid JSON
+    // (r10 advice).
+    def json: String = String.format(java.util.Locale.ROOT,
+      """{"shape":"%s","eps":%d,"secs":%d,"batches":%d,"input_rows":%d,""" +
+      """"rows_per_sec":%d,"mean_batch_ms_h1":%.0f,"mean_batch_ms_h2":%.0f,""" +
+      """"max_batch_ms":%d,"state_rows_mid":%d,"state_rows_last":%d,""" +
+      """"state_mem_mb_last":%.1f,"sustained":%b}""",
+      shape, Int.box(eps), Int.box(secs), Int.box(batches),
+      Long.box(inputRows), Long.box(inputRows / secs),
+      Double.box(meanH1), Double.box(meanH2), Long.box(maxMs),
+      Long.box(stateRowsMid), Long.box(stateRowsLast),
+      Double.box(stateMemMb), Boolean.box(sustained))
   }
 
   private def runProbe(spark: SparkSession, shape: String, eps: Int,
@@ -232,7 +234,16 @@ object SoakRun {
       if (probe(e).sustained) { lo = e; e *= 2 }
       else hi = e
     }
-    if (hi == 0) hi = hi0 * 2 // never failed below the cap
+    if (hi == 0) {
+      // Every doubling probe up to the user's -hi cap sustained: report
+      // the largest observed-sustained rate and NO failure rate, instead
+      // of bisecting into rates above the cap the user asked not to
+      // exceed (r10 advice).
+      println(s"""{"capacity_shape":"$shape","max_sustained_eps":$lo,""" +
+        s""""first_unsustained_eps":null,"cpus":$cpus,"probe_secs":$secs}""")
+      spark.stop()
+      return
+    }
     // First rate already failed: halve DOWN with real probes until a
     // sustained rate is found — max_sustained must always be a rate
     // that was actually observed keeping up, never an assumed floor.
@@ -244,8 +255,8 @@ object SoakRun {
       val mid = (lo + hi) / 2
       if (probe(mid).sustained) lo = mid else hi = mid
     }
-    println(f"""{"capacity_shape":"$shape","max_sustained_eps":$lo,""" +
-      f""""first_unsustained_eps":$hi,"cpus":$cpus,"probe_secs":$secs}""")
+    println(s"""{"capacity_shape":"$shape","max_sustained_eps":$lo,""" +
+      s""""first_unsustained_eps":$hi,"cpus":$cpus,"probe_secs":$secs}""")
     spark.stop()
   }
 }

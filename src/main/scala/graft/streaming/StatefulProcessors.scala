@@ -17,6 +17,20 @@ case class TopBid(price: Int, bidder: Int, tsUs: Long)
   */
 case class LeaderboardRow(auction: Int, rank: Int, price: Int, bidder: Int)
 
+/** Leaderboard row for the APPEND-LOG form (the hard-gate replay sinks to
+  * parquet, an append-only log): carries the bid timestamp so the final
+  * per-(auction, rank) state is recoverable from the log by pure
+  * aggregation — rank entries improve monotonically in (price desc,
+  * tsUs asc, bidder asc), so final = max(struct(price, -tsUs, -bidder)).
+  */
+case class LeaderboardLog(auction: Int, rank: Int, price: Int, bidder: Int,
+    tsUs: Long)
+
+/** Heavy-hitters stream rows (p19 twin on transformWithState). */
+case class HHIn(group: String, key: Long)
+case class HHRow(group: String, nSeen: Long, rank: Int, value: Long,
+    count: Long)
+
 /** One event as consumed by the funnel processor. */
 case class FunnelEvent(userId: Long, eventType: String, tsUs: Long)
 
@@ -115,6 +129,90 @@ object StatefulProcessors {
         LeaderboardRow(auction, i + 1, t.price, t.bidder)
       }
     }
+  }
+
+  /** AuctionTopK's append-log twin: identical fold (same total order,
+    * same k-bounded ValueState), but each refreshed leaderboard row also
+    * carries its bid's event timestamp so an append-only sink (the gate's
+    * parquet log) can recover the FINAL leaderboard by aggregation alone
+    * — see LeaderboardLog. Top-k merge is commutative/idempotent over
+    * bid arrival order, so no arrival contract is needed.
+    */
+  class AuctionTopKLog(k: Int)
+      extends StatefulProcessor[Int, BidIn, LeaderboardLog] {
+    @transient private var top: ValueState[TopBids] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      top = getHandle.getValueState[TopBids]("top",
+        Encoders.product[TopBids], TTLConfig.NONE)
+
+    override def handleInputRows(auction: Int, rows: Iterator[BidIn],
+        timerValues: TimerValues): Iterator[LeaderboardLog] = {
+      val prev = if (top.exists()) top.get().bids else Seq.empty
+      val merged = (prev ++ rows.map(b => TopBid(b.price, b.bidder, b.tsUs)))
+        .sortBy(t => (-t.price, t.tsUs, t.bidder))
+        .take(k)
+      top.update(TopBids(merged))
+      merged.iterator.zipWithIndex.map { case (t, i) =>
+        LeaderboardLog(auction, i + 1, t.price, t.bidder, t.tsUs)
+      }
+    }
+  }
+
+  /** Per-group SpaceSaving heavy hitters on transformWithState — the
+    * p19 batch aggregate's sketch carried as keyed ValueState (serialized
+    * bytes, RocksDB-backed), re-emitting the refreshed top-k per trigger.
+    * In the exact regime (capacity ≥ per-group key cardinality, the same
+    * contract the batch entry documents) insertion is commutative — no
+    * arrival contract — and the log's final emission per group (max
+    * nSeen: nSeen strictly increases every touched trigger) equals the
+    * batch top-k, which is what the gate aggregates out.
+    */
+  class SpaceSavingProcessor(k: Int, capacity: Int)
+      extends StatefulProcessor[String, HHIn, HHRow] {
+    @transient private var st: ValueState[Array[Byte]] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[Array[Byte]]("sketch",
+        Encoders.BINARY, TTLConfig.NONE)
+
+    override def handleInputRows(group: String, rows: Iterator[HHIn],
+        timerValues: TimerValues): Iterator[HHRow] = {
+      import graft.functions.SpaceSavingSketch
+      val sk =
+        if (st.exists()) SpaceSavingSketch.deserialize(st.get())
+        else new SpaceSavingSketch(capacity)
+      rows.foreach(r => sk.add(r.key))
+      st.update(SpaceSavingSketch.serialize(sk))
+      sk.topK(k).iterator.zipWithIndex.map { case ((v, c, _), i) =>
+        HHRow(group, sk.nSeen, i + 1, v, c)
+      }
+    }
+  }
+
+  /** Append-log leaderboard stream over raw bid frames (NEXMark columns). */
+  def auctionTopKLog(bids: DataFrame, k: Int = 3): Dataset[LeaderboardLog] = {
+    val spark = bids.sparkSession
+    import spark.implicits._
+    bids.select(col("auction"), col("bidder"), col("price"),
+        unix_micros(col("b_date_time")).as("tsUs"))
+      .as[BidIn]
+      .groupByKey(_.auction)
+      .transformWithState(new AuctionTopKLog(k),
+        TimeMode.None(), OutputMode.Append())
+  }
+
+  /** Heavy-hitters stream over raw event frames (event_type, user_id). */
+  def heavyHittersTws(events: DataFrame, k: Int = 3,
+      capacity: Int = 262144): Dataset[HHRow] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.select(col("event_type").as("group"),
+        col("user_id").cast("long").as("key"))
+      .as[HHIn]
+      .groupByKey(_.group)
+      .transformWithState(new SpaceSavingProcessor(k, capacity),
+        TimeMode.None(), OutputMode.Append())
   }
 
   /** NEXMark q12's processing-time gap windows on the timer API: the exact

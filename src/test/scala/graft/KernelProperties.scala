@@ -139,6 +139,19 @@ object KernelProperties extends Properties("graft.kernels") {
         sa.counters.forall { case (_, (_, e)) => e == 0L }
     }
 
+  property("sketch serde roundtrip is lossless in every regime") =
+    // The serialized form crosses the RocksDB state-store boundary in the
+    // streaming twins (SpaceSavingProcessor, StreamSketches) — a lossy
+    // field (nSeen, evicted, per-key err) would silently corrupt restarts.
+    forAll(stream, Gen.chooseNum(1, 64)) { (xs, cap) =>
+      val sk = new SpaceSavingSketch(cap)
+      xs.foreach(sk.add)
+      val rt = SpaceSavingSketch.deserialize(SpaceSavingSketch.serialize(sk))
+      rt.nSeen == sk.nSeen && rt.evicted == sk.evicted &&
+        rt.counters == sk.counters &&
+        rt.topK(3).toSeq == sk.topK(3).toSeq
+    }
+
   property("merged sketch keeps the bound in the APPROXIMATE regime") =
     // Small capacities force evictions on both sides before the merge —
     // the regime where the pre-fix merge undercounted keys evicted from

@@ -73,8 +73,13 @@ def round6_micro(x):
     risky = (frac < 1e-6) | (frac > 1 - 1e-6)
     if risky.any():
         flat_x = x[risky]
+        # repr(float(v)) = the shortest round-trip decimal — the same
+        # input Java's Double.toString feeds Spark's double->DECIMAL(18,6)
+        # cast (scala BigDecimal(d.toString)). Decimal(float(v)) would
+        # round the exact binary expansion instead, which can land on the
+        # other side of a 6th-digit half boundary (r10 advice).
         exact = np.array([
-            int(Decimal(float(v)).quantize(Decimal("0.000001"),
+            int(Decimal(repr(float(v))).quantize(Decimal("0.000001"),
                                            rounding=ROUND_HALF_UP)
                 .scaleb(6))
             for v in flat_x], dtype=np.int64)

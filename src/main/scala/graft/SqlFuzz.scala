@@ -53,10 +53,19 @@ object SqlFuzz {
     * text must never change); 551-1000 add the v2 shapes (framed window
     * aggregates, GROUPING SETS + GROUPING(), NULL-propagating CASE
     * aggregates, two-level IN subqueries, aggregate HAVING predicates,
-    * multi-CTE LEFT JOINs with COALESCE'd outer-null aggregates).
+    * multi-CTE LEFT JOINs with COALESCE'd outer-null aggregates);
+    * 1001-1300 add the v3 shapes (FULL OUTER / RIGHT joins, correlated
+    * scalar-aggregate and NOT EXISTS subqueries, string functions incl.
+    * LIKE ... ESCAPE / SUBSTRING FROM-FOR / POSITION, date arithmetic
+    * and date_trunc, INTERSECT ALL / EXCEPT ALL, RANGE-framed windows)
+    * plus the fan-out cardinality guard: any join chain that attaches a
+    * second fact to an already-joined dim (the M:N explosion class, the
+    * fz0374 lesson) carries a mandatory selective range predicate on
+    * that fact's key, so every v3 seed stays runnable at sf1+.
     */
   val V1Seeds = 550
-  val DefaultSeeds = 1000
+  val V2Seeds = 1000
+  val DefaultSeeds = 1300
 
   sealed trait CT
   case object IT extends CT // integral
@@ -372,7 +381,8 @@ object SqlFuzz {
   // ---- FROM-clause construction ----
 
   final case class Src(from: String, cols: Seq[Col],
-      uniques: Seq[String], tablesUsed: Seq[String])
+      uniques: Seq[String], tablesUsed: Seq[String],
+      guards: Seq[String] = Nil)
 
   private def singleSrc(g: Gen): Src = {
     val t = g.pick(tables)
@@ -544,8 +554,11 @@ object SqlFuzz {
 
   /** The seed's query text — a pure function of the seed. */
   def generate(seed: Int): String = {
-    val g = new Gen(new Random(seed.toLong * 2654435761L + 12345L))
-    if (seed <= V1Seeds) v1Shape(g) else v2Shape(g)
+    val version = if (seed > V2Seeds) 3 else 2
+    val g = new Gen(new Random(seed.toLong * 2654435761L + 12345L), version)
+    if (seed <= V1Seeds) v1Shape(g)
+    else if (seed <= V2Seeds) v2Shape(g)
+    else v3Shape(g)
   }
 
   private def v1Shape(g: Gen): String =
@@ -670,6 +683,238 @@ object SqlFuzz {
       "FROM dims LEFT JOIN agg ON dims.k = agg.k"
   }
 
+  // ---- v3 shapes (seeds 1001+) ----
+
+  private def v3Shape(g: Gen): String =
+    g.r.nextInt(14) match {
+      case 0 | 1 => qOuterJoinV3(g)
+      case 2 | 3 => qCorrAggSubV3(g)
+      case 4 | 5 => qStringFnsV3(g)
+      case 6 | 7 => qDateArithV3(g)
+      case 8 => qSetOpAllV3(g)
+      case 9 | 10 => qRangeWindowV3(g)
+      case 11 | 12 => qAggV3(g)
+      case _ => qFilterV3(g)
+    }
+
+  /** Selective range predicate on a fan-out table's key — the v3
+    * cardinality guard (~2% of the sf0.1 keyspace; replica-0 keys
+    * survive GenScale replication, so the guard only gets MORE selective
+    * at larger SFs, never empty).
+    */
+  private def guardPred(g: Gen, tbl: Tbl, alias: String): String = {
+    val gc = tbl.unique.getOrElse("l_orderkey")
+    val (lo, hi) = intRange(gc)
+    val w = math.max(1L, (hi - lo) / 50)
+    val x = lo + java.lang.Math.floorMod(g.r.nextLong(), hi - lo - w + 1)
+    s"$alias.$gc BETWEEN $x AND ${x + w}"
+  }
+
+  /** joinSrc with the fan-out guard: attaching a NEW fact to an
+    * already-joined dim is the M:N explosion class (fz0374's
+    * lineitem⋈supplier⋈nation⋈customer chain → 3.6e10 rows at sf1);
+    * every such attachment yields a mandatory selective predicate the
+    * v3 shapes AND into their WHERE clause.
+    */
+  private def joinSrcV3(g: Gen): Src = {
+    val e0 = g.pick(fks)
+    var used = Map(e0._1 -> "t1", e0._3 -> "t2")
+    val guards = Seq.newBuilder[String]
+    val sb = new StringBuilder(
+      s"${e0._1} t1 JOIN ${e0._3} t2 ON t1.${e0._2} = t2.${e0._4}")
+    var n = 2
+    val extra = g.int(0, 2)
+    var tries = 0
+    while (n - 2 < extra && tries < 6) {
+      tries += 1
+      val cand = fks.filter(e =>
+        (used.contains(e._1) && !used.contains(e._3)) ||
+        (!used.contains(e._1) && used.contains(e._3)))
+      if (cand.nonEmpty) {
+        val e = g.pick(cand)
+        n += 1
+        val a = s"t$n"
+        val jt = if (g.chance(0.2)) "LEFT JOIN" else "JOIN"
+        if (used.contains(e._1)) { // N:1 hop to a new dim — safe
+          sb.append(s" $jt ${e._3} $a ON ${used(e._1)}.${e._2} = $a.${e._4}")
+          used += (e._3 -> a)
+        } else { // new FACT onto a used dim — fan-out: guard it
+          sb.append(s" $jt ${e._1} $a ON $a.${e._2} = ${used(e._3)}.${e._4}")
+          used += (e._1 -> a)
+          guards += guardPred(g, byName(e._1), a)
+        }
+      }
+    }
+    val cols = used.toSeq.sortBy(_._2).flatMap { case (tn, a) =>
+      byName(tn).cols.map(_.qualify(a))
+    }
+    val uniq = byName(e0._1).unique.map(k => s"t1.$k").toSeq
+    Src(sb.toString, cols, uniq, used.keys.toSeq, guards.result())
+  }
+
+  private def v3Src(g: Gen): Src =
+    if (g.chance(0.5)) singleSrc(g) else joinSrcV3(g)
+
+  private def whereV3(g: Gen, s: Src, extraChance: Double = 0.7): String = {
+    val ps = s.guards ++
+      (if (g.chance(extraChance)) Seq(g.pred(s.cols, g.int(0, 1))) else Nil)
+    if (ps.isEmpty) "" else s" WHERE ${ps.mkString(" AND ")}"
+  }
+
+  /** FULL OUTER against a pre-aggregated fact (both null sides live:
+    * the dim filter orphans fact groups, the fact filter orphans dims);
+    * or a filtered-fact RIGHT JOIN (dim-preserving with fact nulls).
+    */
+  private def qOuterJoinV3(g: Gen): String = {
+    val e = g.pick(fks)
+    val fact = byName(e._1); val dim = byName(e._3)
+    if (g.chance(0.5)) {
+      val fw = if (g.chance(0.7)) s" WHERE ${g.pred(fact.cols, 0)}" else ""
+      s"WITH f AS (SELECT ${e._2} AS k, CAST(COUNT(*) AS BIGINT) AS cnt, " +
+        s"${g.aggExpr(fact.cols)} AS m FROM ${e._1}$fw GROUP BY 1), " +
+        s"d AS (SELECT * FROM ${e._3} WHERE ${g.pred(dim.cols, g.int(0, 1))}) " +
+        s"SELECT d.${e._4} AS dk, f.k AS fk, " +
+        s"${outputs(g, dim.cols.map(_.qualify("d")), 1, 2).mkString(", ")}, " +
+        "COALESCE(f.cnt, CAST(0 AS BIGINT)) AS ccnt, f.m AS cm " +
+        s"FROM d FULL OUTER JOIN f ON d.${e._4} = f.k"
+    } else {
+      val fcols = fact.cols.map(_.qualify("f"))
+      val dcols = dim.cols.map(_.qualify("d"))
+      s"SELECT ${outputs(g, dcols, 1, 2).mkString(", ")}, " +
+        s"${outputs(g, fcols, 1, 2, start = 4).mkString(", ")} " +
+        s"FROM (SELECT * FROM ${e._1} WHERE ${g.pred(fact.cols, g.int(0, 1))}) f " +
+        s"RIGHT JOIN ${e._3} d ON f.${e._2} = d.${e._4}"
+    }
+  }
+
+  /** Correlated scalar-aggregate comparisons and compound NOT EXISTS. */
+  private def qCorrAggSubV3(g: Gen): String = {
+    val e = g.pick(fks)
+    val fact = byName(e._1); val dim = byName(e._3)
+    val fcols = fact.cols.map(_.qualify("f"))
+    val dcols = dim.cols.map(_.qualify("d"))
+    g.r.nextInt(3) match {
+      case 0 =>
+        val lo = g.int(0, 5)
+        s"SELECT ${outputs(g, dcols, 1, 3).mkString(", ")} FROM ${e._3} d " +
+          s"WHERE (SELECT CAST(COUNT(*) AS BIGINT) FROM ${e._1} f " +
+          s"WHERE f.${e._2} = d.${e._4} AND ${g.pred(fcols, 0)}) " +
+          s"BETWEEN $lo AND ${lo + g.int(2, 200)}"
+      case 1 =>
+        s"SELECT ${outputs(g, dcols, 1, 3).mkString(", ")} FROM ${e._3} d " +
+          s"WHERE NOT EXISTS (SELECT 1 FROM ${e._1} f " +
+          s"WHERE f.${e._2} = d.${e._4} AND ${g.pred(fcols, 0)} " +
+          s"AND ${g.pred(fcols, 0)})"
+      case _ =>
+        s"SELECT d.${e._4} AS k, (SELECT CAST(COUNT(*) AS BIGINT) " +
+          s"FROM ${e._1} f WHERE f.${e._2} = d.${e._4} " +
+          s"AND ${g.pred(fcols, 0)}) AS cc " +
+          s"FROM ${e._3} d WHERE ${g.pred(dcols, g.int(0, 1))}"
+    }
+  }
+
+  /** ANSI string surface both dialects share: SUBSTRING FROM-FOR,
+    * POSITION(x IN y), REPLACE, and LIKE with an explicit ESCAPE.
+    */
+  private def qStringFnsV3(g: Gen): String = {
+    val t = g.pick(tables.filter(_.cols.exists(c =>
+      c.t == ST && strPool.contains(c.base))))
+    val scols = t.cols.filter(c => c.t == ST && strPool.contains(c.base))
+    val c1 = g.pick(scols); val c2 = g.pick(scols)
+    val needle = g.pick(strPool(c2.base)).take(2)
+      .filterNot(ch => ch == '\'' || ch == '%' || ch == '_')
+    // '!' as the escape char: a backslash escape would itself be
+    // dialect-divergent (Spark processes backslashes inside string
+    // literals by default; DuckDB does not).
+    val esc = s"${c1.name} LIKE '%${needle}!_%' ESCAPE '!'"
+    val real = s"${c1.name} LIKE '%$needle%'"
+    val where = if (g.chance(0.5)) s"($esc OR $real)"
+      else s"POSITION('$needle' IN ${c2.name}) ${g.pick(Seq(">", "="))} ${g.int(0, 2)}"
+    s"SELECT SUBSTRING(${c1.name} FROM ${g.int(1, 3)} FOR ${g.int(2, 8)}) AS c0, " +
+      s"${g.pick(Seq("UPPER", "LOWER"))}(${c2.name}) AS c1, " +
+      s"REPLACE(${c1.name}, '${needle.take(1)}', '#') AS c2, " +
+      s"CAST(POSITION('$needle' IN ${c1.name}) AS BIGINT) AS c3, " +
+      s"CAST(COUNT(*) AS BIGINT) AS c4 " +
+      s"FROM ${t.name} WHERE $where GROUP BY 1, 2, 3, 4"
+  }
+
+  /** Interval arithmetic in predicates and date_trunc keys (the TPC-H
+    * `interval 'n' day` form both engines already run in SqlParity).
+    * events.ts stays out of raw/derived-timestamp OUTPUT (see valCols);
+    * orders/lineitem dates are µs-written by the driver and compare
+    * clean.
+    */
+  private def qDateArithV3(g: Gen): String = {
+    val t = g.pick(Seq(byName("orders"), byName("lineitem")))
+    val tc = t.cols.find(_.t == TT).get
+    val unit = g.pick(Seq("month", "year"))
+    val days = g.int(5, 120)
+    val cmp = g.pick(Seq("<", ">=", "<="))
+    val where = s"${tc.name} + INTERVAL '$days' DAY $cmp ${g.tsLit(tc)}" +
+      (if (g.chance(0.5)) s" AND ${g.pred(t.cols, 0)}" else "")
+    // CAST AS DATE: DuckDB's date_trunc('month'|'year', TIMESTAMP)
+    // yields DATE where Spark yields TIMESTAMP — the cast lands both
+    // engines on the same rendered type.
+    s"SELECT CAST(date_trunc('$unit', ${tc.name}) AS DATE) AS c0, " +
+      s"CAST(EXTRACT(${g.pick(Seq("YEAR", "MONTH", "DAY"))} FROM " +
+      s"${tc.name} - INTERVAL '${g.int(1, 45)}' DAY) AS BIGINT) AS c1, " +
+      s"${g.aggExpr(t.cols)} AS c2, CAST(COUNT(*) AS BIGINT) AS c3 " +
+      s"FROM ${t.name} WHERE $where GROUP BY 1, 2"
+  }
+
+  /** Multiset set ops (INTERSECT ALL / EXCEPT ALL) over overlapping
+    * predicate slices — duplicates must survive/cancel identically.
+    */
+  private def qSetOpAllV3(g: Gen): String = {
+    val t = g.pick(tables)
+    val gen2 = outputs(g, t.cols, 2, 3)
+    val op = g.pick(Seq("INTERSECT ALL", "EXCEPT ALL"))
+    val p1 = g.pred(t.cols, g.int(0, 1))
+    val p2 = g.pred(t.cols, g.int(0, 1))
+    s"SELECT ${gen2.mkString(", ")} FROM ${t.name} WHERE $p1 " +
+      s"$op SELECT ${gen2.mkString(", ")} FROM ${t.name} WHERE $p2"
+  }
+
+  /** RANGE-framed windows: peer-inclusive, so ANY order key is
+    * tie-stable — deterministic even where ROWS frames would not be.
+    */
+  private def qRangeWindowV3(g: Gen): String = {
+    val t = g.pick(tables)
+    val ints = t.cols.filter(_.t == IT)
+    val ord = g.pick(ints).name
+    val part = g.groupExpr(t.cols)
+    val n1 = g.int(1, 500); val n2 = g.int(1, 100)
+    val wins = Seq(
+      s"CAST(SUM(${g.intExpr(t.cols, 0)}) OVER (PARTITION BY $part ORDER BY $ord " +
+        "RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS w0",
+      s"CAST(COUNT(*) OVER (PARTITION BY $part ORDER BY $ord " +
+        s"RANGE BETWEEN $n1 PRECEDING AND CURRENT ROW) AS BIGINT) AS w1",
+      s"MIN(${g.pick(g.valCols(t.cols)).name}) OVER (ORDER BY $ord " +
+        s"RANGE BETWEEN CURRENT ROW AND $n2 FOLLOWING) AS w2")
+    val where = if (g.chance(0.5)) s" WHERE ${g.pred(t.cols, g.int(0, 1))}" else ""
+    s"SELECT $ord AS k, ${wins.mkString(", ")} FROM ${t.name}$where"
+  }
+
+  private def qAggV3(g: Gen): String = {
+    val s = v3Src(g)
+    val ng = g.int(0, 2)
+    val groups = (0 until ng).map(i => s"${g.groupExpr(s.cols)} AS g$i")
+    val aggs = (0 until g.int(1, 3)).map(i => s"${g.aggExpr(s.cols)} AS a$i")
+    val gby = if (ng > 0) s" GROUP BY ${(1 to ng).mkString(", ")}" else ""
+    val having = if (ng > 0 && g.chance(0.3))
+      s" HAVING COUNT(*) > ${g.int(0, 5)}" else ""
+    s"SELECT ${(groups ++ aggs).mkString(", ")} FROM ${s.from}" +
+      s"${whereV3(g, s)}$gby$having"
+  }
+
+  private def qFilterV3(g: Gen): String = {
+    val s = v3Src(g)
+    val distinct = if (g.chance(0.2)) "DISTINCT " else ""
+    val ps = s.guards :+ g.pred(s.cols, g.int(0, 2))
+    s"SELECT $distinct${outputs(g, s.cols, 2, 4).mkString(", ")} " +
+      s"FROM ${s.from} WHERE ${ps.mkString(" AND ")}"
+  }
+
   private def qJoinShape(g: Gen): String = {
     val s = joinSrc(g)
     if (g.chance(0.6)) {
@@ -729,15 +974,45 @@ object SqlFuzz {
       Tables.load(spark, sfDir, t).createOrReplaceTempView(t))
     new java.io.File(outDir).mkdirs()
     val oracles = scala.collection.mutable.SortedMap.empty[String, String]
+    val skipped = scala.collection.mutable.SortedMap.empty[String, String]
     var nErr = 0
+    // Per-seed wall-clock cap (0 = off). For large-SF sweeps: frozen v1/v2
+    // seeds predate the fan-out guard, and a handful are output-explosive
+    // at sf1+ (fz0374 ≈ 3.6e10 rows) — correct SQL whose OUTPUT can't be
+    // materialized, the same class as the catalog's quadratic-by-design
+    // exclusions. A capped seed is recorded in skipped.json (with its SQL
+    // for audit) and excluded from oracle_sql.json so check.py grades
+    // exactly the seeds that ran.
+    val timeoutS = sys.env.getOrElse("SPARK_GRAFT_FUZZ_TIMEOUT_S", "0").toInt
     (first until first + n).foreach { seed =>
       val name = f"fz$seed%04d"
       val sql = generate(seed)
-      oracles += name -> sql
-      try
-        spark.sql(sql).coalesce(1).write.mode("overwrite")
-          .parquet(s"$outDir/$name")
-      catch { case scala.util.control.NonFatal(e) =>
+      try {
+        if (timeoutS <= 0) {
+          spark.sql(sql).coalesce(1).write.mode("overwrite")
+            .parquet(s"$outDir/$name")
+          oracles += name -> sql
+        } else {
+          @volatile var err: Option[Throwable] = None
+          val worker = new Thread(() => {
+            spark.sparkContext.setJobGroup(name, name, true)
+            try spark.sql(sql).coalesce(1).write.mode("overwrite")
+              .parquet(s"$outDir/$name")
+            catch { case scala.util.control.NonFatal(e) => err = Some(e) }
+          })
+          worker.start()
+          worker.join(timeoutS * 1000L)
+          if (worker.isAlive) {
+            spark.sparkContext.cancelJobGroup(name)
+            worker.join(60000L)
+            skipped += name -> sql
+            println(s"[sqlfuzz] $name SKIPPED (exceeded ${timeoutS}s cap)")
+          } else err match {
+            case Some(e) => throw e
+            case None => oracles += name -> sql
+          }
+        }
+      } catch { case scala.util.control.NonFatal(e) =>
         nErr += 1
         System.err.println(s"[sqlfuzz] $name SPARK-ERROR: " +
           s"${Option(e.getMessage).getOrElse(e.toString).linesIterator.take(2).mkString(" | ")}")
@@ -747,7 +1022,12 @@ object SqlFuzz {
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"),
       oracles.map { case (k, v) => s"${jq(k)}: ${jq(v)}" }
         .mkString("{", ",", "}"))
-    println(s"[sqlfuzz] ran ${n} seeds, $nErr spark-side errors")
+    if (skipped.nonEmpty)
+      Files.writeString(Paths.get(s"$outDir/skipped.json"),
+        skipped.map { case (k, v) => s"${jq(k)}: ${jq(v)}" }
+          .mkString("{", ",", "}"))
+    println(s"[sqlfuzz] ran ${n} seeds, $nErr spark-side errors, " +
+      s"${skipped.size} skipped over the time cap")
     spark.stop()
     if (nErr > 0) sys.exit(1)
   }

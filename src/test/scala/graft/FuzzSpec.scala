@@ -49,6 +49,24 @@ class FuzzSpec extends AnyFunSuite {
     assert(n(v => v.indexOf("(SELECT", v.indexOf("(SELECT") + 1) > 0) > 60,
       "nested-subquery coverage")
     assert(n(_.contains("COALESCE(agg.cnt")) > 40, "multi-CTE coverage")
+    // v3 grammar (seeds 1001-1300)
+    assert(n(_.contains("FULL OUTER JOIN")) > 15, "full-outer coverage")
+    assert(n(_.contains("RIGHT JOIN")) > 10, "right-join coverage")
+    assert(n(_.contains("NOT EXISTS")) > 10, "not-exists coverage")
+    assert(n(_.contains("ESCAPE")) > 5, "like-escape coverage")
+    assert(n(_.contains("SUBSTRING(")) > 10, "substring coverage")
+    assert(n(_.contains("POSITION(")) > 10, "position coverage")
+    assert(n(_.contains("date_trunc")) > 20, "date-trunc coverage")
+    assert(n(_.contains("INTERVAL")) > 20, "interval-arith coverage")
+    assert(n(s => s.contains("INTERSECT ALL") || s.contains("EXCEPT ALL")) > 5,
+      "multiset-set-op coverage")
+    assert(n(_.contains("RANGE BETWEEN")) > 20, "range-frame coverage")
+    // v3 fan-out guard: every second-fact attachment carries a BETWEEN
+    // range on its key (the guard renders as "tN.<key> BETWEEN a AND b").
+    val v3 = (SqlFuzz.V2Seeds + 1 to SqlFuzz.DefaultSeeds).map(SqlFuzz.generate)
+    val fanout = v3.filter(s => s.contains(" t3 ON t3.") || s.contains(" t4 ON t4."))
+    assert(fanout.forall(_.contains(" BETWEEN ")), "fan-out guard present")
+    assert(fanout.nonEmpty, "fan-out chains still generated (guarded)")
   }
 
   test("a seed sample executes through spark.sql (sf0.001)") {

@@ -1,0 +1,62 @@
+package graft
+
+import graft.streaming.StreamFuzz
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.{Files, Paths}
+
+/** Guards the streaming-path fuzzer (StreamFuzz): the committed corpus at
+  * tools/streamfuzz/corpus.json pins every seed's topology, parameters,
+  * chunk cuts, restart pattern, AND an md5 of the fully-fragmented corpus
+  * rows — so a generator edit cannot silently change what the 120-seed
+  * differential sweep (stream through transformWithState on RocksDB vs an
+  * independent batch recompute) re-verifies each round.
+  */
+class StreamFuzzSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  test("build(seed) is a pure function of the seed") {
+    (1 to 30).foreach { s =>
+      assert(StreamFuzz.build(s).describe == StreamFuzz.build(s).describe,
+        s"seed $s drifted")
+    }
+  }
+
+  test("committed corpus reproduces byte-for-byte from the seeds") {
+    val committed =
+      Files.readString(Paths.get("tools/streamfuzz/corpus.json"))
+    val derived = StreamFuzz.corpusJson(StreamFuzz.DefaultSeeds)
+    assert(derived == committed,
+      "generator output no longer matches tools/streamfuzz/corpus.json — " +
+        "re-dump with `runMain graft.streaming.StreamFuzz --dump " +
+        "tools/streamfuzz/corpus.json` and re-run the sweep before " +
+        "committing")
+  }
+
+  test("corpus covers every topology and fuzz axis") {
+    val scns = (1 to StreamFuzz.DefaultSeeds).map(StreamFuzz.build)
+    StreamFuzz.Topologies.foreach { t =>
+      assert(scns.count(_.topo == t) >= 10, s"topology coverage: $t")
+    }
+    // Restart-vs-continuation boundaries both occur.
+    assert(scns.exists(_.restarts.drop(1).contains(false)),
+      "same-run microbatch boundaries")
+    assert(scns.exists(_.restarts.drop(1).contains(true)),
+      "checkpoint-restart boundaries")
+    // Empty chunks occur (the degenerate fragmentation).
+    assert(scns.exists(_.chunks.exists(_.isEmpty)), "empty-chunk coverage")
+    // Watermark displacement parameters vary.
+    assert(scns.filter(_.topo == "sessions")
+      .map(_.params("delayMs")).distinct.size >= 2, "watermark-lag variety")
+  }
+
+  test("one seed per topology passes stream==batch (suite smoke)") {
+    // Seeds 1-10 cover all 10 topologies ((seed-1) % 10); the full
+    // 120-seed sweep runs via the main per round.
+    (1 to 10).foreach { seed =>
+      StreamFuzz.runSeed(spark, seed) match {
+        case Right(_) => ()
+        case Left(msg) => fail(s"seed $seed: $msg")
+      }
+    }
+  }
+}

@@ -25,6 +25,12 @@ import org.apache.spark.sql.streaming.Trigger
   * neardup (BucketClaimProcessor), topk (AuctionTopK, update mode),
   * gapspec (GapSpectrumProcessor).
   *
+  * Long soak (`-soak 1 -s 600 -e <eps>`): hold one rate and print the
+  * full per-minute batch-time + state-size trajectory via a progress
+  * listener (the short-probe path reads recentProgress, which only keeps
+  * the last 100 events) — the ceiling-confirmation evidence a 40 s probe
+  * cannot give.
+  *
   * Capacity search (`-find 1 [-lo 100000] [-hi 3200000]`): bracket the
   * max sustained events/s by doubling from -lo until a rate fails, then
   * bisect to <=12.5% relative width. "Sustained" = the second-half mean
@@ -188,6 +194,73 @@ object SoakRun {
       samples.last.stateRows, samples.last.stateMemBytes / 1e6)
   }
 
+  /** Long soak at a fixed rate with a FULL progress trajectory: the
+    * short-probe path reads `recentProgress` (last 100 events — fine for
+    * 40-60 s probes, blind past ~100 s), so the soak attaches a
+    * StreamingQueryListener and buckets every progress event into
+    * per-minute rows. This is what distinguishes "keeps up for 40 s"
+    * from a real ceiling: a state leak or RocksDB compaction stall shows
+    * up in minutes, not seconds — flat per-minute batch means + flat
+    * state rows over 10 min is the ceiling-confirmed evidence.
+    */
+  private def runSoak(spark: SparkSession, shape: String, eps: Int,
+      secs: Int): String = {
+    case class S(atMs: Long, batchMs: Long, inRows: Long, stateRows: Long,
+        stateMemBytes: Long)
+    val buf = scala.collection.mutable.ArrayBuffer.empty[S]
+    val t0 = System.currentTimeMillis()
+    val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
+      override def onQueryStarted(e: org.apache.spark.sql.streaming
+          .StreamingQueryListener.QueryStartedEvent): Unit = ()
+      override def onQueryProgress(e: org.apache.spark.sql.streaming
+          .StreamingQueryListener.QueryProgressEvent): Unit = {
+        val p = e.progress
+        val ms = Option(p.durationMs.get("triggerExecution"))
+          .map(_.longValue()).getOrElse(0L)
+        val st = p.stateOperators.headOption
+        if (p.numInputRows > 0 || ms > 0) buf.synchronized {
+          buf += S(System.currentTimeMillis() - t0, ms, p.numInputRows,
+            st.map(_.numRowsTotal).getOrElse(0L),
+            st.map(_.memoryUsedBytes).getOrElse(0L))
+        }
+      }
+      override def onQueryTerminated(e: org.apache.spark.sql.streaming
+          .StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+    }
+    spark.streams.addListener(listener)
+    try {
+      val q = buildQuery(spark, shape, eps).writeStream.format("noop")
+        .outputMode(modeOf(shape))
+        .option("checkpointLocation",
+          s"/tmp/soak_ckpt_${shape}_${System.currentTimeMillis()}")
+        .trigger(Trigger.ProcessingTime("1 second"))
+        .start()
+      Thread.sleep(secs * 1000L)
+      q.stop()
+    } finally spark.streams.removeListener(listener)
+    val samples = buf.synchronized(buf.toSeq)
+    require(samples.nonEmpty, "no progress samples — soak too short")
+    def mean(xs: Seq[Long]): Double =
+      if (xs.isEmpty) 0 else xs.sum.toDouble / xs.size
+    val minutes = samples.groupBy(_.atMs / 60000).toSeq.sortBy(_._1)
+      .map { case (m, ss) =>
+        String.format(java.util.Locale.ROOT,
+          """{"m":%d,"batches":%d,"mean_batch_ms":%.0f,"max_batch_ms":%d,""" +
+          """"state_rows":%d,"state_mem_mb":%.1f}""",
+          Long.box(m), Int.box(ss.size), Double.box(mean(ss.map(_.batchMs))),
+          Long.box(ss.map(_.batchMs).max), Long.box(ss.last.stateRows),
+          Double.box(ss.last.stateMemBytes / 1e6))
+      }
+    val lastFive = samples.filter(_.atMs >= (secs - 300) * 1000L)
+    val sustained = mean(lastFive.map(_.batchMs)) < 1000.0
+    String.format(java.util.Locale.ROOT,
+      """{"soak_shape":"%s","eps":%d,"secs":%d,"input_rows":%d,""" +
+      """"sustained_last5min":%b,"minutes":[%s]}""",
+      shape, Int.box(eps), Int.box(secs),
+      Long.box(samples.map(_.inRows).sum), Boolean.box(sustained),
+      minutes.mkString(","))
+  }
+
   def main(args: Array[String]): Unit = {
     val opts = args.grouped(2).map {
       case Array(k, v) if k.startsWith("-") && !v.startsWith("-") => k -> v
@@ -199,6 +272,7 @@ object SoakRun {
     val eps = opts.getOrElse("-e", "100000").toInt
     val cpus = opts.getOrElse("-c", "8").toInt
     val find = opts.get("-find").contains("1")
+    val soak = opts.get("-soak").contains("1")
 
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -211,6 +285,11 @@ object SoakRun {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    if (soak) {
+      println(runSoak(spark, shape, eps, secs))
+      spark.stop()
+      return
+    }
     if (!find) {
       println(runProbe(spark, shape, eps, secs).json)
       spark.stop()

@@ -48,11 +48,19 @@ import scala.util.Random
   */
 object StreamFuzz {
 
-  val DefaultSeeds = 120
+  /** Seeds 1-120 are frozen on the 10-topology v1 map; seeds 121+ use the
+    * 11-topology map that adds `decayed` (the p21 decayed-count stream on
+    * mapGroupsWithState — the one stateful API the v1 topologies don't
+    * touch). Frozen corpus text is sacred, same rule as SqlFuzz.
+    */
+  val V1Seeds = 120
+  val DefaultSeeds = 160
 
   val Topologies: Vector[String] = Vector(
     "sessions", "neardup", "gapspectrum", "funnel", "attribution",
     "sessionpaths", "keepbest", "heavyhitters", "auctiontopk", "gapwindows")
+
+  val TopologiesV2: Vector[String] = Topologies :+ "decayed"
 
   // ---- seeded generation context ----
 
@@ -201,7 +209,9 @@ object StreamFuzz {
 
   def build(seed: Int): Scn = {
     val g = new G(new Random(seed.toLong * 0x9e3779b97f4a7c15L + 1013904223L))
-    val topo = Topologies((seed - 1) % Topologies.size)
+    val topo =
+      if (seed <= V1Seeds) Topologies((seed - 1) % Topologies.size)
+      else TopologiesV2((seed - V1Seeds - 1) % TopologiesV2.size)
     val nChunks = g.int(2, 6)
     val restarts = Seq(true) ++ Seq.fill(nChunks - 1)(g.chance(0.6))
     def shuffled[T](cs: Seq[Seq[T]]): Seq[Seq[T]] = cs.map(c => g.r.shuffle(c))
@@ -240,6 +250,14 @@ object StreamFuzz {
         Scn(seed, topo,
           if (topo == "attribution") Map("lookbackUs" -> lookbackUs)
           else Map.empty,
+          shuffled(orderedCuts(rows, g, nChunks)), restarts)
+      case "decayed" =>
+        // p21's streaming twin on mapGroupsWithState: per-group
+        // event-time order across triggers (same contract as funnel).
+        val halfLifeUs =
+          g.pick(Seq(600000000L, 3600000000L, 7200000000L))
+        val rows = genEvents(g).sortBy(e => (e.tsUs, e.event_id))
+        Scn(seed, topo, Map("halfLifeUs" -> halfLifeUs),
           shuffled(orderedCuts(rows, g, nChunks)), restarts)
       case "keepbest" =>
         Scn(seed, topo, Map.empty,
@@ -316,18 +334,28 @@ object StreamFuzz {
     * (maxFilesPerTrigger=1). Returns the sink re-read, localCheckpoint'd.
     */
   private def replay(s: SparkSession, tag: String, chunks: Seq[DataFrame],
-      restarts: Seq[Boolean], transform: DataFrame => DataFrame): DataFrame = {
+      restarts: Seq[Boolean], transform: DataFrame => DataFrame,
+      update: Boolean = false): DataFrame = {
     val base = baseDir(tag)
     val (in, out, ckpt) = (s"$base/in", s"$base/out", s"$base/ckpt")
     new java.io.File(in).mkdirs()
     withRocks(s) {
       val schema = chunks.head.schema
       def drain(): Unit = {
-        val q = transform(s.readStream.schema(schema)
-            .option("maxFilesPerTrigger", "1").parquet(in))
-          .writeStream.format("parquet")
-          .option("path", out).option("checkpointLocation", ckpt)
-          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        val transformed = transform(s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(in))
+        // mapGroupsWithState topologies require Update mode, which the
+        // parquet sink doesn't take — foreachBatch appends each trigger's
+        // emissions, yielding the same output log the append path writes.
+        val writer =
+          if (update) transformed.writeStream.outputMode("update")
+            .foreachBatch((df: org.apache.spark.sql.Dataset[
+                org.apache.spark.sql.Row], _: Long) =>
+              df.write.mode("append").parquet(out): Unit)
+          else transformed.writeStream.format("parquet")
+            .option("path", out).outputMode("append")
+        val q = writer.option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow()).start()
         require(q.awaitTermination(180000),
           s"streamfuzz '$tag' did not drain a run in 180s")
       }
@@ -582,6 +610,19 @@ object StreamFuzz {
         .select(col("auction"), col("rank"), col("w.price").as("price"),
           (-col("w.nb")).as("bidder"), (-col("w.nts")).as("tsUs"))
     case "gapwindows" => gapWindowsStream(s, scn)
+    case "decayed" =>
+      val hl = scn.params("halfLifeUs")
+      val out = replay(s, s"dc${scn.seed}",
+        scn.chunks.map(evDf(s, _).select(col("event_type").as("group"),
+          unix_micros(col("ts")).as("ts"))),
+        scn.restarts,
+        df => StreamSketches.decayedCountStream(df, hl).toDF(),
+        update = true)
+      // One emission per touched trigger; the final one (max nSeen — it
+      // strictly increases) carries the group's end-of-stream state.
+      val last = out.groupBy(col("group")).agg(max(col("nSeen")).as("nSeen"))
+      out.join(last, Seq("group", "nSeen"))
+        .select(col("group"), col("nSeen"), col("lastTs"), col("decayed"))
   }
 
   // ---- q12 gap windows under a manual trigger clock ----
@@ -676,6 +717,28 @@ object StreamFuzz {
     }.reduce(_ union _)
   }
 
+  /** Batch truth for the decay fold: n, lastTs, and the closed-form
+    * decayed count Σ exp(-λ(maxTs - t_i)) per group. The stream computes
+    * the telescoped PRODUCT of per-gap exponentials — mathematically
+    * equal, floating-point-different in the last ulps — so runSeed
+    * compares `decayed` under a relative tolerance while (group, nSeen,
+    * lastTs) stay exact. (The batch catalog's p21 entry quantizes per-row
+    * weights to DECIMAL for its hash gate; the sequential fold can't be
+    * quantized without changing the operator, hence the tolerance here.)
+    */
+  private def decayedTruth(s: SparkSession, scn: Scn): DataFrame = {
+    val lambda = math.log(2.0) / scn.params("halfLifeUs")
+    val e = evDf(s, allRows(scn))
+      .select(col("event_type").as("group"), unix_micros(col("ts")).as("ts"))
+    val ref = e.groupBy("group").agg(max(col("ts")).as("lastTs"))
+    e.join(ref, "group")
+      .groupBy(col("group"), col("lastTs"))
+      .agg(count(lit(1)).as("nSeen"),
+        sum(exp((col("ts") - col("lastTs")).cast("double") * lambda))
+          .as("decayed"))
+      .select(col("group"), col("nSeen"), col("lastTs"), col("decayed"))
+  }
+
   private def truthSide(s: SparkSession, scn: Scn): DataFrame = scn.topo match {
     case "sessions" => sessionsTruth(s, scn)
     case "neardup" => neardupTruth(s, scn)
@@ -687,6 +750,7 @@ object StreamFuzz {
     case "heavyhitters" => heavyHittersTruth(s, scn)
     case "auctiontopk" => auctionTopKTruth(s, scn)
     case "gapwindows" => gapWindowsTruth(s, scn)
+    case "decayed" => decayedTruth(s, scn)
   }
 
   /** Run one seed; Right(rowCount) on pass, Left(message) on any
@@ -697,10 +761,24 @@ object StreamFuzz {
     try {
       val stream = streamSide(s, scn)
       val truth = truthSide(s, scn).select(stream.columns.map(col): _*)
-      val extra = stream.exceptAll(truth).count()
-      val missing = truth.exceptAll(stream).count()
-      if (extra == 0 && missing == 0) Right(truth.count())
-      else Left(s"DIVERGED extra=$extra missing=$missing (${scn.describe})")
+      if (scn.topo == "decayed") {
+        // Exact on (group, nSeen, lastTs); relative tolerance on the
+        // float recurrence (see decayedTruth).
+        val joined = stream.as("a").join(truth.as("b"), Seq("group"), "full")
+        val bad = joined.filter(
+          col("a.nSeen").isNull || col("b.nSeen").isNull ||
+          col("a.nSeen") =!= col("b.nSeen") ||
+          col("a.lastTs") =!= col("b.lastTs") ||
+          abs(col("a.decayed") - col("b.decayed")) >
+            lit(1e-9) * col("b.decayed")).count()
+        if (bad == 0) Right(truth.count())
+        else Left(s"DIVERGED groups=$bad (${scn.describe})")
+      } else {
+        val extra = stream.exceptAll(truth).count()
+        val missing = truth.exceptAll(stream).count()
+        if (extra == 0 && missing == 0) Right(truth.count())
+        else Left(s"DIVERGED extra=$extra missing=$missing (${scn.describe})")
+      }
     } catch {
       case scala.util.control.NonFatal(e) =>
         Left(s"ERROR ${e.getClass.getSimpleName}: " +

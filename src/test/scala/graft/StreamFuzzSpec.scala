@@ -34,9 +34,10 @@ class StreamFuzzSpec extends AnyFunSuite {
 
   test("corpus covers every topology and fuzz axis") {
     val scns = (1 to StreamFuzz.DefaultSeeds).map(StreamFuzz.build)
-    StreamFuzz.Topologies.foreach { t =>
-      assert(scns.count(_.topo == t) >= 10, s"topology coverage: $t")
+    StreamFuzz.TopologiesV2.foreach { t =>
+      assert(scns.count(_.topo == t) >= 3, s"topology coverage: $t")
     }
+    assert(scns.count(_.topo == "decayed") >= 3, "mapGroupsWithState coverage")
     // Restart-vs-continuation boundaries both occur.
     assert(scns.exists(_.restarts.drop(1).contains(false)),
       "same-run microbatch boundaries")
@@ -50,9 +51,10 @@ class StreamFuzzSpec extends AnyFunSuite {
   }
 
   test("one seed per topology passes stream==batch (suite smoke)") {
-    // Seeds 1-10 cover all 10 topologies ((seed-1) % 10); the full
-    // 120-seed sweep runs via the main per round.
-    (1 to 10).foreach { seed =>
+    // Seeds 1-10 cover the 10 v1 topologies ((seed-1) % 10) and seed 131
+    // is the first `decayed` ((131-121) % 11 == 10); the full sweep runs
+    // via the main per round.
+    ((1 to 10) :+ 131).foreach { seed =>
       StreamFuzz.runSeed(spark, seed) match {
         case Right(_) => ()
         case Left(msg) => fail(s"seed $seed: $msg")

@@ -54,7 +54,7 @@ object StreamFuzz {
     * touch). Frozen corpus text is sacred, same rule as SqlFuzz.
     */
   val V1Seeds = 120
-  val DefaultSeeds = 160
+  val DefaultSeeds = 220
 
   val Topologies: Vector[String] = Vector(
     "sessions", "neardup", "gapspectrum", "funnel", "attribution",

@@ -703,10 +703,15 @@ object SqlFuzz {
     * at larger SFs, never empty).
     */
   private def guardPred(g: Gen, tbl: Tbl, alias: String): String = {
+    // The keyless fallback is lineitem-specific (l_orderkey is its
+    // highest-selectivity FK); a new keyless fact must extend this
+    // explicitly rather than silently inherit a column it lacks.
+    require(tbl.unique.isDefined || tbl.name == "lineitem",
+      s"guardPred: no guard column defined for keyless table ${tbl.name}")
     val gc = tbl.unique.getOrElse("l_orderkey")
     val (lo, hi) = intRange(gc)
     val w = math.max(1L, (hi - lo) / 50)
-    val x = lo + java.lang.Math.floorMod(g.r.nextLong(), hi - lo - w + 1)
+    val x = lo + java.lang.Math.floorMod(g.r.nextLong(), math.max(1L, hi - lo - w + 1))
     s"$alias.$gc BETWEEN $x AND ${x + w}"
   }
 
@@ -1005,6 +1010,16 @@ object SqlFuzz {
           if (worker.isAlive) {
             spark.sparkContext.cancelJobGroup(name)
             worker.join(60000L)
+            if (worker.isAlive) {
+              // An orphan surviving cancel+grace would run concurrently
+              // with later seeds and skew their wall-clock against the
+              // same cap — interrupt and wait it out before moving on.
+              System.err.println(s"[sqlfuzz] $name WARNING: worker " +
+                "survived cancelJobGroup + 60s grace; interrupting and " +
+                "blocking until it exits")
+              worker.interrupt()
+              worker.join()
+            }
             skipped += name -> sql
             println(s"[sqlfuzz] $name SKIPPED (exceeded ${timeoutS}s cap)")
           } else err match {

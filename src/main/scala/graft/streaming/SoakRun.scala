@@ -45,6 +45,18 @@ import org.apache.spark.sql.streaming.Trigger
   */
 object SoakRun {
 
+  /** Single source of truth for the trigger cadence: both the
+    * ProcessingTime trigger and the sustained criterion (mean batch time
+    * under one trigger period) derive from it, so they can't drift apart.
+    */
+  val TriggerPeriodMs: Long = 1000L
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    val kids = f.listFiles()
+    if (kids != null) kids.foreach(deleteRecursively)
+    f.delete(): Unit
+  }
+
   private def buildQuery(spark: SparkSession, shape: String,
       eps: Int): DataFrame = {
     val bids = Nexmark.bidStream(spark, rowsPerSecond = eps)
@@ -140,10 +152,10 @@ object SoakRun {
       batches: Int, inputRows: Long, meanH1: Double, meanH2: Double,
       maxMs: Long, stateRowsMid: Long, stateRowsLast: Long,
       stateMemMb: Double) {
-    /** Keeps up iff steady-state (second-half) batches fit the 1 s
-      * trigger period.
+    /** Keeps up iff steady-state (second-half) batches fit one trigger
+      * period (SoakRun.TriggerPeriodMs).
       */
-    def sustained: Boolean = meanH2 < 1000.0
+    def sustained: Boolean = meanH2 < TriggerPeriodMs.toDouble
     // Locale.ROOT: the f-interpolator formats through the JVM default
     // locale; a comma-decimal locale (de_DE) would emit invalid JSON
     // (r10 advice).
@@ -161,17 +173,18 @@ object SoakRun {
 
   private def runProbe(spark: SparkSession, shape: String, eps: Int,
       secs: Int): Probe = {
+    val ckpt = s"/tmp/soak_ckpt_${shape}_${System.currentTimeMillis()}"
     val q = buildQuery(spark, shape, eps).writeStream.format("noop")
       .outputMode(modeOf(shape))
-      .option("checkpointLocation",
-        s"/tmp/soak_ckpt_${shape}_${System.currentTimeMillis()}")
-      .trigger(Trigger.ProcessingTime("1 second"))
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.ProcessingTime(s"$TriggerPeriodMs milliseconds"))
       .start()
     // Sample every progress update (recentProgress keeps the last 100;
     // at a 1 s trigger a <=100 s soak loses nothing).
     Thread.sleep(secs * 1000L)
     val progress = q.recentProgress.toSeq
     q.stop()
+    deleteRecursively(new java.io.File(ckpt))
     case class Sample(batchMs: Long, inRows: Long, stateRows: Long,
         stateMemBytes: Long)
     val samples = progress.flatMap { p =>
@@ -228,16 +241,20 @@ object SoakRun {
           .StreamingQueryListener.QueryTerminatedEvent): Unit = ()
     }
     spark.streams.addListener(listener)
+    val ckpt = s"/tmp/soak_ckpt_${shape}_${System.currentTimeMillis()}"
     try {
       val q = buildQuery(spark, shape, eps).writeStream.format("noop")
         .outputMode(modeOf(shape))
-        .option("checkpointLocation",
-          s"/tmp/soak_ckpt_${shape}_${System.currentTimeMillis()}")
-        .trigger(Trigger.ProcessingTime("1 second"))
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.ProcessingTime(s"$TriggerPeriodMs milliseconds"))
         .start()
       Thread.sleep(secs * 1000L)
       q.stop()
-    } finally spark.streams.removeListener(listener)
+    } finally {
+      spark.streams.removeListener(listener)
+      // 10-min RocksDB soaks leave multi-GB checkpoints behind.
+      deleteRecursively(new java.io.File(ckpt))
+    }
     val samples = buf.synchronized(buf.toSeq)
     require(samples.nonEmpty, "no progress samples — soak too short")
     def mean(xs: Seq[Long]): Double =
@@ -252,7 +269,7 @@ object SoakRun {
           Double.box(ss.last.stateMemBytes / 1e6))
       }
     val lastFive = samples.filter(_.atMs >= (secs - 300) * 1000L)
-    val sustained = mean(lastFive.map(_.batchMs)) < 1000.0
+    val sustained = mean(lastFive.map(_.batchMs)) < TriggerPeriodMs.toDouble
     String.format(java.util.Locale.ROOT,
       """{"soak_shape":"%s","eps":%d,"secs":%d,"input_rows":%d,""" +
       """"sustained_last5min":%b,"minutes":[%s]}""",

@@ -341,9 +341,11 @@ object StreamFuzz {
     new java.io.File(in).mkdirs()
     withRocks(s) {
       val schema = chunks.head.schema
+      var outSchema: org.apache.spark.sql.types.StructType = null
       def drain(): Unit = {
         val transformed = transform(s.readStream.schema(schema)
           .option("maxFilesPerTrigger", "1").parquet(in))
+        outSchema = transformed.schema
         // mapGroupsWithState topologies require Update mode, which the
         // parquet sink doesn't take — foreachBatch appends each trigger's
         // emissions, yielding the same output log the append path writes.
@@ -366,7 +368,15 @@ object StreamFuzz {
         pendingNew = true
       }
       if (pendingNew) drain()
-      val result = s.read.parquet(out).localCheckpoint()
+      // Explicit schema: a seed whose topology legitimately emits zero
+      // rows overall (e.g. a funnel corpus with no qualifying purchases)
+      // must read back as an empty frame, not fail schema inference.
+      val result =
+        (if (new java.io.File(out).exists())
+           s.read.schema(outSchema).parquet(out)
+         else s.createDataFrame(
+           s.sparkContext.emptyRDD[org.apache.spark.sql.Row], outSchema))
+          .localCheckpoint()
       rmrf(new java.io.File(base))
       result
     }

@@ -65,7 +65,13 @@ class FuzzSpec extends AnyFunSuite {
     // range on its key (the guard renders as "tN.<key> BETWEEN a AND b").
     val v3 = (SqlFuzz.V2Seeds + 1 to SqlFuzz.DefaultSeeds).map(SqlFuzz.generate)
     val fanout = v3.filter(s => s.contains(" t3 ON t3.") || s.contains(" t4 ON t4."))
-    assert(fanout.forall(_.contains(" BETWEEN ")), "fan-out guard present")
+    // Match the guard's own rendering (alias.key BETWEEN lo AND hi), not
+    // a bare " BETWEEN " that a coincidental random predicate could
+    // satisfy if the guard regressed.
+    val guardRe =
+      """t\d+\.(c_custkey|s_suppkey|n_nationkey|o_orderkey|l_orderkey|p_partkey|r_regionkey) BETWEEN \d+ AND \d+""".r
+    assert(fanout.forall(s => guardRe.findFirstIn(s).isDefined),
+      "fan-out guard present (guard-specific rendering)")
     assert(fanout.nonEmpty, "fan-out chains still generated (guarded)")
   }
 

@@ -7,12 +7,12 @@ import org.apache.spark.sql.types._
 
 /** Multimodal-column plumbing: image/audio/video payloads modeled as opaque
   * `binary` columns with typed metadata, processed in partition-sized
-  * batches. The actual media decoders are NOT available in this
-  * environment, so the decode step is a clearly-marked deterministic stub
-  * (`FakeDecoder`) — but everything Spark-side is real and tested: the
-  * binary schema, the partition-batch processing shape (`mapPartitions`
-  * with a typed Encoder — the JVM equivalent of `mapInPandas`), the
-  * metadata extraction, and the per-modality aggregation topology.
+  * batches. The decode step is REAL: m02 writes genuine BMP/WAV/Y4M
+  * container bytes (trivial uncompressed formats, pure-JVM parsable — see
+  * `Media`) and decodes actual pixels/samples/frames back out of them; the
+  * Spark-side shape is the partition-batch `mapPartitions` with a typed
+  * Encoder (the JVM equivalent of `mapInPandas`), metadata extraction, and
+  * a per-modality rollup.
   *
   * Scale notes: assets are opaque blobs → all per-asset work is narrow
   * (no shuffle until the final per-modality rollup); a 100 TB corpus
@@ -22,38 +22,6 @@ object Multimodal {
   import Catalog.dec
 
   private def T(s: SparkSession, d: String, n: String) = Tables.load(s, d, n)
-
-  /** Typed metadata a real decoder would emit (dims for images, frames for
-    * video, duration for audio).
-    */
-  case class AssetMeta(doc_id: Long, modality: String, n_bytes: Long,
-      width: Int, height: Int, n_frames: Int)
-
-  /** STUB decoder — stands in for libjpeg/ffmpeg/soundfile, which are not
-    * in this container. Deterministic: "decoded" properties derive from the
-    * md5 of the payload, so results are reproducible in any engine (the
-    * DuckDB oracle recomputes the identical values from the same md5).
-    * Replace `decode` with a real library call to productionize; the
-    * partition-batch plumbing around it does not change.
-    */
-  object FakeDecoder {
-    def md5Hex(bytes: Array[Byte]): String =
-      java.security.MessageDigest.getInstance("MD5").digest(bytes)
-        .map("%02x".format(_)).mkString
-
-    def decode(docId: Long, payload: Array[Byte]): AssetMeta = {
-      val h = java.lang.Long.parseLong(md5Hex(payload).substring(0, 15), 16)
-      val modality = (docId % 3) match {
-        case 0 => "image/png"
-        case 1 => "audio/wav"
-        case _ => "video/mp4"
-      }
-      AssetMeta(docId, modality, payload.length.toLong,
-        width = (16 * (1 + h % 64)).toInt,
-        height = (16 * (1 + (h / 64) % 64)).toInt,
-        n_frames = (1 + h % 16).toInt)
-    }
-  }
 
   /** m01 — binary asset table + metadata: documents' text bytes stand in
     * for media payloads (binary column), fingerprinted and rolled up per
@@ -86,39 +54,78 @@ object Multimodal {
         COUNT(DISTINCT sha) AS n_distinct
       FROM a GROUP BY modality ORDER BY modality"""))
 
-  /** m02 — partition-batch decode (the mapInPandas shape): binary payloads
-    * stream through `FakeDecoder.decode` partition by partition via a typed
-    * `mapPartitions`, then the decoded metadata aggregates per modality.
+  /** m02 — partition-batch REAL decode (the mapInPandas shape): each doc
+    * gets genuine container bytes (BMP image / RIFF-WAV audio / YUV4MPEG2
+    * video by the doc_id%3 layout), which stream through `Media.MediaCodec`
+    * partition by partition via a typed `mapPartitions` — header parsing,
+    * palette indirection, bottom-up BMP rows, RIFF chunk walking, FRAME
+    * markers, the lot — then the decoded metadata aggregates per modality.
+    * The oracle re-derives every decoded value (dimensions, sample/frame
+    * counts, content sums) from the generation rule in pure SQL, so a pass
+    * proves the decoder read real content back through real containers.
+    * The decoder dispatches on MAGIC BYTES, never on the layout rule.
     */
   private val m02 = Q(
     "m02_decode_meta",
     (s, d) => {
       import s.implicits._
-      val assets = T(s, d, "documents")
-        .select($"doc_id", encode($"text", "UTF-8").as("payload"))
-        .as[(Long, Array[Byte])]
-      val meta = assets.mapPartitions(_.map { case (id, payload) =>
-        FakeDecoder.decode(id, payload)
+      val ids = T(s, d, "documents").select($"doc_id").as[Long]
+      val meta = ids.mapPartitions(_.map { id =>
+        val payload = (id % 3) match {
+          case 0 => Media.MediaGen.bmp(id)
+          case 1 => Media.MediaGen.wav(id)
+          case _ => Media.MediaGen.y4m(id)
+        }
+        Media.MediaCodec.decode(id, payload)
       })
       meta.toDF()
         .groupBy($"modality")
         .agg(count(lit(1)).as("n"),
+          sum($"n_bytes").as("sum_bytes"),
           sum($"width".cast(LongType)).as("sum_w"),
           sum($"height".cast(LongType)).as("sum_h"),
-          sum($"n_frames".cast(LongType)).as("sum_frames"))
+          sum($"n_frames").as("sum_frames"),
+          sum($"content_sum").as("sum_content"))
         .orderBy($"modality")
     },
-    Some("""
-      WITH m AS (SELECT doc_id,
-          ('0x' || substr(md5(text), 1, 15))::BIGINT AS h,
-          CASE doc_id % 3 WHEN 0 THEN 'image/png'
-            WHEN 1 THEN 'audio/wav' ELSE 'video/mp4' END AS modality
-        FROM documents)
-      SELECT modality, COUNT(*) AS n,
-        CAST(SUM(16 * (1 + h % 64)) AS BIGINT) AS sum_w,
-        CAST(SUM(16 * (1 + (h // 64) % 64)) AS BIGINT) AS sum_h,
-        CAST(SUM(1 + h % 16) AS BIGINT) AS sum_frames
-      FROM m GROUP BY modality ORDER BY modality"""))
+    Some(s"""
+      WITH img AS (
+        SELECT d.doc_id,
+          CAST(SUM((((d.doc_id // 3) % 40) * 41 + r.r * 7 + c.c * 13) % 240 +
+            CASE WHEN (r.r * 16 + c.c) % 61 = (d.doc_id // 120) % 61
+              THEN 15 ELSE 0 END) AS BIGINT) AS content
+        FROM documents d, UNNEST(range(0, 16)) r(r), UNNEST(range(0, 16)) c(c)
+        WHERE d.doc_id % 3 = 0 GROUP BY d.doc_id),
+      aud AS (
+        SELECT d.doc_id, 160 + (d.doc_id % 37) * 16 AS n,
+          CAST(SUM(CASE WHEN i.i < 160 + (d.doc_id % 37) * 16
+            THEN (d.doc_id * 13 + i.i * 7) % 2048 - 1024 ELSE 0 END)
+            AS BIGINT) AS content
+        FROM documents d, UNNEST(range(0, 736)) i(i)
+        WHERE d.doc_id % 3 = 1 GROUP BY d.doc_id),
+      vid AS (
+        SELECT d.doc_id, 1 + d.doc_id % 5 AS f,
+          CAST(SUM(CASE WHEN fr.f < 1 + d.doc_id % 5
+            THEN (d.doc_id * 11 + fr.f * 5 + i.i * 3) % 256 ELSE 0 END)
+            AS BIGINT) AS content
+        FROM documents d, UNNEST(range(0, 5)) fr(f), UNNEST(range(0, 96)) i(i)
+        WHERE d.doc_id % 3 = 2 GROUP BY d.doc_id)
+      SELECT 'audio/wav' AS modality, COUNT(*) AS n,
+        CAST(SUM(44 + 2 * n) AS BIGINT) AS sum_bytes,
+        CAST(0 AS BIGINT) AS sum_w, CAST(0 AS BIGINT) AS sum_h,
+        CAST(SUM(n) AS BIGINT) AS sum_frames,
+        CAST(SUM(content) AS BIGINT) AS sum_content FROM aud
+      UNION ALL
+      SELECT 'image/bmp', COUNT(*),
+        CAST(COUNT(*) * ${Media.BmpBytes} AS BIGINT),
+        CAST(COUNT(*) * 16 AS BIGINT), CAST(COUNT(*) * 16 AS BIGINT),
+        CAST(COUNT(*) AS BIGINT), CAST(SUM(content) AS BIGINT) FROM img
+      UNION ALL
+      SELECT 'video/y4m', COUNT(*),
+        CAST(SUM(${Media.Y4mHeader.length} + f * (6 + 96)) AS BIGINT),
+        CAST(COUNT(*) * 8 AS BIGINT), CAST(COUNT(*) * 8 AS BIGINT),
+        CAST(SUM(f) AS BIGINT), CAST(SUM(content) AS BIGINT) FROM vid
+      ORDER BY modality"""))
 
   /** m03 — byte-range "frame sampling": fixed-offset slices of the binary
     * payload (what a real pipeline does to thumbnail/preview without full
@@ -302,77 +309,105 @@ object Multimodal {
       WHERE caption_tokens >= 8
       ORDER BY pair_id"""))
 
-  /** m07 — perceptual-hash near-dup groups over binary assets: the
-    * multimodal form of the MinHash-LSH dedup topology. Each asset gets a
-    * 60-bit "perceptual" hash (STUB, like FakeDecoder: md5 of the payload
-    * folded to an int — a real deployment swaps in pHash/aHash from the
-    * decoded pixels; every step after the hash is the production shape),
-    * banded into 4 × 15-bit bands; assets sharing a (modality, band)
-    * bucket become candidates, each verified by Hamming distance
-    * (is_near ⟺ bit_count(xor) ≤ 14 — candidates AND verdicts are both
-    * emitted, the audit-friendly form). Output is the STAR form — every member
-    * pairs with its bucket's min-id canonical — so output stays LINEAR in
-    * asset count even when a 100 TB lake holds million-way duplicate
-    * families (the p17 lesson; the all-pairs form is the p08 quadratic
+  /** m07 — perceptual-hash near-dup groups over REAL decoded pixels: the
+    * multimodal form of the MinHash-LSH dedup topology. Each image asset's
+    * BMP bytes are decoded (real container parse, `Media.MediaCodec`) and
+    * perceptually hashed with a genuine integer DCT pHash
+    * (`Media.PHash.phash64`: 2×2 mean-pool to 8×8, 8×8 DCT-II with a
+    * 10⁶-quantized cosine basis, one bit per above-mean AC coefficient —
+    * exact integer arithmetic end to end, so the DuckDB oracle re-derives
+    * the identical 63-bit hash from the pixel generation rule and the SAME
+    * inlined cosine table). Hashes band into 4 × 15-bit bands; assets
+    * sharing a band bucket become candidates, each verified by Hamming
+    * distance (is_near ⟺ bit_count(xor) ≤ 14 — candidates AND verdicts
+    * both emitted, the audit-friendly form). Output is the STAR form —
+    * every member pairs with its bucket's min-id canonical — so output
+    * stays LINEAR in asset count even when a 100 TB lake holds million-way
+    * duplicate families (the p17 lesson; all-pairs is the p08 quadratic
     * class).
     *
-    * 100 TB shape: one shuffle on the (modality, band, value) bucket key;
-    * the canonical's hash rejoins by id (co-keyed); the Hamming verify is
-    * codegen'd integer xor+bit_count, no payload bytes ever shuffle.
+    * 100 TB shape: decode+hash is narrow per-partition work (payload bytes
+    * never shuffle — only 8-byte hashes do); one shuffle on the
+    * (band, value) bucket key; the canonical's hash rejoins by id; the
+    * Hamming verify is codegen'd integer xor+bit_count.
     */
   private val m07 = Q(
     "m07_phash_neardup",
     (s, d) => {
       import s.implicits._
-      val assets = T(s, d, "documents")
-        .select($"doc_id",
-          element_at(array(lit("image/png"), lit("audio/wav"), lit("video/mp4")),
-            ($"doc_id" % 3 + 1).cast(IntegerType)).as("modality"),
-          expr("CAST(conv(substr(md5(encode(text, 'UTF-8')), 1, 15), 16, 10) AS BIGINT)")
-            .as("phash"))
-      val bands = assets.select($"doc_id", $"modality", $"phash",
+      val ids = T(s, d, "documents")
+        .filter($"doc_id" % 3 === 0).select($"doc_id").as[Long]
+      val assets = ids.mapPartitions(_.map { id =>
+        val (w, h, px) = Media.MediaCodec.decodeBmp(Media.MediaGen.bmp(id))
+        (id, Media.PHash.phash64(w, h, px))
+      }).toDF("doc_id", "phash")
+      val bands = assets.select($"doc_id", $"phash",
         explode(array((0 until 4).map(i =>
           struct(lit(i).as("bidx"),
             shiftright($"phash", 15 * i).bitwiseAND(lit(0x7fffL)).as("bval"))): _*))
           .as("b"))
-        .select($"doc_id", $"modality", $"phash",
+        .select($"doc_id", $"phash",
           $"b.bidx".as("bidx"), $"b.bval".as("bval"))
-      val heads = bands.groupBy($"modality", $"bidx", $"bval")
+      val heads = bands.groupBy($"bidx", $"bval")
         .agg(min($"doc_id").as("canon_id"))
       val canonHash = assets
         .select($"doc_id".as("canon_id"), $"phash".as("canon_phash"))
-      bands.join(heads, Seq("modality", "bidx", "bval"))
+      bands.join(heads, Seq("bidx", "bval"))
         .filter($"doc_id" > $"canon_id")
         .join(canonHash, Seq("canon_id"))
-        .select($"modality", $"canon_id", $"doc_id".as("member_id"),
+        .select(lit("image/bmp").as("modality"), $"canon_id",
+          $"doc_id".as("member_id"),
           bit_count($"phash".bitwiseXOR($"canon_phash")).cast(LongType)
             .as("hamming"))
         .distinct()
         .withColumn("is_near", $"hamming" <= 14)
-        .orderBy($"modality", $"canon_id", $"member_id")
+        .orderBy($"canon_id", $"member_id")
     },
-    Some("""
-      WITH a AS (
-        SELECT doc_id,
-          CASE doc_id % 3 WHEN 0 THEN 'image/png'
-            WHEN 1 THEN 'audio/wav' ELSE 'video/mp4' END AS modality,
-          ('0x' || substr(md5(text), 1, 15))::BIGINT AS phash
-        FROM documents),
+    Some(s"""
+      WITH ct(k, n, c) AS (VALUES ${Media.PHash.cosTableSql}),
+      imgs AS (
+        SELECT doc_id, (doc_id // 3) % 40 AS cl, (doc_id // 120) % 61 AS vr
+        FROM documents WHERE doc_id % 3 = 0),
+      px AS (
+        SELECT i.doc_id, r.r, c.c,
+          CAST((i.cl * 41 + r.r * 7 + c.c * 13) % 240 +
+            CASE WHEN (r.r * 16 + c.c) % 61 = i.vr THEN 15 ELSE 0 END
+            AS BIGINT) AS v
+        FROM imgs i, UNNEST(range(0, 16)) r(r), UNNEST(range(0, 16)) c(c)),
+      pooled AS (
+        SELECT doc_id, r // 2 AS pr, c // 2 AS pc,
+          CAST(SUM(v) // 4 AS BIGINT) AS pv
+        FROM px GROUP BY doc_id, r // 2, c // 2),
+      dct AS (
+        SELECT p.doc_id, a.k AS u, b.k AS v,
+          CAST(SUM(p.pv * a.c * b.c) AS BIGINT) AS coef
+        FROM pooled p JOIN ct a ON a.n = p.pr JOIN ct b ON b.n = p.pc
+        GROUP BY p.doc_id, a.k, b.k),
+      acs AS (
+        SELECT doc_id, CAST(SUM(coef) AS BIGINT) AS ac FROM dct
+        WHERE NOT (u = 0 AND v = 0) GROUP BY doc_id),
+      ph AS (
+        SELECT d.doc_id,
+          CAST(SUM(CASE WHEN 63 * d.coef > s.ac
+            THEN (CAST(1 AS BIGINT) << (d.u * 8 + d.v - 1))
+            ELSE 0 END) AS BIGINT) AS phash
+        FROM dct d JOIN acs s USING (doc_id)
+        WHERE NOT (d.u = 0 AND d.v = 0) GROUP BY d.doc_id),
       bands AS (
-        SELECT a.doc_id, a.modality, a.phash, t.i AS bidx,
-          (a.phash >> (15 * t.i)) & 32767 AS bval
-        FROM a, UNNEST(range(0, 4)) t(i)),
+        SELECT doc_id, phash, t.i AS bidx, (phash >> (15 * t.i)) & 32767 AS bval
+        FROM ph, UNNEST(range(0, 4)) t(i)),
       heads AS (
-        SELECT modality, bidx, bval, MIN(doc_id) AS canon_id
-        FROM bands GROUP BY modality, bidx, bval)
-      SELECT DISTINCT b.modality, h.canon_id, b.doc_id AS member_id,
+        SELECT bidx, bval, MIN(doc_id) AS canon_id
+        FROM bands GROUP BY bidx, bval)
+      SELECT DISTINCT 'image/bmp' AS modality, h.canon_id,
+        b.doc_id AS member_id,
         CAST(bit_count(xor(b.phash, c.phash)) AS BIGINT) AS hamming,
         bit_count(xor(b.phash, c.phash)) <= 14 AS is_near
       FROM bands b
-      JOIN heads h ON h.modality = b.modality AND h.bidx = b.bidx
-        AND h.bval = b.bval AND b.doc_id > h.canon_id
-      JOIN a c ON c.doc_id = h.canon_id
-      ORDER BY b.modality, h.canon_id, member_id"""))
+      JOIN heads h ON h.bidx = b.bidx AND h.bval = b.bval
+        AND b.doc_id > h.canon_id
+      JOIN ph c ON c.doc_id = h.canon_id
+      ORDER BY canon_id, member_id"""))
 
   val all: Seq[Q] = Seq(m01, m02, m03, m04, m05, m06, m07)
 }

@@ -48,19 +48,29 @@ import scala.util.Random
   */
 object StreamFuzz {
 
-  /** Seeds 1-120 are frozen on the 10-topology v1 map; seeds 121+ use the
-    * 11-topology map that adds `decayed` (the p21 decayed-count stream on
-    * mapGroupsWithState — the one stateful API the v1 topologies don't
-    * touch). Frozen corpus text is sacred, same rule as SqlFuzz.
+  /** Seeds 1-120 are frozen on the 10-topology v1 map; seeds 121-220 use
+    * the 11-topology map that adds `decayed` (the p21 decayed-count stream
+    * on mapGroupsWithState — the one stateful API the v1 topologies don't
+    * touch); seeds 221+ use the v3 map of WATERMARK-EVICTION topologies
+    * (r11 verdict #2): the three StreamPipeline
+    * `dropDuplicatesWithinWatermark` streams (curation, ingest, wau) plus
+    * `sessionslate` — the q11 session topology with displacement PAST the
+    * watermark, asserting the late-drop behavior matches an admission-
+    * filtered batch recompute. Frozen corpus text is sacred, same rule as
+    * SqlFuzz.
     */
   val V1Seeds = 120
-  val DefaultSeeds = 220
+  val V2Seeds = 220
+  val DefaultSeeds = 300
 
   val Topologies: Vector[String] = Vector(
     "sessions", "neardup", "gapspectrum", "funnel", "attribution",
     "sessionpaths", "keepbest", "heavyhitters", "auctiontopk", "gapwindows")
 
   val TopologiesV2: Vector[String] = Topologies :+ "decayed"
+
+  val TopologiesV3: Vector[String] =
+    Vector("curation", "ingest", "wau", "sessionslate")
 
   // ---- seeded generation context ----
 
@@ -79,6 +89,11 @@ object StreamFuzz {
   case class Doc(doc_id: Long, text: String, tsUs: Long)
   case class Keep(simhash: Long, doc_id: Long, source: String, n_chars: Long)
   case class HH(group: String, key: Long)
+  // v3 watermark-eviction topologies
+  case class CDoc(doc_id: Long, text: String, lang: String, tsMs: Long)
+  case class IDoc(doc_id: Long, text: String, tsMs: Long)
+  case class WEv(user_id: Long, tsMs: Long)
+  case class FpRow(fp: String)
 
   private val EvBaseUs = 1700000000000000L
   private val BidBaseMs = 1700000000000L
@@ -97,11 +112,12 @@ object StreamFuzz {
     }
   }
 
-  private def genBids(g: G): Seq[Bid] = {
+  private def genBids(g: G,
+      grans: Seq[Long] = Seq(1L, 10L, 1000L)): Seq[Bid] = {
     val nAuctions = g.int(1, 20)
     val nBidders = g.int(1, 30)
     val n = g.int(100, 2000)
-    val granMs = g.pick(Seq(1L, 10L, 1000L))
+    val granMs = g.pick(grans)
     val spanMs = 120000L
     (0 until n).map { _ =>
       Bid(g.int(0, nAuctions - 1), g.int(0, nBidders - 1), g.int(1, 10000),
@@ -182,13 +198,136 @@ object StreamFuzz {
     out.toSeq
   }
 
+  /** v3 displacement: `pNear` rows within `wMs` of their chunk's max event
+    * time slip one chunk later (late-but-admissible for wMs < delay, the
+    * existing axis), and `pFar` rows jump to a RANDOM chunk >= 2 later —
+    * usually PAST the watermark by then, i.e. genuinely late. Neither
+    * outcome is assumed: the truth side replays Spark's exact per-batch
+    * admission rule (see `admittedRows`) and decides row by row.
+    */
+  private def displaceGen[T](chunks: Seq[Seq[T]], g: G, ts: T => Long,
+      wMs: Long, pNear: Double, pFar: Double): Seq[Seq[T]] = {
+    val n = chunks.size
+    val out = Array.fill(n)(Vector.empty[T])
+    chunks.zipWithIndex.foreach { case (c, i) =>
+      if (c.isEmpty || i == n - 1) out(i) ++= c
+      else {
+        val maxTs = c.map(ts).max
+        c.foreach { r =>
+          if (i + 2 < n && g.chance(pFar)) out(g.int(i + 2, n - 1)) :+= r
+          else if (ts(r) >= maxTs - wMs && g.chance(pNear)) out(i + 1) :+= r
+          else out(i) :+= r
+        }
+      }
+    }
+    out.toSeq
+  }
+
+  // ---- v3 corpora (watermark-eviction topologies) ----
+  //
+  // Shared construction rules that make the truth side EXACT:
+  //  - dedup delays are odd-ms ({2501,5003,10007}) while every event-time
+  //    granularity is a multiple of 10 ms, so an event time can never tie
+  //    with a watermark (max ts - delay) — the admission comparison is
+  //    strict-inequality-safe on both engines;
+  //  - every near-dup group spans at most delay/2 in event time, so under
+  //    ANY admissible fragmentation the first non-late arrival's state is
+  //    still alive when the others arrive (expiry = first + delay, and the
+  //    watermark when a member arrives is below that member's ts <=
+  //    first + delay/2) — exactly one survivor, chosen by arrival order,
+  //    which the driver-side corpus knows exactly (file order is batch
+  //    order; probed: in-batch survivor = first row in file order).
+
+  private val CurSpanMs = 120000L
+
+  private def genCuration(g: G): (Seq[CDoc], Long) = {
+    val delayMs = g.pick(Seq(2501L, 5003L, 10007L))
+    val granMs = g.pick(Seq(10L, 1000L))
+    val langs = Seq("en", "es", "de", "fr")
+    val vocab = (0 until 40).map(i => s"w$i")
+    val nEnt = g.int(30, 160)
+    val rows = scala.collection.mutable.ArrayBuffer.empty[CDoc]
+    var id = 0L
+    (0 until nEnt).foreach { e =>
+      // ~20% fail the 8-token quality gate (the unique token u<e> keeps
+      // digests entity-unique, so "group" and "digest" coincide).
+      val nWords = if (g.chance(0.2)) g.int(2, 6) else g.int(7, 13)
+      val text =
+        ((0 until nWords).map(_ => g.pick(vocab)) :+ s"u$e").mkString(" ")
+      val t0 = g.longIn(0L, CurSpanMs) / granMs * granMs
+      val members = if (g.chance(0.35)) g.int(2, 4) else 1
+      (0 until members).foreach { _ =>
+        val ts = t0 + g.longIn(0L, delayMs / 2) / granMs * granMs
+        rows += CDoc(id, text, g.pick(langs), EvBaseUs / 1000 + ts)
+        id += 1
+      }
+    }
+    (rows.sortBy(r => (r.tsMs, r.doc_id)).toSeq, delayMs)
+  }
+
+  private def genIngest(g: G): (Seq[IDoc], Seq[String], Long) = {
+    val delayMs = g.pick(Seq(2501L, 5003L, 10007L))
+    val granMs = g.pick(Seq(10L, 1000L))
+    val vocab = (0 until 40).map(i => s"w$i")
+    val nEnt = g.int(30, 160)
+    val rows = scala.collection.mutable.ArrayBuffer.empty[IDoc]
+    val index = scala.collection.mutable.ArrayBuffer.empty[String]
+    var id = 0L
+    (0 until nEnt).foreach { e =>
+      val tokens = (0 until g.int(4, 10)).map(_ => g.pick(vocab)) :+ s"u$e"
+      val fp = md5Hex(tokens.distinct.sorted.mkString(" "))
+      val indexed = g.chance(0.25)
+      if (indexed) index += fp
+      // Indexed entities may still stream members (anti-joined away);
+      // some index entries have no stream twin at all.
+      val members =
+        if (indexed && g.chance(0.3)) 0
+        else if (g.chance(0.3)) g.int(2, 4) else 1
+      val t0 = g.longIn(0L, CurSpanMs) / granMs * granMs
+      (0 until members).foreach { _ =>
+        val ts = t0 + g.longIn(0L, delayMs / 2) / granMs * granMs
+        // Dup members reshuffle word ORDER: different text, same sorted
+        // distinct token set — the canonical-form axis of the fingerprint.
+        rows += IDoc(id, g.r.shuffle(tokens).mkString(" "),
+          EvBaseUs / 1000 + ts)
+        id += 1
+      }
+    }
+    (rows.sortBy(r => (r.tsMs, r.doc_id)).toSeq, index.toSeq, delayMs)
+  }
+
+  private val DayMs = 86400000L
+
+  private def genWau(g: G): (Seq[WEv], Long) = {
+    // horizon hours ≡ 3 (mod 24): the watermark (a day-multiple minus the
+    // horizon) can never tie a day-aligned wday_ts; >= 99h also keeps the
+    // (user, wday) dedup exact under ordered-with-displacement arrival
+    // (two contributions to one wday sit <= 6 days + displacement apart,
+    // within 2x the horizon).
+    val horizonH = g.pick(Seq(99L, 123L, 195L))
+    val granMs = g.pick(Seq(60000L, 3600000L))
+    val nUsers = g.int(1, 30)
+    val n = g.int(60, 800)
+    val spanMs = 30L * DayMs
+    val rows = (0 until n).map { _ =>
+      WEv(g.int(0, nUsers - 1).toLong,
+        EvBaseUs / 1000 + g.longIn(0L, spanMs) / granMs * granMs)
+    }
+    (rows.sortBy(r => (r.tsMs, r.user_id)), horizonH)
+  }
+
+  private def md5Hex(str: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(str.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
   // ---- scenario ----
 
   /** Everything a run needs, pure function of the seed. `rendered` pins
     * the exact fragmented corpus for the committed descriptor.
     */
   final case class Scn(seed: Int, topo: String, params: Map[String, Long],
-      chunks: Seq[Seq[Product]], restarts: Seq[Boolean]) {
+      chunks: Seq[Seq[Product]], restarts: Seq[Boolean],
+      extra: Seq[Product] = Nil) {
     def describe: String = {
       val p = params.toSeq.sortBy(_._1).map { case (k, v) => s"$k=$v" }
         .mkString(" ")
@@ -203,6 +342,13 @@ object StreamFuzz {
         c.foreach(r => d.update(
           (r.productIterator.mkString(",") + "\n").getBytes("UTF-8")))
       }
+      // Static side-input data (e.g. the ingest fingerprint index) is
+      // pinned too; empty for pre-v3 seeds, so their digests are stable.
+      if (extra.nonEmpty) {
+        d.update("|extra|".getBytes("UTF-8"))
+        extra.foreach(r => d.update(
+          (r.productIterator.mkString(",") + "\n").getBytes("UTF-8")))
+      }
       d.digest().map("%02x".format(_)).mkString.take(12)
     }
   }
@@ -211,7 +357,9 @@ object StreamFuzz {
     val g = new G(new Random(seed.toLong * 0x9e3779b97f4a7c15L + 1013904223L))
     val topo =
       if (seed <= V1Seeds) Topologies((seed - 1) % Topologies.size)
-      else TopologiesV2((seed - V1Seeds - 1) % TopologiesV2.size)
+      else if (seed <= V2Seeds)
+        TopologiesV2((seed - V1Seeds - 1) % TopologiesV2.size)
+      else TopologiesV3((seed - V2Seeds - 1) % TopologiesV3.size)
     val nChunks = g.int(2, 6)
     val restarts = Seq(true) ++ Seq.fill(nChunks - 1)(g.chance(0.6))
     def shuffled[T](cs: Seq[Seq[T]]): Seq[Seq[T]] = cs.map(c => g.r.shuffle(c))
@@ -280,6 +428,47 @@ object StreamFuzz {
         Scn(seed, topo, params,
           interleaved(genBids(g), g, n).map(c => g.r.shuffle(c)),
           Seq.fill(n)(false)) // one continuous manual-clock query
+      case "curation" =>
+        val (rows, delayMs) = genCuration(g)
+        val cs = displaceGen(orderedCuts(rows, g, nChunks), g,
+          (d: CDoc) => d.tsMs, delayMs / 4, 0.3, 0.1)
+        // Far-future gate-passing sentinel (lang "zz", filtered from the
+        // comparison): advances the watermark past every real 10 s window
+        // so append mode emits them; its own window never finalizes.
+        val sentinel = Seq(CDoc(-1L, (1 to 8).map(i => s"s$i").mkString(" "),
+          "zz", EvBaseUs / 1000 + CurSpanMs + 3600000L))
+        Scn(seed, topo, Map("delayMs" -> delayMs),
+          shuffled(cs) :+ sentinel, restarts :+ true)
+      case "ingest" =>
+        val (rows, index, delayMs) = genIngest(g)
+        val cs = displaceGen(orderedCuts(rows, g, nChunks), g,
+          (d: IDoc) => d.tsMs, delayMs / 4, 0.3, 0.1)
+        // No sentinel: the dedup + anti-join chain holds nothing back —
+        // accepted rows emit in their own microbatch.
+        Scn(seed, topo, Map("delayMs" -> delayMs), shuffled(cs), restarts,
+          extra = index.map(FpRow))
+      case "wau" =>
+        val (rows, horizonH) = genWau(g)
+        val cs = displaceGen(orderedCuts(rows, g, nChunks), g,
+          (e: WEv) => e.tsMs, 6L * 3600000L, 0.3, 0.12)
+        val maxReal = rows.map(_.tsMs).max
+        val sentinel = Seq(WEv(-1L, maxReal + 40L * DayMs))
+        Scn(seed, topo, Map("horizonH" -> horizonH),
+          shuffled(cs) :+ sentinel, restarts :+ true)
+      case "sessionslate" =>
+        // The q11 session topology with displacement PAST the watermark:
+        // a genuinely-late bid must be dropped by the transformWithState
+        // late filter (probed), and the truth side sessionizes only the
+        // admitted rows. Coarse granularities + odd-ms delays keep the
+        // admission comparison tie-free.
+        val gapUs = g.pick(Seq(2000000L, 5000000L, 10000000L))
+        val delayMs = g.pick(Seq(2503L, 5009L, 10007L))
+        val rows = genBids(g, grans = Seq(10L, 1000L)).sortBy(_.tsMs)
+        val cs = displaceGen(orderedCuts(rows, g, nChunks), g,
+          (b: Bid) => b.tsMs, delayMs / 2, 0.35, 0.1)
+        val sentinel = Seq(Bid(-1, -1, 0, BidBaseMs + 86400000L))
+        Scn(seed, topo, Map("gapUs" -> gapUs, "delayMs" -> delayMs),
+          shuffled(cs) :+ sentinel, restarts :+ true)
     }
   }
 
@@ -416,13 +605,132 @@ object StreamFuzz {
       .select(col("group").as("event_type"), col("key").as("user_id"))
   }
 
+  private def cdocDf(s: SparkSession, rows: Seq[Product]): DataFrame = {
+    import s.implicits._
+    rows.map(_.asInstanceOf[CDoc]).toDF()
+      .select(col("doc_id"), col("text"), col("lang"),
+        timestamp_millis(col("tsMs")).as("event_time"))
+  }
+
+  private def idocDf(s: SparkSession, rows: Seq[Product]): DataFrame = {
+    import s.implicits._
+    rows.map(_.asInstanceOf[IDoc]).toDF()
+      .select(col("doc_id"), col("text"),
+        timestamp_millis(col("tsMs")).as("event_time"))
+  }
+
+  private def wevDf(s: SparkSession, rows: Seq[Product]): DataFrame = {
+    import s.implicits._
+    rows.map(_.asInstanceOf[WEv]).toDF()
+      .select(col("user_id"), timestamp_millis(col("tsMs")).as("ts"))
+  }
+
   // ---- batch truths (independent formulations over the whole corpus) ----
 
   private def allRows(scn: Scn): Seq[Product] = scn.chunks.flatten
 
-  private def sessionsTruth(s: SparkSession, scn: Scn): DataFrame = {
-    val gapUs = scn.params("gapUs")
-    val e = bidDf(s, allRows(scn).filter(_.asInstanceOf[Bid].bidder >= 0))
+  /** Exact driver-side replay of Spark's per-microbatch late-row
+    * admission (probed for both transformWithState and
+    * dropDuplicatesWithinWatermark). Two watermark values exist per batch
+    * (the multi-stateful-operator propagation design): EVICTION uses the
+    * watermark planned for the current batch — max event time over
+    * batches < i, minus delay — while the LATE-EVENTS filter uses the
+    * value planned for the PREVIOUS batch (one batch more lagged). A
+    * checkpoint restart catches the late-events value up: the first batch
+    * of a new run reads the committed watermark for both. `runStarts(i)`
+    * marks chunks that begin a new query run (replay() starts one when
+    * `restarts(i)` is set). v3 corpora make ties impossible (odd delays
+    * vs 10 ms-multiple granularities), so > vs >= never matters. Returns
+    * the admitted rows in exact arrival order (file order is batch
+    * order).
+    */
+  private def admittedRows[T](chunks: Seq[Seq[T]], ts: T => Long,
+      delay: Long, runStarts: Seq[Boolean]): Seq[T] = {
+    var wPrev = Long.MinValue // watermark planned for the previous batch
+    var wCur = Long.MinValue  // watermark planned for this batch
+    val out = scala.collection.mutable.ArrayBuffer.empty[T]
+    chunks.zipWithIndex.foreach { case (c, i) =>
+      val wLate = if (i == 0 || runStarts(i)) wCur else wPrev
+      c.foreach { r => if (ts(r) > wLate) out += r }
+      wPrev = wCur
+      val mx = c.map(ts).foldLeft(Long.MinValue)(math.max)
+      if (mx != Long.MinValue) wCur = math.max(wCur, mx - delay)
+    }
+    out.toSeq
+  }
+
+  private def curationTruth(s: SparkSession, scn: Scn): DataFrame = {
+    import s.implicits._
+    val delay = scn.params("delayMs")
+    // Gate first: sub-8-token docs never reach the watermark node, so
+    // they feed neither the state nor the watermark.
+    val gated = scn.chunks.map(_.map(_.asInstanceOf[CDoc])
+      .filter(_.text.split(" ").length >= 8))
+    val seen = scala.collection.mutable.Set.empty[String]
+    val surv = admittedRows(gated, (d: CDoc) => d.tsMs, delay, scn.restarts)
+      .filter(d => seen.add(d.text))
+    val agg = surv.filter(_.lang != "zz")
+      .groupBy(d => (d.tsMs / 10000L * 10000L, d.lang))
+      .view.mapValues(_.size.toLong).toSeq
+      .map { case ((win, lang), n) => (win, lang, n) }
+    agg.toDF("win_ms", "lang", "n_docs")
+      .select(timestamp_millis(col("win_ms")).as("win_start"), col("lang"),
+        col("n_docs"))
+  }
+
+  private def ingestFp(text: String): String =
+    md5Hex(text.split(" ").distinct.sorted.mkString(" "))
+
+  private def ingestTruth(s: SparkSession, scn: Scn): DataFrame = {
+    import s.implicits._
+    val delay = scn.params("delayMs")
+    val chunks = scn.chunks.map(_.map(_.asInstanceOf[IDoc]))
+    val index = scn.extra.map(_.asInstanceOf[FpRow].fp).toSet
+    val seen = scala.collection.mutable.Set.empty[String]
+    val out = admittedRows(chunks, (d: IDoc) => d.tsMs, delay, scn.restarts)
+      .filter(d => seen.add(ingestFp(d.text)))
+      .filter(d => !index(ingestFp(d.text)))
+      .map(d => (d.doc_id, d.text, d.tsMs, ingestFp(d.text)))
+    out.toDF("doc_id", "text", "ts_ms", "fp")
+      .select(col("fp"), col("doc_id"), col("text"),
+        timestamp_millis(col("ts_ms")).as("event_time"))
+  }
+
+  private def wauTruth(s: SparkSession, scn: Scn): DataFrame = {
+    import s.implicits._
+    val horizonMs = scn.params("horizonH") * 3600000L
+    // Admission happens per EXPLODED (user, window-end-day) row: a late
+    // event may be only PARTIALLY dropped — its younger wdays survive.
+    val exploded = scn.chunks.map(_.map(_.asInstanceOf[WEv]).flatMap { e =>
+      val day = e.tsMs / DayMs
+      (0 to 6).map(k => (e.user_id, (day + k) * DayMs))
+    })
+    val maxRealWday = scn.chunks.flatten.map(_.asInstanceOf[WEv])
+      .filter(_.user_id >= 0).map(_.tsMs / DayMs).max + 6
+    val adm = admittedRows(exploded, (r: (Long, Long)) => r._2, horizonMs,
+      scn.restarts)
+    val agg = adm.distinct.filter(_._2 <= maxRealWday * DayMs)
+      .groupBy(_._2).view.mapValues(_.size.toLong).toSeq
+    agg.toDF("wday_ms", "wau")
+      .select(timestamp_millis(col("wday_ms")).as("wday_start"), col("wau"))
+  }
+
+  private def sessionsLateTruth(s: SparkSession, scn: Scn): DataFrame = {
+    val delay = scn.params("delayMs")
+    val chunks = scn.chunks.map(_.map(_.asInstanceOf[Bid]))
+    val kept = admittedRows(chunks, (b: Bid) => b.tsMs, delay, scn.restarts)
+      .filter(_.bidder >= 0)
+    sessionize(s, kept, scn.params("gapUs"))
+  }
+
+  private def sessionsTruth(s: SparkSession, scn: Scn): DataFrame =
+    sessionize(s,
+      allRows(scn).map(_.asInstanceOf[Bid]).filter(_.bidder >= 0),
+      scn.params("gapUs"))
+
+  private def sessionize(s: SparkSession, rows: Seq[Bid],
+      gapUs: Long): DataFrame = {
+    val e = bidDf(s, rows)
       .select(col("bidder"), col("price"),
         unix_micros(col("b_date_time")).as("tsUs"))
     val w = Window.partitionBy("bidder").orderBy("tsUs")
@@ -620,6 +928,35 @@ object StreamFuzz {
         .select(col("auction"), col("rank"), col("w.price").as("price"),
           (-col("w.nb")).as("bidder"), (-col("w.nts")).as("tsUs"))
     case "gapwindows" => gapWindowsStream(s, scn)
+    case "curation" =>
+      val delay = scn.params("delayMs")
+      replay(s, s"cu${scn.seed}", scn.chunks.map(cdocDf(s, _)), scn.restarts,
+        df => StreamPipeline.curationStream(df,
+          horizon = s"$delay milliseconds"))
+        .filter(col("lang") =!= "zz")
+    case "ingest" =>
+      import s.implicits._
+      val delay = scn.params("delayMs")
+      val idx = scn.extra.map(_.asInstanceOf[FpRow]).toDF()
+      replay(s, s"ig${scn.seed}", scn.chunks.map(idocDf(s, _)), scn.restarts,
+        df => StreamPipeline.ingestStream(df, idx,
+          horizon = s"$delay milliseconds"))
+    case "wau" =>
+      val h = scn.params("horizonH")
+      val maxRealWday = scn.chunks.flatten.map(_.asInstanceOf[WEv])
+        .filter(_.user_id >= 0).map(_.tsMs / DayMs).max + 6
+      replay(s, s"wa${scn.seed}", scn.chunks.map(wevDf(s, _)), scn.restarts,
+        df => StreamPipeline.wauStream(df, horizon = s"$h hours"))
+        // The sentinel's own far-future windows DO emit (its later wdays
+        // outrun the horizon); cut to real-activity window-end days, the
+        // same ghost-tail filter the batch twin applies.
+        .filter(unix_millis(col("wday_start")) <= maxRealWday * DayMs)
+    case "sessionslate" =>
+      val gapUs = scn.params("gapUs")
+      val delay = s"${scn.params("delayMs")} milliseconds"
+      replay(s, s"sl${scn.seed}", scn.chunks.map(bidDf(s, _)), scn.restarts,
+        df => StatefulProcessors.sessionWindowsTws(df, gapUs, delay).toDF())
+        .filter(col("bidder") >= 0)
     case "decayed" =>
       val hl = scn.params("halfLifeUs")
       val out = replay(s, s"dc${scn.seed}",
@@ -761,6 +1098,10 @@ object StreamFuzz {
     case "auctiontopk" => auctionTopKTruth(s, scn)
     case "gapwindows" => gapWindowsTruth(s, scn)
     case "decayed" => decayedTruth(s, scn)
+    case "curation" => curationTruth(s, scn)
+    case "ingest" => ingestTruth(s, scn)
+    case "wau" => wauTruth(s, scn)
+    case "sessionslate" => sessionsLateTruth(s, scn)
   }
 
   /** Run one seed; Right(rowCount) on pass, Left(message) on any
@@ -812,7 +1153,34 @@ object StreamFuzz {
       s"${jq(f"sf$seed%04d")}: ${jq(build(seed).describe)}"
     }.mkString("{\n", ",\n", "\n}")
 
+  /** Diff one seed verbosely (debugging aid): prints the rows each side
+    * has that the other lacks.
+    */
+  def debugSeed(s: SparkSession, seed: Int): Unit = {
+    val scn = build(seed)
+    println(s"[streamfuzz] debug ${scn.describe}")
+    val stream = streamSide(s, scn)
+    val truth = truthSide(s, scn).select(stream.columns.map(col): _*)
+    println("== stream minus truth ==")
+    stream.exceptAll(truth).orderBy(stream.columns.map(col): _*)
+      .show(50, truncate = false)
+    println("== truth minus stream ==")
+    truth.exceptAll(stream).orderBy(stream.columns.map(col): _*)
+      .show(50, truncate = false)
+  }
+
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("--debug")) {
+      val spark = SparkSession.builder().master("local[8]")
+        .config("spark.sql.shuffle.partitions", "4")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+        .config("spark.ui.enabled", "false").getOrCreate()
+      spark.sparkContext.setLogLevel("WARN")
+      debugSeed(spark, args(1).toInt)
+      spark.stop()
+      return
+    }
     if (args.headOption.contains("--dump")) {
       val path = args(1)
       val n = if (args.length > 2) args(2).toInt else DefaultSeeds

@@ -37,6 +37,17 @@ class StreamFuzzSpec extends AnyFunSuite {
     StreamFuzz.TopologiesV2.foreach { t =>
       assert(scns.count(_.topo == t) >= 3, s"topology coverage: $t")
     }
+    // v3: every watermark-eviction topology is well-covered (r11 #2).
+    StreamFuzz.TopologiesV3.foreach { t =>
+      assert(scns.count(_.topo == t) >= 15, s"v3 topology coverage: $t")
+    }
+    assert(scns.filter(_.topo == "sessionslate")
+      .map(_.params("delayMs")).distinct.size >= 2,
+      "past-watermark displacement delay variety")
+    assert(scns.filter(_.topo == "wau")
+      .map(_.params("horizonH")).distinct.size >= 2, "wau horizon variety")
+    assert(scns.filter(_.topo == "ingest").exists(_.extra.nonEmpty),
+      "ingest static-index coverage")
     assert(scns.count(_.topo == "decayed") >= 3, "mapGroupsWithState coverage")
     // Restart-vs-continuation boundaries both occur.
     assert(scns.exists(_.restarts.drop(1).contains(false)),
@@ -51,10 +62,11 @@ class StreamFuzzSpec extends AnyFunSuite {
   }
 
   test("one seed per topology passes stream==batch (suite smoke)") {
-    // Seeds 1-10 cover the 10 v1 topologies ((seed-1) % 10) and seed 131
-    // is the first `decayed` ((131-121) % 11 == 10); the full sweep runs
-    // via the main per round.
-    ((1 to 10) :+ 131).foreach { seed =>
+    // Seeds 1-10 cover the 10 v1 topologies ((seed-1) % 10), seed 131 is
+    // the first `decayed` ((131-121) % 11 == 10), and 221-224 the four v3
+    // watermark-eviction topologies; the full sweep runs via the main per
+    // round.
+    ((1 to 10) :+ 131) ++ (221 to 224) foreach { seed =>
       StreamFuzz.runSeed(spark, seed) match {
         case Right(_) => ()
         case Left(msg) => fail(s"seed $seed: $msg")

@@ -73,7 +73,12 @@ object Verify {
     val only = args.drop(2).toSet
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
+      // local[N,2]: one task retry, the production-faithful setting (a
+      // real cluster runs maxFailures=4; local mode's 1 is the outlier).
+      // Deterministic failures still fail — a retry re-hits them — and it
+      // lets SPARK_GRAFT_INJECT_STW=1 run the whole gate under mid-batch
+      // task-failure injection (StreamGate.replay).
+      .master(s"local[$cpus,2]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       // int96 would reach DuckDB as ns; micros keeps epoch_us == unix_micros.

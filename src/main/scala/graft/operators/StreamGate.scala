@@ -55,17 +55,34 @@ object StreamGate {
     val (in, out, ckpt) = (s"$base/in", s"$base/out", s"$base/ckpt")
     val saved = s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
     s.conf.set("spark.sql.streaming.stateStore.providerClass", Rocks)
+    // SPARK_GRAFT_INJECT_STW=1 runs the WHOLE gate under mid-batch
+    // task-failure injection (graft.streaming.FailureInjection): partition
+    // 0 of every stateful stage dies on its first attempt after partial
+    // state writes and must be retried bit-identically — the hash gate
+    // then doubles as the exactly-once-under-task-retry proof (requires
+    // the session master to allow retries, e.g. local[N,2]).
+    val injectAcc =
+      if (sys.env.get("SPARK_GRAFT_INJECT_STW").contains("1"))
+        Some(s.sparkContext.longAccumulator(s"graft_inject_$tag"))
+      else None
+    val tf: DataFrame => DataFrame = df => injectAcc match {
+      case Some(a) =>
+        graft.streaming.FailureInjection.failFirstAttempt(transform(df), a)
+      case None => transform(df)
+    }
     try {
       val schema = chunks.head.schema
       chunks.foreach { c =>
         c.coalesce(1).write.mode("append").parquet(in)
-        val q = transform(s.readStream.schema(schema).parquet(in))
+        val q = tf(s.readStream.schema(schema).parquet(in))
           .writeStream.format("parquet")
           .option("path", out).option("checkpointLocation", ckpt)
           .outputMode("append").trigger(Trigger.AvailableNow()).start()
         require(q.awaitTermination(180000),
           s"stw replay '$tag' did not drain a chunk in 180s")
       }
+      injectAcc.foreach(a => System.err.println(
+        s"[stw] '$tag' injected-failure retries survived: ${a.value}"))
       s.read.parquet(out).localCheckpoint()
     } finally {
       saved match {

@@ -8,7 +8,11 @@ import org.scalatest.funsuite.AnyFunSuite
 object SparkTestSession {
   lazy val spark: SparkSession = {
     val s = SparkSession.builder()
-      .master("local[4]")
+      // local[4,2] = one task retry, the production-faithful setting (real
+      // clusters run maxFailures=4). Deterministic test failures still
+      // fail — a retry re-hits them — and FailureInjectionSpec needs a
+      // first attempt to be retryable at all.
+      .master("local[4,2]")
       .appName("graft-test")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")

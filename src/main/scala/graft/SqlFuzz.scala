@@ -61,11 +61,20 @@ object SqlFuzz {
     * plus the fan-out cardinality guard: any join chain that attaches a
     * second fact to an already-joined dim (the M:N explosion class, the
     * fz0374 lesson) carries a mandatory selective range predicate on
-    * that fact's key, so every v3 seed stays runnable at sf1+.
+    * that fact's key, so every v3 seed stays runnable at sf1+;
+    * 1301-1600 add the v4 shapes (r11 verdict #7): correlated scalar
+    * subqueries in the SELECT list, rich HAVING over aggregate
+    * expressions, ORDER BY ... NULLS FIRST/LAST over outer-join-nulled
+    * columns, IN (derived aggregate subquery), CASE inside join
+    * conditions, and a null-heavy derived view (NULLIF / bare CASE) so
+    * three-valued logic gets fuzzed — TESTDATA base columns are mostly
+    * non-null, so NULL semantics only reach the engines through these
+    * derived shapes.
     */
   val V1Seeds = 550
   val V2Seeds = 1000
-  val DefaultSeeds = 1300
+  val V3Seeds = 1300
+  val DefaultSeeds = 1600
 
   sealed trait CT
   case object IT extends CT // integral
@@ -554,11 +563,13 @@ object SqlFuzz {
 
   /** The seed's query text — a pure function of the seed. */
   def generate(seed: Int): String = {
-    val version = if (seed > V2Seeds) 3 else 2
+    val version =
+      if (seed > V3Seeds) 4 else if (seed > V2Seeds) 3 else 2
     val g = new Gen(new Random(seed.toLong * 2654435761L + 12345L), version)
     if (seed <= V1Seeds) v1Shape(g)
     else if (seed <= V2Seeds) v2Shape(g)
-    else v3Shape(g)
+    else if (seed <= V3Seeds) v3Shape(g)
+    else v4Shape(g)
   }
 
   private def v1Shape(g: Gen): String =
@@ -918,6 +929,180 @@ object SqlFuzz {
     val ps = s.guards :+ g.pred(s.cols, g.int(0, 2))
     s"SELECT $distinct${outputs(g, s.cols, 2, 4).mkString(", ")} " +
       s"FROM ${s.from} WHERE ${ps.mkString(" AND ")}"
+  }
+
+  // ---- v4 shapes (seeds 1301+) ----
+
+  private def v4Shape(g: Gen): String =
+    g.r.nextInt(14) match {
+      case 0 | 1 => qScalarSelectV4(g)
+      case 2 | 3 => qHavingV4(g)
+      case 4 | 5 => qNullsOrderV4(g)
+      case 6 | 7 => qInSubV4(g)
+      case 8 | 9 => qCaseJoinV4(g)
+      case 10 | 11 | 12 => qNullViewV4(g)
+      case _ => v3Shape(g) // keep earlier shapes in the v4 mix
+    }
+
+  /** Correlated scalar-aggregate subqueries in the SELECT list: empty
+    * correlation groups yield NULL (SUM/MIN over zero rows), so the
+    * output column itself is the three-valued surface; one variant
+    * COALESCEs it, the other leaves the NULL visible.
+    */
+  private def qScalarSelectV4(g: Gen): String = {
+    val e = g.pick(fks)
+    val fact = byName(e._1); val dim = byName(e._3)
+    val fcols = fact.cols.map(_.qualify("f"))
+    val dcols = dim.cols.map(_.qualify("d"))
+    val sub1 = s"(SELECT CAST(SUM(${g.intExpr(fcols, g.int(0, 1))}) AS BIGINT) " +
+      s"FROM ${e._1} f WHERE f.${e._2} = d.${e._4} AND ${g.pred(fcols, 0)})"
+    val sub2 = s"(SELECT MIN(${g.pick(g.valCols(fcols)).name}) FROM ${e._1} f " +
+      s"WHERE f.${e._2} = d.${e._4})"
+    val s1 = if (g.chance(0.5)) s"COALESCE($sub1, CAST(${g.int(-5, 5)} AS BIGINT))"
+      else sub1
+    s"SELECT d.${e._4} AS k, " +
+      s"${outputs(g, dcols, 1, 2).mkString(", ")}, $s1 AS cs0, $sub2 AS cs1 " +
+      s"FROM ${e._3} d WHERE ${g.pred(dcols, g.int(0, 1))}"
+  }
+
+  /** HAVING over full aggregate expressions (v1/v3 only ever gated on
+    * COUNT(*)): exact-int SUM ranges, MIN/MAX comparisons against
+    * literals, COUNT(DISTINCT) floors, AND/OR-combined.
+    */
+  private def qHavingV4(g: Gen): String = {
+    val s = v3Src(g)
+    val ng = g.int(1, 2)
+    val groups = (0 until ng).map(i => s"${g.groupExpr(s.cols)} AS g$i")
+    val aggs = (0 until g.int(1, 2)).map(i => s"${g.aggExpr(s.cols)} AS a$i")
+    def hpred: String = g.r.nextInt(4) match {
+      case 0 =>
+        val lo = g.int(-50, 400)
+        s"CAST(SUM(${g.intExpr(s.cols, 0)}) AS BIGINT) " +
+          s"BETWEEN $lo AND ${lo + g.int(10, 5000)}"
+      case 1 =>
+        val c = g.pick(g.valCols(s.cols))
+        s"MIN(${c.name}) ${g.pick(Seq("<", ">", "<=", ">=", "<>"))} ${g.litFor(c)}"
+      case 2 =>
+        s"CAST(COUNT(DISTINCT ${g.pick(s.cols).name}) AS BIGINT) >= ${g.int(1, 4)}"
+      case _ => s"COUNT(*) ${g.pick(Seq(">", ">=", "<"))} ${g.int(1, 40)}"
+    }
+    val having = if (g.chance(0.5)) hpred
+      else s"($hpred ${g.pick(Seq("AND", "OR"))} $hpred)"
+    s"SELECT ${(groups ++ aggs).mkString(", ")} FROM ${s.from}" +
+      s"${whereV3(g, s)} GROUP BY ${(1 to ng).mkString(", ")} HAVING $having"
+  }
+
+  /** ORDER BY ... NULLS FIRST/LAST over a column the outer join actually
+    * nulls, tie-broken by the preserved side's unique key so the LIMIT
+    * window is a total order in both engines.
+    */
+  private def qNullsOrderV4(g: Gen): String = {
+    val e = g.pick(fks)
+    val fact = byName(e._1); val dim = byName(e._3)
+    val fcols = fact.cols.map(_.qualify("f"))
+    val v = g.pick(g.valCols(fcols).filter(_.t != TT))
+    val dir = g.pick(Seq("ASC", "DESC"))
+    val nulls = g.pick(Seq("NULLS FIRST", "NULLS LAST"))
+    s"SELECT d.${e._4} AS k, ${v.name} AS v, " +
+      s"${outputs(g, dim.cols.map(_.qualify("d")), 1, 2).mkString(", ")} " +
+      s"FROM (SELECT * FROM ${e._1} WHERE ${g.pred(fact.cols, g.int(0, 1))}) f " +
+      s"RIGHT JOIN ${e._3} d ON f.${e._2} = d.${e._4} " +
+      s"ORDER BY v $dir $nulls, k LIMIT ${g.int(10, 80)}"
+  }
+
+  /** IN over a DERIVED aggregate subquery (grouped, HAVING-filtered
+    * value sets), plus string-set membership through expressions — v1's
+    * IN only ever probed raw FK key lists.
+    */
+  private def qInSubV4(g: Gen): String = {
+    val e = g.pick(fks)
+    val fact = byName(e._1); val dim = byName(e._3)
+    g.r.nextInt(3) match {
+      case 0 => // key IN (grouped dim key set, HAVING-filtered)
+        val ic = g.pick(dim.cols.filter(_.t == IT))
+        s"SELECT ${outputs(g, fact.cols, 1, 3).mkString(", ")} FROM ${e._1} " +
+          s"WHERE CAST(${e._2} AS BIGINT) IN " +
+          s"(SELECT CAST(${e._4} AS BIGINT) FROM ${e._3} GROUP BY 1 " +
+          s"HAVING MAX(${ic.name}) ${g.pick(Seq(">", "<=", "<>"))} " +
+          s"${g.litFor(ic)})"
+      case 1 => // membership of a derived string expression
+        val sc = g.pick(dim.cols.filter(c => c.t == ST))
+        s"SELECT ${outputs(g, fact.cols, 1, 3).mkString(", ")} FROM ${e._1} " +
+          s"WHERE ${e._2} IN (SELECT ${e._4} FROM ${e._3} " +
+          s"WHERE UPPER(${sc.name}) ${g.pick(Seq("<", ">", "<>"))} " +
+          s"UPPER(${g.litFor(sc)}))"
+      case _ => // IN over an aggregated fact-side value set
+        s"SELECT ${outputs(g, dim.cols, 1, 3).mkString(", ")} FROM ${e._3} " +
+          s"WHERE CAST(${e._4} AS BIGINT) IN " +
+          s"(SELECT CAST(${e._2} AS BIGINT) FROM ${e._1} " +
+          s"GROUP BY 1 HAVING CAST(COUNT(*) AS BIGINT) " +
+          s"${g.pick(Seq(">", ">=", "<"))} ${g.int(1, 30)})"
+    }
+  }
+
+  /** CASE expressions inside join conditions: the equi component keeps
+    * the join hashable; the residual CASE branches on one side's
+    * predicate to select which predicate applies to the other.
+    */
+  private def qCaseJoinV4(g: Gen): String = {
+    val e = g.pick(fks)
+    val fact = byName(e._1); val dim = byName(e._3)
+    val fcols = fact.cols.map(_.qualify("f"))
+    val dcols = dim.cols.map(_.qualify("d"))
+    val caseCond = s"(CASE WHEN ${g.pred(dcols, 0)} THEN ${g.pred(fcols, 0)} " +
+      s"WHEN ${g.pred(dcols, 0)} THEN ${g.pred(fcols, 0)} ELSE ${g.chance(0.5)} END)"
+    val jt = if (g.chance(0.3)) "LEFT JOIN" else "JOIN"
+    if (g.chance(0.5)) {
+      s"SELECT ${g.groupExpr(dcols)} AS g0, CAST(COUNT(*) AS BIGINT) AS a0, " +
+        s"${g.aggExpr(dcols ++ (if (jt == "JOIN") fcols else Nil))} AS a1 " +
+        s"FROM ${e._3} d $jt ${e._1} f ON f.${e._2} = d.${e._4} AND $caseCond " +
+        s"GROUP BY 1"
+    } else {
+      s"SELECT ${outputs(g, dcols, 1, 2).mkString(", ")}, " +
+        s"${outputs(g, if (jt == "JOIN") fcols else dcols, 1, 2, start = 4)
+          .mkString(", ")} " +
+        s"FROM ${e._3} d $jt ${e._1} f ON f.${e._2} = d.${e._4} AND $caseCond " +
+        s"WHERE ${g.pred(dcols, g.int(0, 1))}"
+    }
+  }
+
+  /** Null-heavy derived view: NULLIF and bare CASE (no ELSE) synthesize
+    * NULLs the base tables don't have, then aggregation / filtering /
+    * DISTINCT over them exercises three-valued logic — NULL grouping,
+    * COUNT(col) vs COUNT(*), SUM-over-empty, IS [NOT] DISTINCT FROM,
+    * null-aware predicates.
+    */
+  private def qNullViewV4(g: Gen): String = {
+    val t = g.pick(tables.filter(_.cols.exists(c =>
+      c.t == ST && strPool.contains(c.base))))
+    val sc = g.pick(t.cols.filter(c => c.t == ST && strPool.contains(c.base)))
+    val nullLit = g.litFor(sc)
+    val view = s"SELECT ${t.unique.map(k => s"$k AS k, ").getOrElse("")}" +
+      s"NULLIF(${sc.name}, $nullLit) AS s, " +
+      s"(CASE WHEN ${g.pred(t.cols, 0)} THEN CAST(${g.intExpr(t.cols, g.int(0, 1))} AS BIGINT) END) AS v " +
+      s"FROM ${t.name}" +
+      (if (g.chance(0.4)) s" WHERE ${g.pred(t.cols, 0)}" else "")
+    g.r.nextInt(4) match {
+      case 0 => // NULL grouping: the NULLIF'd value is a group key
+        s"WITH nv AS ($view) SELECT s AS g0, CAST(COUNT(*) AS BIGINT) AS a0, " +
+          "CAST(COUNT(v) AS BIGINT) AS a1, CAST(SUM(v) AS BIGINT) AS a2 " +
+          "FROM nv GROUP BY 1"
+      case 1 => // null-aware filters
+        val p = g.r.nextInt(3) match {
+          case 0 => s"v IS NULL AND s IS NOT NULL"
+          case 1 => s"s IS NOT DISTINCT FROM $nullLit OR v > ${g.int(0, 50)}"
+          case _ => s"(v >= ${g.int(0, 20)} OR v IS NULL) AND s IS NOT NULL"
+        }
+        s"WITH nv AS ($view) SELECT s AS c0, v AS c1, " +
+          "CAST(COUNT(*) AS BIGINT) AS c2 FROM nv " +
+          s"WHERE $p GROUP BY 1, 2"
+      case 2 => // DISTINCT over nullable pair (NULLs collapse identically)
+        s"WITH nv AS ($view) SELECT DISTINCT s AS c0, v AS c1 FROM nv"
+      case _ => // aggregate-only: COUNT/COUNT(col)/SUM/MIN over NULLs
+        s"WITH nv AS ($view) SELECT CAST(COUNT(*) AS BIGINT) AS c0, " +
+          "CAST(COUNT(v) AS BIGINT) AS c1, CAST(SUM(v) AS BIGINT) AS c2, " +
+          "CAST(COUNT(DISTINCT s) AS BIGINT) AS c3, MIN(s) AS c4 FROM nv"
+    }
   }
 
   private def qJoinShape(g: Gen): String = {

@@ -61,6 +61,19 @@ class FuzzSpec extends AnyFunSuite {
     assert(n(s => s.contains("INTERSECT ALL") || s.contains("EXCEPT ALL")) > 5,
       "multiset-set-op coverage")
     assert(n(_.contains("RANGE BETWEEN")) > 20, "range-frame coverage")
+    // v4 grammar (seeds 1301-1600)
+    assert(n(_.contains("NULLS FIRST")) + n(_.contains("NULLS LAST")) > 20,
+      "nulls-ordering coverage")
+    assert(n(_.contains("NULLIF(")) > 30, "nullif derived-null coverage")
+    assert(n(_.contains("IS NOT DISTINCT FROM")) >= 3,
+      "null-safe comparison coverage")
+    assert(n(_.contains("AND (CASE WHEN")) > 20, "case-in-join coverage")
+    assert(n(_.contains("AS cs0")) > 20,
+      "correlated scalar-SELECT coverage")
+    assert(n(s => s.contains("HAVING") && (s.contains("HAVING CAST(SUM") ||
+      s.contains("HAVING MIN(") || s.contains("HAVING (") ||
+      s.contains("HAVING MAX("))) > 25, "rich-HAVING coverage")
+    assert(n(_.contains("COUNT(v)")) > 20, "count-col-vs-star coverage")
     // v3 fan-out guard: every second-fact attachment carries a BETWEEN
     // range on its key (the guard renders as "tN.<key> BETWEEN a AND b").
     val v3 = (SqlFuzz.V2Seeds + 1 to SqlFuzz.DefaultSeeds).map(SqlFuzz.generate)

@@ -31,9 +31,13 @@ object NexmarkBatch {
   private val q10HookArmed = new java.util.concurrent.atomic.AtomicBoolean(false)
 
   /** Fixed replay length; Verify dumps the generator tables at the same N
-    * so the DuckDB oracles replay identical data.
+    * so the DuckDB oracles replay identical data. SPARK_GRAFT_NX_N
+    * overrides for scale runs (the generator, every nx/stw entry, and the
+    * dumped oracle tables all follow it together — the hash gate stays
+    * closed at any N).
     */
-  val N = 100000L
+  val N: Long =
+    sys.env.get("SPARK_GRAFT_NX_N").map(_.toLong).getOrElse(100000L)
 
   private def bids(s: SparkSession) = Nexmark.bids(s, N)
   private def auctions(s: SparkSession) = Nexmark.auctions(s, N)

@@ -140,10 +140,11 @@ object Nexmark {
         cfg.personProportion + cfg.auctionProportion), eventsPerSecond, cfg)
 
   /** The bid projection, applicable to any DataFrame with an `id` column —
-    * reused by the rate-source streaming variant.
+    * reused by the rate-source streaming variant. `keep` carries extra
+    * input columns through (e.g. a file-landing tick index).
     */
   def bidsFromIds(ids: DataFrame, eventsPerSecond: Long = 1000,
-      cfg: Config = Config()): DataFrame = {
+      cfg: Config = Config(), keep: Seq[String] = Nil): DataFrame = {
     val id = col("id")
     // auctions 0..(block+1)*ap - 1 exist once this block's auctions emitted
     val curAuction = (blockOf(id, cfg) + 1) * cfg.auctionProportion
@@ -154,11 +155,11 @@ object Nexmark {
       .otherwise(uniformLong(id, "auction", curAuction))
     val bidder = when(u01(id, "hotbidder") < 0.5, hotBidder)
       .otherwise(uniformLong(id, "bidder", curPerson))
-    ids.select(
+    ids.select(Seq(
       auction.cast(IntegerType).as("auction"),
       bidder.cast(IntegerType).as("bidder"),
       (pow(lit(10.0), u01(id, "price") * 6.0) * 100.0).cast(IntegerType).as("price"),
-      eventTime(id, eventsPerSecond).as("b_date_time"))
+      eventTime(id, eventsPerSecond).as("b_date_time")) ++ keep.map(col): _*)
   }
 
   /** Streaming bids via the rate source: `rowsPerSecond` ids/sec, each id

@@ -497,10 +497,22 @@ object StreamGate {
         val schema = chunks.head.schema
         chunks.head.coalesce(1).write.mode("append").parquet(in)
         val clock = new org.apache.spark.sql.graft.shims.GraftManualClock(t0)
+        // SPARK_GRAFT_INJECT_STW=1 injects here too (same contract as
+        // replay): the manual-clock path otherwise escapes the gate-wide
+        // task-failure wrapper.
+        val injectAcc =
+          if (sys.env.get("SPARK_GRAFT_INJECT_STW").contains("1"))
+            Some(s.sparkContext.longAccumulator("graft_inject_q12gap"))
+          else None
+        val gapDf = StatefulProcessors.gapWindowsTws(
+          s.readStream.schema(schema).parquet(in), sizeMs).toDF()
+        val injected = injectAcc match {
+          case Some(a) =>
+            graft.streaming.FailureInjection.failFirstAttempt(gapDf, a)
+          case None => gapDf
+        }
         val (q, rows) = org.apache.spark.sql.graft.shims.startWithManualClock(
-          StatefulProcessors.gapWindowsTws(
-            s.readStream.schema(schema).parquet(in), sizeMs).toDF(),
-          ckpt, clock, stepMs,
+          injected, ckpt, clock, stepMs,
           org.apache.spark.sql.streaming.OutputMode.Append())
         try {
           awaitBatch(q, 0)
@@ -512,6 +524,8 @@ object StreamGate {
           clock.advance(sizeMs + 2 * stepMs) // one far batch: fire the rest
           awaitRows(rows, nExpected)
         } finally q.stop()
+        injectAcc.foreach(a => System.err.println(
+          s"[stw] 'q12gap' injected-failure retries survived: ${a.value}"))
         rows().map(r => (r.getInt(0), ((r.getLong(1) - t0) / stepMs).toInt,
           r.getLong(2) - r.getLong(1), r.getLong(3)))
       } finally {

@@ -516,6 +516,32 @@ object StreamFuzz {
     rmrf(new java.io.File(stage))
   }
 
+  /** SPARK_GRAFT_INJECT_FUZZ=1 runs the whole fuzz corpus under mid-batch
+    * task-failure injection (graft.streaming.FailureInjection): partition
+    * 0 of every replayed microbatch dies on its first attempt after
+    * partial state writes and is retried — the randomized
+    * fragmentation/restart/displacement sweep then doubles as an
+    * exactly-once-under-task-retry proof across all topologies. Requires
+    * the retry-capable master (main uses local[8,2]).
+    */
+  private def injectFuzz: Boolean =
+    sys.env.get("SPARK_GRAFT_INJECT_FUZZ").contains("1") ||
+      sys.props.get("graft.inject.fuzz").contains("1")
+
+  /** Driver-side total of surviving injected-failure retries across the
+    * sweep (each seed folds its accumulator in after the seed completes).
+    */
+  val injectedRetries = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  private def maybeInject(s: SparkSession)(df: DataFrame)
+      : (DataFrame, () => Unit) =
+    if (!injectFuzz) (df, () => ())
+    else {
+      val acc = s.sparkContext.longAccumulator("graft_inject_fuzz")
+      (graft.streaming.FailureInjection.failFirstAttempt(df, acc),
+        () => injectedRetries.addAndGet(acc.value): Unit)
+    }
+
   /** Drain `chunks` through `transform` into a parquet sink: chunk
     * boundaries where `restarts` is true start a NEW AvailableNow query on
     * the shared checkpoint (a checkpoint restart); consecutive non-restart
@@ -532,8 +558,9 @@ object StreamFuzz {
       val schema = chunks.head.schema
       var outSchema: org.apache.spark.sql.types.StructType = null
       def drain(): Unit = {
-        val transformed = transform(s.readStream.schema(schema)
-          .option("maxFilesPerTrigger", "1").parquet(in))
+        val (transformed, foldRetries) = maybeInject(s)(
+          transform(s.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1").parquet(in)))
         outSchema = transformed.schema
         // mapGroupsWithState topologies require Update mode, which the
         // parquet sink doesn't take — foreachBatch appends each trigger's
@@ -549,6 +576,7 @@ object StreamFuzz {
           .trigger(Trigger.AvailableNow()).start()
         require(q.awaitTermination(180000),
           s"streamfuzz '$tag' did not drain a run in 180s")
+        foldRetries()
       }
       var pendingNew = false
       chunks.zipWithIndex.foreach { case (c, i) =>
@@ -1012,10 +1040,11 @@ object StreamFuzz {
       landChunk(chunks.head, in, 0)
       val clock =
         new org.apache.spark.sql.graft.shims.GraftManualClock(times.head)
-      val (q, rows) = org.apache.spark.sql.graft.shims.startWithManualClock(
+      val (injected, foldRetries) = maybeInject(s)(
         StatefulProcessors.gapWindowsTws(
-          s.readStream.schema(schema).parquet(in), sizeMs).toDF(),
-        ckpt, clock, 1L,
+          s.readStream.schema(schema).parquet(in), sizeMs).toDF())
+      val (q, rows) = org.apache.spark.sql.graft.shims.startWithManualClock(
+        injected, ckpt, clock, 1L,
         org.apache.spark.sql.streaming.OutputMode.Append())
       try {
         awaitBatch(q, 0)
@@ -1026,6 +1055,7 @@ object StreamFuzz {
         }
         clock.advance(sizeMs + 10000L) // fire every remaining timer
         awaitRows(rows, nExpected)
+        foldRetries()
         rows().map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
           r.getLong(3)))
       } finally q.stop()
@@ -1194,7 +1224,10 @@ object StreamFuzz {
     val n = args.headOption.map(_.toInt).getOrElse(DefaultSeeds)
     val first = args.lift(1).map(_.toInt).getOrElse(1)
     val spark = SparkSession.builder()
-      .master("local[8]")
+      // local[8,2]: one task retry — the production-faithful setting, and
+      // what lets SPARK_GRAFT_INJECT_FUZZ=1 run the corpus under
+      // mid-batch task-failure injection (see maybeInject).
+      .master("local[8,2]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
@@ -1213,6 +1246,9 @@ object StreamFuzz {
           println(f"[streamfuzz] sf$seed%04d ${build(seed).topo}%-13s FAIL $msg")
       }
     }
+    if (injectFuzz)
+      println(s"[streamfuzz] injected-failure retries survived: " +
+        s"${injectedRetries.get()}")
     println(s"[streamfuzz] ran $n seeds, $nFail failures")
     spark.stop()
     if (nFail > 0) sys.exit(1)

@@ -73,4 +73,26 @@ class StreamFuzzSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("injection axis: seeds stay green under mid-batch task failures") {
+    // graft.inject.fuzz=1 wraps every replayed stream in
+    // FailureInjection.failFirstAttempt (partition 0's first attempt dies
+    // after partial state writes; the session master local[4,2] retries).
+    // One seed per source family: sessions (bids), gapspec (events),
+    // neardup (docs), plus a watermark-eviction topology (curation) and
+    // the manual-clock gap windows (gapwin, seed 10).
+    val before = StreamFuzz.injectedRetries.get()
+    sys.props("graft.inject.fuzz") = "1"
+    try {
+      Seq(1, 3, 2, 221, 10).foreach { seed =>
+        StreamFuzz.runSeed(spark, seed) match {
+          case Right(_) => ()
+          case Left(msg) => fail(s"injected seed $seed: $msg")
+        }
+      }
+    } finally sys.props.remove("graft.inject.fuzz"): Unit
+    assert(StreamFuzz.injectedRetries.get() > before,
+      "no injected-failure retry survived — the failure never fired " +
+        "(corpus too small for afterRows, or the wrapper was bypassed)")
+  }
 }

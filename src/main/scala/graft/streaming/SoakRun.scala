@@ -160,7 +160,7 @@ object SoakRun {
   private case class Probe(shape: String, eps: Int, secs: Int,
       batches: Int, inputRows: Long, meanH1: Double, meanH2: Double,
       maxMs: Long, stateRowsMid: Long, stateRowsLast: Long,
-      stateMemMb: Double) {
+      stateMemMb: Double, calibS: Double) {
     /** Keeps up iff steady-state (second-half) batches fit one trigger
       * period (SoakRun.TriggerPeriodMs).
       */
@@ -172,16 +172,28 @@ object SoakRun {
       """{"shape":"%s","eps":%d,"secs":%d,"batches":%d,"input_rows":%d,""" +
       """"rows_per_sec":%d,"mean_batch_ms_h1":%.0f,"mean_batch_ms_h2":%.0f,""" +
       """"max_batch_ms":%d,"state_rows_mid":%d,"state_rows_last":%d,""" +
-      """"state_mem_mb_last":%.1f,"sustained":%b}""",
+      """"state_mem_mb_last":%.1f,"calib_s":%.3f,"host_factor":%.2f,""" +
+      """"sustained":%b}""",
       shape, Int.box(eps), Int.box(secs), Int.box(batches),
       Long.box(inputRows), Long.box(inputRows / secs),
       Double.box(meanH1), Double.box(meanH2), Long.box(maxMs),
       Long.box(stateRowsMid), Long.box(stateRowsLast),
-      Double.box(stateMemMb), Boolean.box(sustained))
+      Double.box(stateMemMb), Double.box(calibS),
+      Double.box(calibS / CalibUnitSecs), Boolean.box(sustained))
   }
 
   private def runProbe(spark: SparkSession, shape: String, eps: Int,
       secs: Int): Probe = {
+    // Per-probe calibration (single shot, ~0.2 s): on hosts with variable
+    // CPU availability (cloud steal / background load) the factor can
+    // swing 2-4x WITHIN one capacity search, so a per-find factor
+    // misattributes slow windows to the query shape. Stamping every probe
+    // verdict with the calib measured seconds before it lets a reader
+    // discount probes that ran in throttled windows — and makes the
+    // "max sustained" semantics honest: a sustained probe is an
+    // existence proof at its calib; an unsustained probe in a slow
+    // window proves nothing about the shape.
+    val calibS = warmCalibProbe(spark)
     val ckpt = s"/tmp/soak_ckpt_${shape}_${System.currentTimeMillis()}"
     val q = buildQuery(spark, shape, eps).writeStream.format("noop")
       .outputMode(modeOf(shape))
@@ -213,7 +225,7 @@ object SoakRun {
       mean(h1.map(_.batchMs)), mean(h2.map(_.batchMs)),
       samples.map(_.batchMs).max,
       h1.lastOption.map(_.stateRows).getOrElse(0L),
-      samples.last.stateRows, samples.last.stateMemBytes / 1e6)
+      samples.last.stateRows, samples.last.stateMemBytes / 1e6, calibS)
   }
 
   /** Long soak at a fixed rate with a FULL progress trajectory: the
@@ -302,6 +314,18 @@ object SoakRun {
     (System.nanoTime() - t0) / 1e9
   }
 
+  /** calibProbe with JIT warmup: the first executions on a cold session
+    * measure class loading + codegen compilation, not the host (observed
+    * 3.1 s cold vs 0.075 s warm on one box — 40x). Two discarded warmup
+    * runs, then the median of three. This is the only calibration form
+    * comparable to Bench's mid-run `_calib_mid` (always warm).
+    */
+  private def warmCalibProbe(spark: SparkSession): Double = {
+    calibProbe(spark); calibProbe(spark)
+    val xs = (1 to 3).map(_ => calibProbe(spark)).sorted
+    xs(1)
+  }
+
   /** Unit-host calibration seconds: r11's closing bench measured 0.334 s
     * at host factor 1.305 (bench_full.json _calib_mid/_host_factor), i.e.
     * factor 1.0 ≡ ~0.256 s. Dividing a measured rate ceiling by
@@ -310,10 +334,9 @@ object SoakRun {
     */
   val CalibUnitSecs = 0.256
 
-  /** Median-of-3 calibration → (calib seconds, host factor). */
+  /** Warm median-of-3 calibration → (calib seconds, host factor). */
   private def hostFactor(spark: SparkSession): (Double, Double) = {
-    val xs = (1 to 3).map(_ => calibProbe(spark)).sorted
-    val med = xs(1)
+    val med = warmCalibProbe(spark)
     (med, med / CalibUnitSecs)
   }
 

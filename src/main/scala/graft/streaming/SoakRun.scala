@@ -344,9 +344,9 @@ object SoakRun {
     * — deliberately ABOVE the shape's measured capacity — through a
     * file-landing generator, but let each trigger admit only
     * `Admission.filesPerTrigger(capEps, ...)` files. The bid corpus is
-    * pre-generated into quarter-second tick files (event time follows the
+    * pre-generated into eighth-second tick files (event time follows the
     * generator schedule, so window semantics are exact); a feeder thread
-    * moves one tick into the watched dir every 250 ms — landing is
+    * moves one tick into the watched dir every 125 ms — landing is
     * rate-exact and free. Overload then shows up the only place it is
     * allowed to: as source backlog (landed − processed), growing linearly
     * at (offered − admitted) while batch means stay under the trigger and
@@ -420,7 +420,7 @@ object SoakRun {
         .option("checkpointLocation", ckpt)
         .trigger(Trigger.ProcessingTime(s"$TriggerPeriodMs milliseconds"))
         .start()
-      // Feeder: move tick i into the watched dir at t0 + i*250 ms — a
+      // Feeder: move tick i into the watched dir at t0 + i*125 ms — a
       // rename, so landing cost is O(1) and the offered rate is exact.
       val feedEnd = System.currentTimeMillis() + secs * 1000L
       var i = 0

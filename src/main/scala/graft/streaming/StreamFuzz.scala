@@ -574,9 +574,11 @@ object StreamFuzz {
             .option("path", out).outputMode("append")
         val q = writer.option("checkpointLocation", ckpt)
           .trigger(Trigger.AvailableNow()).start()
-        require(q.awaitTermination(180000),
+        // finally: surviving retries from a run that times out or fails
+        // must still reach the sweep ledger (r12 advice).
+        try require(q.awaitTermination(180000),
           s"streamfuzz '$tag' did not drain a run in 180s")
-        foldRetries()
+        finally foldRetries()
       }
       var pendingNew = false
       chunks.zipWithIndex.foreach { case (c, i) =>
@@ -1055,10 +1057,14 @@ object StreamFuzz {
         }
         clock.advance(sizeMs + 10000L) // fire every remaining timer
         awaitRows(rows, nExpected)
-        foldRetries()
         rows().map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
           r.getLong(3)))
-      } finally q.stop()
+      } finally {
+        // finally: a failed awaitBatch/awaitRows must still fold its
+        // surviving retries into the sweep ledger (r12 advice).
+        foldRetries()
+        q.stop()
+      }
     }
     rmrf(new java.io.File(base))
     out.toDF("bidder", "startMs", "endMs", "nBids")
@@ -1201,7 +1207,10 @@ object StreamFuzz {
 
   def main(args: Array[String]): Unit = {
     if (args.headOption.contains("--debug")) {
-      val spark = SparkSession.builder().master("local[8]")
+      // local[8,2] like the sweep main: an injected-sweep failure must be
+      // reproducible through --debug with SPARK_GRAFT_INJECT_FUZZ=1, which
+      // needs task retries enabled (r12 advice).
+      val spark = SparkSession.builder().master("local[8,2]")
         .config("spark.sql.shuffle.partitions", "4")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")

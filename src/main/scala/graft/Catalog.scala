@@ -57,7 +57,8 @@ object Catalog {
       operators.Multimodal.all ++
       operators.NexmarkBatch.all ++
       operators.SqlParity.all ++
-      operators.StreamGate.all
+      operators.StreamGate.all ++
+      operators.V2SourceGate.all
 
   lazy val byName: Map[String, Q] = {
     val qs = modules

@@ -59,4 +59,36 @@ object FailureInjection {
       }
     }
   }
+
+  /** Soak-grade periodic injection: like [[failFirstAttempt]] but firing
+    * only in stages whose id divides `everyNStages` — on a long-running
+    * query this plants a first-attempt task death roughly every
+    * N-batches' worth of stages, so a 10-minute soak carries a steady
+    * drip of mid-batch retries instead of one per replay. A retried task
+    * keeps its stageId, so the predicate still matches and the surviving
+    * attempt is counted.
+    */
+  def failEveryNthStage(df: DataFrame, retries: LongAccumulator,
+      everyNStages: Int, afterRows: Int = 3): DataFrame = {
+    require(everyNStages >= 1, "everyNStages must be >= 1")
+    implicit val enc = Encoders.row(df.schema)
+    df.mapPartitions { it =>
+      val tc = TaskContext.get()
+      if (tc == null || tc.partitionId() != 0 ||
+          tc.stageId() % everyNStages != 0) it
+      else if (tc.attemptNumber() > 0) { retries.add(1L); it }
+      else {
+        var n = 0
+        it.map { r =>
+          n += 1
+          if (n > afterRows) {
+            throw new InjectedFailure(
+              s"graft injected soak failure after $afterRows rows " +
+                s"(stage ${tc.stageId()}, attempt 0)")
+          }
+          r
+        }
+      }
+    }
+  }
 }

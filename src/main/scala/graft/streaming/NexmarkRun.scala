@@ -10,7 +10,20 @@ import org.apache.spark.sql.streaming.Trigger
   * a one-line JSON summary.
   *
   * Usage: sbt "runMain graft.streaming.NexmarkRun -q 5 -s 10 -e 1000
-  *   -g 8 --person-proportion 1 --auction-proportion 3 --bid-proportion 46"
+  *   -g 8 --person-proportion 1 --auction-proportion 3 --bid-proportion 46
+  *   [--capacity-eps 175000] [--progress 1]"
+  *
+  * `--capacity-eps N` carries the graceful-overload contract
+  * (graft.streaming.Admission) into the shipped entry point: the bid
+  * stream switches to the native V2 generator source with
+  * rowsPerTrigger = Admission.rowsPerTrigger(N, trigger) while ids stay
+  * AVAILABLE at the offered `-e` rate — offering above capacity then
+  * degrades to source backlog (visible in the progress log as
+  * backlog_rows growing at offered − admitted) instead of the
+  * state-balloon spiral unbounded ingest produces. Size N at ~90% of the
+  * shape's measured capacity (SoakRun's capacity table). `--progress 1`
+  * prints one JSON trajectory line per elapsed minute (batch means,
+  * state rows, source backlog).
   *
   * Window semantics per query follow the reference mapping
   * (main.rs:116-123): q5 hopping, q7/q8 tumbling, q11 session, q12
@@ -48,7 +61,22 @@ object NexmarkRun {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val bids = Nexmark.bidStream(spark, rowsPerSecond = eps, cfg = cfg)
+    // --capacity-eps: bounded per-trigger admission through the V2
+    // generator source (offsets available at the offered -e rate; each
+    // trigger admits at most the capacity's worth — overload becomes
+    // source backlog). 0/absent = the historical unbounded rate source.
+    val capacityEps = opts.getOrElse("--capacity-eps", "0").toLong
+    val progressLog =
+      if (opts.get("--progress").contains("1")) Some(new ProgressLog(spark))
+      else None
+    val bids =
+      if (capacityEps > 0)
+        graft.sources.NexmarkV2.bidStream(spark,
+          totalEvents = eps.toLong * secs * 2,
+          rowsPerTrigger = Some(Admission.rowsPerTrigger(capacityEps, 1000L)),
+          eventsPerSecond = Some(eps.toLong),
+          numPartitions = cfg.generators, cfg = cfg)
+      else Nexmark.bidStream(spark, rowsPerSecond = eps, cfg = cfg)
     // Static sides for join queries: a bounded generated table (the
     // reference feeds auctions/persons from the same generator).
     val nStatic = (eps.toLong * secs * 4).max(50000L)
@@ -116,7 +144,9 @@ object NexmarkRun {
     }
 
     val wall = (System.nanoTime() - t0) / 1e9
+    progressLog.foreach(_.finish().foreach(println))
     println(s"""{"query":$qn,"seconds":$secs,"events_per_sec":$eps,""" +
+      (if (capacityEps > 0) s""""capacity_eps":$capacityEps,""" else "") +
       s""""out_rows":$rows,"wall_sec":${f"$wall%.2f"}}""")
     spark.stop()
   }

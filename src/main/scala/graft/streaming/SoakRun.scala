@@ -29,7 +29,23 @@ import org.apache.spark.sql.streaming.Trigger
   * full per-minute batch-time + state-size trajectory via a progress
   * listener (the short-probe path reads recentProgress, which only keeps
   * the last 100 events) — the ceiling-confirmation evidence a 40 s probe
+  * cannot give. Add `-inject N` to plant a mid-batch task failure on
+  * partition 0's first attempt in every stage whose id divides N
+  * (FailureInjection.failEveryNthStage): the soak then proves sustained
+  * throughput under a steady drip of surviving task retries, and the
+  * JSON line carries the retry count.
+  *
+  * Concurrent-streams soak (`-multi "tumbling:60000,gapspec:150000" -s
+  * 600`): run SEVERAL shapes at once (own checkpoints, one shared
+  * session) and report per-query minute trajectories plus per-query
+  * sustained verdicts — the interference evidence single-query brackets
   * cannot give.
+  *
+  * `-changelog 1` (any mode): enable RocksDB changelog checkpointing
+  * (spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing
+  * .enabled) — per-batch commits upload a changelog instead of zipping a
+  * full snapshot, the knob that attacks the commit-syscall ceiling on
+  * the window-agg shapes.
   *
   * Admission-bounded overload soak (`-admit 1 -cap <capacityEps>
   * -e <offeredEps> -s 600`): offer MORE than the shape's capacity through
@@ -238,7 +254,7 @@ object SoakRun {
     * state rows over 10 min is the ceiling-confirmed evidence.
     */
   private def runSoak(spark: SparkSession, shape: String, eps: Int,
-      secs: Int): String = {
+      secs: Int, injectEvery: Int = 0): String = {
     case class S(atMs: Long, batchMs: Long, inRows: Long, stateRows: Long,
         stateMemBytes: Long)
     val buf = scala.collection.mutable.ArrayBuffer.empty[S]
@@ -264,8 +280,18 @@ object SoakRun {
     val (calibS, hf) = hostFactor(spark)
     spark.streams.addListener(listener)
     val ckpt = s"/tmp/soak_ckpt_${shape}_${System.currentTimeMillis()}"
+    val retryAcc =
+      if (injectEvery > 0)
+        Some(spark.sparkContext.longAccumulator(s"soak_inject_$shape"))
+      else None
     try {
-      val q = buildQuery(spark, shape, eps).writeStream.format("noop")
+      val built = buildQuery(spark, shape, eps)
+      val df = retryAcc match {
+        case Some(a) =>
+          FailureInjection.failEveryNthStage(built, a, injectEvery)
+        case None => built
+      }
+      val q = df.writeStream.format("noop")
         .outputMode(modeOf(shape))
         .option("checkpointLocation", ckpt)
         .trigger(Trigger.ProcessingTime(s"$TriggerPeriodMs milliseconds"))
@@ -292,13 +318,99 @@ object SoakRun {
       }
     val lastFive = samples.filter(_.atMs >= (secs - 300) * 1000L)
     val sustained = mean(lastFive.map(_.batchMs)) < TriggerPeriodMs.toDouble
+    val injected = retryAcc.map(a =>
+      s""""inject_every_stages":$injectEvery,""" +
+        s""""injected_retries_survived":${a.value},""").getOrElse("")
     String.format(java.util.Locale.ROOT,
       """{"soak_shape":"%s","eps":%d,"secs":%d,"input_rows":%d,""" +
-      """"calib_s":%.3f,"host_factor":%.2f,""" +
+      """"calib_s":%.3f,"host_factor":%.2f,%s""" +
       """"sustained_last5min":%b,"minutes":[%s]}""",
       shape, Int.box(eps), Int.box(secs),
       Long.box(samples.map(_.inRows).sum), Double.box(calibS),
-      Double.box(hf), Boolean.box(sustained), minutes.mkString(","))
+      Double.box(hf), injected, Boolean.box(sustained),
+      minutes.mkString(","))
+  }
+
+  /** Concurrent-streams soak: all `specs` shapes run at once (own
+    * checkpoints, shared session/cores) for `secs`; one JSON line with a
+    * per-query minute trajectory and per-query sustained verdicts. The
+    * interference measure is each shape's batch means here vs its solo
+    * bracket at comparable calib.
+    */
+  private def runMulti(spark: SparkSession, specs: Seq[(String, Int)],
+      secs: Int): String = {
+    case class S(atMs: Long, batchMs: Long, inRows: Long, stateRows: Long)
+    val bufs = specs.map(_ => scala.collection.mutable.ArrayBuffer.empty[S])
+    val idToBuf = new java.util.concurrent.ConcurrentHashMap[java.util.UUID,
+      scala.collection.mutable.ArrayBuffer[S]]()
+    val t0 = System.currentTimeMillis()
+    val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
+      override def onQueryStarted(e: org.apache.spark.sql.streaming
+          .StreamingQueryListener.QueryStartedEvent): Unit = ()
+      override def onQueryTerminated(e: org.apache.spark.sql.streaming
+          .StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+      override def onQueryProgress(e: org.apache.spark.sql.streaming
+          .StreamingQueryListener.QueryProgressEvent): Unit = {
+        val p = e.progress
+        val buf = idToBuf.get(p.id)
+        if (buf != null) {
+          val ms = Option(p.durationMs.get("triggerExecution"))
+            .map(_.longValue()).getOrElse(0L)
+          val st = p.stateOperators.headOption
+          if (p.numInputRows > 0 || ms > 0) buf.synchronized {
+            buf += S(System.currentTimeMillis() - t0, ms, p.numInputRows,
+              st.map(_.numRowsTotal).getOrElse(0L))
+          }
+        }
+      }
+    }
+    val (calibS, hf) = hostFactor(spark)
+    spark.streams.addListener(listener)
+    val base = s"/tmp/soak_multi_${System.currentTimeMillis()}"
+    try {
+      val queries = specs.zipWithIndex.map { case ((shape, eps), i) =>
+        val q = buildQuery(spark, shape, eps).writeStream.format("noop")
+          .outputMode(modeOf(shape))
+          .option("checkpointLocation", s"$base/ckpt_$i")
+          .trigger(Trigger.ProcessingTime(s"$TriggerPeriodMs milliseconds"))
+          .start()
+        idToBuf.put(q.id, bufs(i))
+        q
+      }
+      Thread.sleep(secs * 1000L)
+      queries.foreach(_.stop())
+    } finally {
+      spark.streams.removeListener(listener)
+      deleteRecursively(new java.io.File(base))
+    }
+    def mean(xs: Seq[Long]): Double =
+      if (xs.isEmpty) 0 else xs.sum.toDouble / xs.size
+    val perQuery = specs.zip(bufs).map { case ((shape, eps), b) =>
+      val samples = b.synchronized(b.toSeq)
+      require(samples.nonEmpty, s"no progress samples for $shape")
+      val minutes = samples.groupBy(_.atMs / 60000).toSeq.sortBy(_._1)
+        .map { case (m, ss) =>
+          String.format(java.util.Locale.ROOT,
+            """{"m":%d,"batches":%d,"mean_batch_ms":%.0f,""" +
+            """"max_batch_ms":%d,"state_rows":%d}""",
+            Long.box(m), Int.box(ss.size),
+            Double.box(mean(ss.map(_.batchMs))),
+            Long.box(ss.map(_.batchMs).max), Long.box(ss.last.stateRows))
+        }
+      val lastFive = samples.filter(_.atMs >= (secs - 300) * 1000L)
+      val sustained =
+        mean(lastFive.map(_.batchMs)) < TriggerPeriodMs.toDouble
+      String.format(java.util.Locale.ROOT,
+        """{"shape":"%s","eps":%d,"input_rows":%d,"sustained_last5min":%b,""" +
+        """"minutes":[%s]}""",
+        shape, Int.box(eps), Long.box(samples.map(_.inRows).sum),
+        Boolean.box(sustained), minutes.mkString(","))
+    }
+    String.format(java.util.Locale.ROOT,
+      """{"multi_soak_secs":%d,"calib_s":%.3f,"host_factor":%.2f,""" +
+      """"queries":[%s]}""",
+      Int.box(secs), Double.box(calibS), Double.box(hf),
+      perQuery.mkString(","))
   }
 
   /** Bench.scala's fixed pure-compute calibration probe (2M-row range →
@@ -485,15 +597,20 @@ object SoakRun {
     val find = opts.get("-find").contains("1")
     val soak = opts.get("-soak").contains("1")
 
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
+    val b = SparkSession.builder()
+      // local[N,2]: one task retry — production-faithful, and required by
+      // the -inject soak's surviving-retry proof.
+      .master(s"local[$cpus,2]")
       .appName(s"graft-soak-$shape")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    if (opts.get("-changelog").contains("1"))
+      b.config("spark.sql.streaming.stateStore.rocksdb." +
+        "changelogCheckpointing.enabled", "true"): Unit
+    val spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
     if (opts.get("-calib").contains("1")) {
@@ -511,8 +628,18 @@ object SoakRun {
       spark.stop()
       return
     }
+    if (opts.contains("-multi")) {
+      val specs = opts("-multi").split(",").toSeq.map { s =>
+        val Array(sh, e) = s.split(":")
+        (sh.trim, e.trim.toInt)
+      }
+      println(runMulti(spark, specs, secs))
+      spark.stop()
+      return
+    }
     if (soak) {
-      println(runSoak(spark, shape, eps, secs))
+      println(runSoak(spark, shape, eps, secs,
+        injectEvery = opts.getOrElse("-inject", "0").toInt))
       spark.stop()
       return
     }

@@ -64,8 +64,12 @@ case class SessBidIn(bidder: Int, price: Int, tsUs: Long,
     eventTime: java.sql.Timestamp)
 case class SessState(startUs: Long, lastUs: Long, n: Long,
     minP: Int, maxP: Int)
-/** All concurrently-open sessions of one key, disjoint and gap-separated. */
-case class SessList(sessions: Seq[SessState])
+/** All concurrently-open sessions of one key, disjoint and gap-separated,
+  * plus the key's single registered timer slot (0 = none) — carrying the
+  * slot in state is what makes the lazy-timer discipline (see
+  * SessionWindowProcessor) possible without a listTimers scan.
+  */
+case class SessList(sessions: Seq[SessState], timerMs: Long)
 case class SessionRow(bidder: Int, sessionStartUs: Long, sessionEndUs: Long,
     nBids: Long, minPrice: Int, maxPrice: Int)
 
@@ -296,14 +300,58 @@ object StatefulProcessors {
     * the same argument the reference's epoch scan makes. Open-session
     * count is bounded by (watermark delay / gap) + 1, so state stays O(1)
     * per key for any fixed lateness horizon.
+    *
+    * Timer discipline (the r12 throughput fix — timer churn was the
+    * 4-24x gap to the other stateful shapes): at most ONE timer per key,
+    * kept in state (SessList.timerMs), registered at the EARLIEST open
+    * expiry and deliberately left in place when extensions move expiries
+    * later. An "early" fire is cheap and safe: the handler closes by the
+    * CURRENT WATERMARK (not the fired slot) — every session whose
+    * last+gap the watermark has passed is final by the admission
+    * argument above — and re-registers once at the new earliest expiry
+    * if sessions remain. Extending a session therefore costs ZERO timer
+    * writes (the old per-event delete+register pair was two state-store
+    * writes each); timer traffic drops to ~one fire+register per gap
+    * period per key. Closing by watermark also makes a single fire
+    * absorb a large watermark jump (the far-future drain sentinel closes
+    * everything in one call).
     */
   class SessionWindowProcessor(gapUs: Long)
       extends StatefulProcessor[Int, SessBidIn, SessionRow] {
-    @transient private var st: ValueState[SessList] = _
+    @transient private var st: ValueState[Array[Byte]] = _
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
-      st = getHandle.getValueState[SessList]("sess",
-        Encoders.product[SessList], TTLConfig.NONE)
+      st = getHandle.getValueState[Array[Byte]]("sess",
+        Encoders.BINARY, TTLConfig.NONE)
+
+    // Hand-packed state layout (the SpaceSavingProcessor pattern): the
+    // nested-Seq product encoder was the per-key hot cost at the 100k+
+    // brackets; a flat ByteBuffer is one array copy each way.
+    // [timerMs: 8][count: 4] + count * [startUs 8 | lastUs 8 | n 8 |
+    // minP 4 | maxP 4].
+    private def pack(l: SessList): Array[Byte] = {
+      val buf = java.nio.ByteBuffer.allocate(12 + 32 * l.sessions.size)
+      buf.putLong(l.timerMs).putInt(l.sessions.size)
+      l.sessions.foreach { s =>
+        buf.putLong(s.startUs).putLong(s.lastUs).putLong(s.n)
+          .putInt(s.minP).putInt(s.maxP)
+      }
+      buf.array()
+    }
+
+    private def unpack(b: Array[Byte]): SessList = {
+      val buf = java.nio.ByteBuffer.wrap(b)
+      val timer = buf.getLong()
+      val n = buf.getInt()
+      val ss = List.newBuilder[SessState]
+      var i = 0
+      while (i < n) {
+        ss += SessState(buf.getLong(), buf.getLong(), buf.getLong(),
+          buf.getInt(), buf.getInt())
+        i += 1
+      }
+      SessList(ss.result(), timer)
+    }
 
     /** Timer slot for a session: first whole millisecond at or after the
       * µs close instant — a timer must never fire BEFORE the session can
@@ -317,9 +365,12 @@ object StatefulProcessors {
 
     override def handleInputRows(bidder: Int, rows: Iterator[SessBidIn],
         timerValues: TimerValues): Iterator[SessionRow] = {
-      val prev: List[SessState] =
-        if (st.exists()) st.get().sessions.toList else Nil
-      var sessions = prev
+      // One store read: ValueState.get() returns null when absent.
+      val prevBytes = st.get()
+      val prevList = if (prevBytes == null) null else unpack(prevBytes)
+      var sessions: List[SessState] =
+        if (prevList == null) Nil else prevList.sessions.toList
+      val prevTimer = if (prevList == null) 0L else prevList.timerMs
       // Merge is commutative and associative (interval union + agg fold),
       // so no within-batch sort is needed; a row can bridge at most two
       // gap-separated sessions and the partition absorbs both.
@@ -334,23 +385,46 @@ object StatefulProcessors {
         }
         sessions = cur :: miss
       }
-      val oldExp = prev.map(expiryMs).toSet
-      val newExp = sessions.map(expiryMs).toSet
-      (oldExp diff newExp).foreach(getHandle.deleteTimer)
-      (newExp diff oldExp).foreach(getHandle.registerTimer)
-      st.update(SessList(sessions.sortBy(_.startUs)))
+      val needMs = sessions.iterator.map(expiryMs).min
+      // Lazy-timer rule: touch the timer index ONLY when the earliest
+      // expiry moved EARLIER than the registered slot (a new/merged
+      // earlier session) or no slot exists; later-moving expiries keep
+      // the old slot and resolve as an early fire.
+      val timer =
+        if (prevTimer == 0L) { getHandle.registerTimer(needMs); needMs }
+        else if (needMs < prevTimer) {
+          getHandle.deleteTimer(prevTimer)
+          getHandle.registerTimer(needMs)
+          needMs
+        } else prevTimer
+      st.update(pack(SessList(sessions.sortBy(_.startUs), timer)))
       Iterator.empty
     }
 
     override def handleExpiredTimer(bidder: Int, timerValues: TimerValues,
         expiredTimerInfo: ExpiredTimerInfo): Iterator[SessionRow] = {
-      if (!st.exists()) return Iterator.empty
-      val fired = expiredTimerInfo.getExpiryTimeInMs()
-      // A session merged away since this timer was set has a LATER expiry
-      // and stays open — the stale-expiry race resolves itself because
-      // closure is decided by the session's own expiry, not the timer's.
-      val (done, open) = st.get().sessions.partition(s => expiryMs(s) <= fired)
-      if (open.isEmpty) st.clear() else st.update(SessList(open))
+      val curBytes = st.get()
+      if (curBytes == null) return Iterator.empty
+      val cur = unpack(curBytes)
+      val wmMs = timerValues.getCurrentWatermarkInMs()
+      // Stale fire: the key's stored slot is still in the future (e.g.
+      // this batch's input already re-pointed the timer, or an earlier
+      // fire in this batch re-registered). That live slot covers the
+      // key; registering another here would leak a duplicate.
+      if (cur.timerMs > wmMs) return Iterator.empty
+      // Close by the CURRENT watermark: any session with last+gap at or
+      // below it is final (future rows are admitted only at or above the
+      // previous batch's eviction watermark, which the strict `<`
+      // extension test rejects), and sessions the watermark has NOT
+      // passed stay open no matter which slot fired — the stale-expiry
+      // race resolves itself.
+      val (done, open) = cur.sessions.partition(s => expiryMs(s) <= wmMs)
+      if (open.isEmpty) st.clear()
+      else {
+        val t = open.iterator.map(expiryMs).min
+        getHandle.registerTimer(t)
+        st.update(pack(SessList(open, t)))
+      }
       done.sortBy(_.startUs).iterator.map(emit(bidder, _))
     }
   }

@@ -61,7 +61,8 @@ object StreamFuzz {
     */
   val V1Seeds = 120
   val V2Seeds = 220
-  val DefaultSeeds = 300
+  val V3Seeds = 300
+  val DefaultSeeds = 340
 
   val Topologies: Vector[String] = Vector(
     "sessions", "neardup", "gapspectrum", "funnel", "attribution",
@@ -71,6 +72,16 @@ object StreamFuzz {
 
   val TopologiesV3: Vector[String] =
     Vector("curation", "ingest", "wau", "sessionslate")
+
+  /** Seeds 301+ fuzz the native DataSource V2 generator source's
+    * admission boundary (r12 verdict #7): AvailableNow segments that
+    * raise totalEvents while CHANGING rowsPerTrigger across checkpoint
+    * restarts — the stateful gap-spectrum output over the id stream is
+    * bit-sensitive to any offset gap (merged gap value) or replay
+    * (zero-gap row), so exceptAll-equality with the batch truth IS the
+    * offset-continuity proof.
+    */
+  val TopologiesV4: Vector[String] = Vector("v2source")
 
   // ---- seeded generation context ----
 
@@ -94,6 +105,8 @@ object StreamFuzz {
   case class IDoc(doc_id: Long, text: String, tsMs: Long)
   case class WEv(user_id: Long, tsMs: Long)
   case class FpRow(fp: String)
+  // v4 V2-source admission topology: one row per AvailableNow segment.
+  case class V2Seg(endOffset: Long, rowsPerTrigger: Long)
 
   private val EvBaseUs = 1700000000000000L
   private val BidBaseMs = 1700000000000L
@@ -359,7 +372,9 @@ object StreamFuzz {
       if (seed <= V1Seeds) Topologies((seed - 1) % Topologies.size)
       else if (seed <= V2Seeds)
         TopologiesV2((seed - V1Seeds - 1) % TopologiesV2.size)
-      else TopologiesV3((seed - V2Seeds - 1) % TopologiesV3.size)
+      else if (seed <= V3Seeds)
+        TopologiesV3((seed - V2Seeds - 1) % TopologiesV3.size)
+      else TopologiesV4((seed - V3Seeds - 1) % TopologiesV4.size)
     val nChunks = g.int(2, 6)
     val restarts = Seq(true) ++ Seq.fill(nChunks - 1)(g.chance(0.6))
     def shuffled[T](cs: Seq[Seq[T]]): Seq[Seq[T]] = cs.map(c => g.r.shuffle(c))
@@ -469,6 +484,21 @@ object StreamFuzz {
         val sentinel = Seq(Bid(-1, -1, 0, BidBaseMs + 86400000L))
         Scn(seed, topo, Map("gapUs" -> gapUs, "delayMs" -> delayMs),
           shuffled(cs) :+ sentinel, restarts :+ true)
+      case "v2source" =>
+        // AvailableNow segments over the V2 generator source: totalEvents
+        // strictly rises; rowsPerTrigger is re-drawn PER SEGMENT so the
+        // admission grid never aligns across checkpoint restarts, and
+        // restart points land mid-grid.
+        val total = g.int(50, 3000).toLong
+        val nSegs = g.int(2, 5)
+        val cuts = Seq.fill(nSegs - 1)(g.longIn(1L, total - 1))
+          .distinct.sorted
+        val segs = ((cuts :+ total).distinct).map(e =>
+          V2Seg(e, g.longIn(1L, math.max(1L, total / 2))))
+        Scn(seed, topo,
+          Map("total" -> total, "numPartitions" -> g.int(1, 6).toLong,
+            "groups" -> g.int(1, 8).toLong),
+          Seq(segs), Seq(true))
     }
   }
 
@@ -795,6 +825,63 @@ object StreamFuzz {
         (col("docId") =!= col("w.docId")).as("isDup"))
   }
 
+  /** Shared id → event projection for the v2source topology: per-user ts
+    * is strictly monotone in id (step 1000 µs + a sub-500 µs jitter), so
+    * offset order IS the per-key arrival order and every id leaves a
+    * distinct fingerprint in the gap stream.
+    */
+  private def v2EventProjection(ids: DataFrame, groups: Long): DataFrame =
+    ids.select(
+      (col("id") % groups).as("user_id"),
+      col("id").as("event_id"),
+      lit("v2").as("event_type"),
+      timestamp_micros(col("id") * 1000L +
+        pmod(xxhash64(col("id"), lit("v2ts")), lit(500L))).as("ts"))
+
+  private def v2SourceStream(s: SparkSession, scn: Scn): DataFrame = {
+    val segs = scn.chunks.head.map(_.asInstanceOf[V2Seg])
+    val np = scn.params("numPartitions").toInt
+    val groups = scn.params("groups")
+    val base = baseDir(s"v2s${scn.seed}")
+    val (out, ckpt) = (s"$base/out", s"$base/ckpt")
+    val result = withRocks(s) {
+      var outSchema: org.apache.spark.sql.types.StructType = null
+      segs.foreach { seg =>
+        val ids = graft.sources.NexmarkV2.ids(s, seg.endOffset,
+          rowsPerTrigger = Some(seg.rowsPerTrigger), numPartitions = np)
+        val (transformed, foldRetries) = maybeInject(s)(
+          StatefulProcessors.gapSpectrum(
+            v2EventProjection(ids, groups)).toDF())
+        outSchema = transformed.schema
+        val q = transformed.writeStream.format("parquet")
+          .option("path", out).option("checkpointLocation", ckpt)
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        try require(q.awaitTermination(180000),
+          s"v2source seed ${scn.seed} did not drain a segment in 180s")
+        finally foldRetries()
+      }
+      (if (new java.io.File(out).exists())
+         s.read.schema(outSchema).parquet(out)
+       else s.createDataFrame(
+         s.sparkContext.emptyRDD[org.apache.spark.sql.Row], outSchema))
+        .localCheckpoint()
+    }
+    rmrf(new java.io.File(base))
+    result
+  }
+
+  private def v2SourceTruth(s: SparkSession, scn: Scn): DataFrame = {
+    val e = v2EventProjection(
+        s.range(0, scn.params("total")).toDF(), scn.params("groups"))
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("tsUs"))
+    val w = Window.partitionBy("user_id").orderBy("tsUs", "event_id")
+    e.withColumn("gapUs", col("tsUs") - lag(col("tsUs"), 1).over(w))
+      .filter(col("gapUs").isNotNull)
+      .select(col("event_type").as("eventType"),
+        length(bin(col("gapUs"))).cast("int").as("bucket"), col("gapUs"))
+  }
+
   private def gapSpectrumTruth(s: SparkSession, scn: Scn): DataFrame = {
     val e = evDf(s, allRows(scn))
       .select(col("user_id"), col("event_id"), col("event_type"),
@@ -958,6 +1045,7 @@ object StreamFuzz {
         .select(col("auction"), col("rank"), col("w.price").as("price"),
           (-col("w.nb")).as("bidder"), (-col("w.nts")).as("tsUs"))
     case "gapwindows" => gapWindowsStream(s, scn)
+    case "v2source" => v2SourceStream(s, scn)
     case "curation" =>
       val delay = scn.params("delayMs")
       replay(s, s"cu${scn.seed}", scn.chunks.map(cdocDf(s, _)), scn.restarts,
@@ -1133,6 +1221,7 @@ object StreamFuzz {
     case "heavyhitters" => heavyHittersTruth(s, scn)
     case "auctiontopk" => auctionTopKTruth(s, scn)
     case "gapwindows" => gapWindowsTruth(s, scn)
+    case "v2source" => v2SourceTruth(s, scn)
     case "decayed" => decayedTruth(s, scn)
     case "curation" => curationTruth(s, scn)
     case "ingest" => ingestTruth(s, scn)

@@ -56,6 +56,22 @@ object Ysb {
     adEventsFromIds(rate.select(col("value").as("id")), eventsPerSecond)
   }
 
+  /** ad_events through the native V2 generator source
+    * (graft.sources.NexmarkV2): offset-tracked exactly-once with
+    * per-trigger admission — `rowsPerTrigger` bounds intake
+    * (maxOffsetsPerTrigger semantics) while `eventsPerSecond` makes ids
+    * AVAILABLE at the offered wall-clock rate, so offered > admitted
+    * accumulates as source backlog, not state growth.
+    */
+  def adEventStreamV2(spark: SparkSession, totalEvents: Long,
+      rowsPerTrigger: Option[Long] = None,
+      eventsPerSecond: Option[Long] = None,
+      genEventsPerSecond: Long = 1000, generators: Int = 8): DataFrame =
+    adEventsFromIds(
+      graft.sources.NexmarkV2.ids(spark, totalEvents, rowsPerTrigger,
+        eventsPerSecond, generators),
+      genEventsPerSecond)
+
   /** Static campaigns dimension: ad_id → campaign_id (10 ads per campaign). */
   def campaigns(spark: SparkSession): DataFrame =
     spark.range(0, NumAds).select(

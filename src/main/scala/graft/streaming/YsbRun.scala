@@ -10,7 +10,12 @@ import org.apache.spark.sql.streaming.Trigger
   * summary with measured input throughput.
   *
   * Usage: sbt "runMain graft.streaming.YsbRun -e 1000 -s 20 -g 8
-  *   --window 10"
+  *   --window 10 [--capacity-eps 500000] [--progress 1]"
+  *
+  * `--capacity-eps N` bounds per-trigger admission at the measured
+  * capacity through the native V2 generator source (see NexmarkRun — the
+  * same graceful-overload contract); `--progress 1` prints one JSON
+  * trajectory line per elapsed minute.
   */
 object YsbRun {
   def main(args: Array[String]): Unit = {
@@ -35,8 +40,18 @@ object YsbRun {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val events = Ysb.adEventStream(spark, rowsPerSecond = eps,
-      eventsPerSecond = eps, generators = generators)
+    val capacityEps = opts.getOrElse("--capacity-eps", "0").toLong
+    val progressLog =
+      if (opts.get("--progress").contains("1")) Some(new ProgressLog(spark))
+      else None
+    val events =
+      if (capacityEps > 0)
+        Ysb.adEventStreamV2(spark, totalEvents = eps.toLong * secs * 2,
+          rowsPerTrigger = Some(Admission.rowsPerTrigger(capacityEps, 1000L)),
+          eventsPerSecond = Some(eps.toLong),
+          genEventsPerSecond = eps.toLong, generators = generators)
+      else Ysb.adEventStream(spark, rowsPerSecond = eps,
+        eventsPerSecond = eps, generators = generators)
     val result = Ysb.query(events, Ysb.campaigns(spark), s"$windowSec seconds")
 
     val t0 = System.nanoTime()
@@ -54,7 +69,9 @@ object YsbRun {
     val rows = spark.table("ysb_run").count()
     val wall = (System.nanoTime() - t0) / 1e9
     val measuredEps = if (wall > 0) inputRows / wall else 0.0
+    progressLog.foreach(_.finish().foreach(println))
     println(s"""{"benchmark":"ysb","seconds":$secs,"events_per_sec":$eps,""" +
+      (if (capacityEps > 0) s""""capacity_eps":$capacityEps,""" else "") +
       s""""generators":$generators,"window_sec":$windowSec,""" +
       s""""campaign_windows":$rows,"input_rows":$inputRows,""" +
       s""""wall_sec":${f"$wall%.2f"},"measured_eps":${f"$measuredEps%.0f"}}""")

@@ -49,6 +49,15 @@ class StreamFuzzSpec extends AnyFunSuite {
     assert(scns.filter(_.topo == "ingest").exists(_.extra.nonEmpty),
       "ingest static-index coverage")
     assert(scns.count(_.topo == "decayed") >= 3, "mapGroupsWithState coverage")
+    // v4: the V2-source admission topology (r12 #7) — ≥40 seeds, with
+    // real variety on the admission grid and restart counts.
+    val v2 = scns.filter(_.topo == "v2source")
+    assert(v2.size >= 40, s"v2source coverage: ${v2.size}")
+    assert(v2.map(_.params("numPartitions")).distinct.size >= 3,
+      "v2source partition variety")
+    assert(v2.exists(_.chunks.head.size >= 3),
+      "v2source multi-restart coverage")
+    assert(v2.forall(_.chunks.head.size >= 1), "v2source segment presence")
     // Restart-vs-continuation boundaries both occur.
     assert(scns.exists(_.restarts.drop(1).contains(false)),
       "same-run microbatch boundaries")
@@ -63,10 +72,10 @@ class StreamFuzzSpec extends AnyFunSuite {
 
   test("one seed per topology passes stream==batch (suite smoke)") {
     // Seeds 1-10 cover the 10 v1 topologies ((seed-1) % 10), seed 131 is
-    // the first `decayed` ((131-121) % 11 == 10), and 221-224 the four v3
-    // watermark-eviction topologies; the full sweep runs via the main per
-    // round.
-    ((1 to 10) :+ 131) ++ (221 to 224) foreach { seed =>
+    // the first `decayed` ((131-121) % 11 == 10), 221-224 the four v3
+    // watermark-eviction topologies, and 301 the v4 V2-source admission
+    // topology; the full sweep runs via the main per round.
+    ((1 to 10) :+ 131) ++ (221 to 224) :+ 301 foreach { seed =>
       StreamFuzz.runSeed(spark, seed) match {
         case Right(_) => ()
         case Left(msg) => fail(s"seed $seed: $msg")
@@ -79,12 +88,13 @@ class StreamFuzzSpec extends AnyFunSuite {
     // FailureInjection.failFirstAttempt (partition 0's first attempt dies
     // after partial state writes; the session master local[4,2] retries).
     // One seed per source family: sessions (bids), gapspec (events),
-    // neardup (docs), plus a watermark-eviction topology (curation) and
-    // the manual-clock gap windows (gapwin, seed 10).
+    // neardup (docs), plus a watermark-eviction topology (curation), the
+    // manual-clock gap windows (gapwin, seed 10), and the V2-source
+    // admission topology (seed 301).
     val before = StreamFuzz.injectedRetries.get()
     sys.props("graft.inject.fuzz") = "1"
     try {
-      Seq(1, 3, 2, 221, 10).foreach { seed =>
+      Seq(1, 3, 2, 221, 10, 301).foreach { seed =>
         StreamFuzz.runSeed(spark, seed) match {
           case Right(_) => ()
           case Left(msg) => fail(s"injected seed $seed: $msg")

@@ -118,12 +118,15 @@ object V2SourceGate {
 
   /** Segment plan over the N+1-id range (the +1 is the sentinel): three
     * runs whose restart points and batch sizes share no divisor, so both
-    * restarts land mid-offset-range AND mid-batch-grid.
+    * restarts land mid-offset-range AND mid-batch-grid. rowsPerTrigger is
+    * sized for ~2 batches per segment — every segment still proves the
+    * admission split AND the restart boundary, without paying RocksDB
+    * commit overhead on a dozen micro-batches per entry.
     */
   private def segs(n: Long): Seq[Seg] = Seq(
-    Seg(n * 2 / 5 + 7, n / 9 + 11),
-    Seg(n * 4 / 5 + 3, n / 6 + 13),
-    Seg(n + 1, n / 7 + 17))
+    Seg(n * 2 / 5 + 7, n / 4 + 11),
+    Seg(n * 4 / 5 + 3, n / 3 + 13),
+    Seg(n + 1, n / 3 + 17))
 
   /** SessionWindowProcessor (explicit event-time timers) fed by the V2
     * source — the same semantics the file-chunked stw_q11_sessions pins,
@@ -222,5 +225,46 @@ object V2SourceGate {
       FROM $B
       GROUP BY 1, 2 ORDER BY 1, 2"""))
 
-  val all: Seq[Q] = Seq(v2Sessions, v2AuctionTopK, v2Tumbling)
+  /** The YSB campaign-count query (reference benchmarks/src/ysb/ysb.sql)
+    * fed by the V2 source: view-filter → broadcast campaign join →
+    * 10 s tumbling count, with the watermark advanced past every real
+    * window by a far-future sentinel id. Same oracle text as the batch
+    * nx_ysb_campaigns entry — one DuckDB recompute pins the batch
+    * replay AND the offset-tracked streaming run.
+    */
+  private val v2Ysb = Q(
+    "stw_v2_ysb_counts",
+    (s, _) => {
+      val n = NexmarkBatch.N
+      replayV2(s, "ysb", segs(n), ids => {
+        val sent = col("id") === n
+        val ev = graft.streaming.Ysb
+          .adEventsOverIds(ids, keep = Seq("id"))
+          .select(
+            when(sent, lit(-1)).otherwise(col("ad_id")).as("ad_id"),
+            when(sent, lit("view")).otherwise(col("event_type"))
+              .as("event_type"),
+            when(sent,
+              timestamp_millis(lit(graft.streaming.Ysb.BaseMs + 86400000L)))
+              .otherwise(col("event_time")).as("event_time"))
+          .withWatermark("event_time", "5 seconds")
+        graft.streaming.Ysb.query(ev, graft.streaming.Ysb.campaigns(s))
+      })
+        // epoch-µs normalization, same as the batch nx entries
+        // (NexmarkBatch.usNormalize): both engines hash longs.
+        .select(unix_micros(col("win_start")).as("win_start"),
+          col("campaign_id"), col("n_views"))
+        .orderBy(col("win_start"), col("campaign_id"))
+    },
+    Some(s"""
+      WITH v AS (
+        SELECT (epoch_us(event_time) // 10000000) * 10000000 AS win_start,
+               ad_id
+        FROM read_parquet('{NX}/ad_events/*.parquet')
+        WHERE event_type = 'view')
+      SELECT win_start, campaign_id, COUNT(*) AS n_views
+      FROM v JOIN read_parquet('{NX}/campaigns/*.parquet') ON ad_id = c_ad_id
+      GROUP BY win_start, campaign_id"""))
+
+  val all: Seq[Q] = Seq(v2Sessions, v2AuctionTopK, v2Tumbling, v2Ysb)
 }

@@ -22,17 +22,26 @@ object Ysb {
     * batch replay and the live stream so both emit the bit-identical
     * event for a given id at any parallelism.
     */
-  private def adEventsFromIds(ids: DataFrame,
-      eventsPerSecond: Long): DataFrame = {
+  private def adEventsFromIds(ids: DataFrame, eventsPerSecond: Long,
+      keep: Seq[String] = Nil): DataFrame = {
     val id = col("id")
-    ids.select(
+    ids.select(Seq(
       (u(id, "ad") % NumAds).cast(IntegerType).as("ad_id"),
       element_at(array(lit("view"), lit("click"), lit("purchase")),
         (id % 3 + 1).cast(IntegerType)).as("event_type"),
       timestamp_millis(lit(BaseMs) + (id / eventsPerSecond).cast(LongType) * 1000L +
         ((id % eventsPerSecond) * 1000L / eventsPerSecond).cast(LongType))
-        .as("event_time"))
+        .as("event_time")) ++ keep.map(col): _*)
   }
+
+  /** The ad-event projection over any frame with an `id` column (shared
+    * by the batch replay, the rate stream, and the V2-source gate).
+    * `keep` carries extra input columns through (e.g. the id itself for
+    * sentinel rewriting).
+    */
+  def adEventsOverIds(ids: DataFrame, eventsPerSecond: Long = 1000,
+      keep: Seq[String] = Nil): DataFrame =
+    adEventsFromIds(ids, eventsPerSecond, keep)
 
   /** ad_events: ad_id, event_type (view/click/purchase, 1:1:1 like the
     * reference), event_time spread over 1 s epochs.

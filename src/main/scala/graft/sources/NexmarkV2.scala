@@ -12,8 +12,9 @@ import org.apache.spark.sql.connector.catalog.{SupportsRead, Table,
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader,
   PartitionReaderFactory, Scan, ScanBuilder}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream,
-  Offset, ReadLimit, ReadMaxRows, SupportsTriggerAvailableNow}
+import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit,
+  MicroBatchStream, Offset, ReadLimit, ReadMaxRows, ReadMinRows,
+  SupportsTriggerAvailableNow}
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types.{LongType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -50,6 +51,13 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   *     up as latestOffset − endOffset in the progress line). Absent =
   *     the whole id range is available immediately (replay mode — what
   *     Trigger.AvailableNow gate replays use).
+  *   - `minRowsPerTrigger` (optional, > 0) — defer a trigger until at
+  *     least this many ids are available OR `maxTriggerDelayMs` has
+  *     elapsed since the last admission (Kafka's
+  *     `minOffsetsPerTrigger`/`maxTriggerDelay` pair); composes with
+  *     `rowsPerTrigger` as a CompositeReadLimit.
+  *   - `maxTriggerDelayMs` (default 900000 = 15 min) — the min-rows
+  *     deferral ceiling; ignored without `minRowsPerTrigger`.
   *   - `numPartitions`   (default 8) — generator parallelism; the id
   *     range of each batch splits into this many contiguous slices.
   *   - `startOffset`     (default 0) — first id of a fresh stream (a
@@ -81,7 +89,9 @@ object NexmarkV2 {
     StructType(Seq(StructField("id", LongType, nullable = false)))
 
   private[sources] case class Opts(totalEvents: Long, rowsPerTrigger: Option[Long],
-      eventsPerSecond: Option[Long], numPartitions: Int, startOffset: Long)
+      eventsPerSecond: Option[Long], numPartitions: Int, startOffset: Long,
+      minRowsPerTrigger: Option[Long] = None,
+      maxTriggerDelayMs: Long = 15L * 60 * 1000)
 
   private[sources] def parse(options: CaseInsensitiveStringMap): Opts = {
     def longOpt(k: String): Option[Long] =
@@ -101,7 +111,9 @@ object NexmarkV2 {
     require(start >= 0 && start <= total,
       s"$Format startOffset must be in [0, totalEvents], got $start")
     Opts(total, longOpt("rowsPerTrigger"), longOpt("eventsPerSecond"),
-      options.getInt("numPartitions", 8), start)
+      options.getInt("numPartitions", 8), start,
+      longOpt("minRowsPerTrigger"),
+      longOpt("maxTriggerDelayMs").getOrElse(15L * 60 * 1000))
   }
 
   /** Raw id stream: one `id BIGINT` column under the offset contract. */
@@ -165,51 +177,117 @@ private[sources] case class NexmarkOffset(id: Long) extends Offset {
 
 private[sources] class NexmarkMicroBatchStream(opts: NexmarkV2.Opts)
     extends MicroBatchStream with SupportsTriggerAvailableNow {
-  // Wall-clock base for the live-rate mode: set at stream construction
-  // (once per query run). After a restart the rate resumes from the
-  // committed offset at a fresh clock — availability is a floor on
-  // admission, never a correctness input.
-  private val startWallMs = System.currentTimeMillis()
-  // Trigger.AvailableNow contract: freeze the target at prepare time so
-  // the run drains a FIXED range even in live-rate mode.
+  // Live-rate availability anchor (baseId, wallMs). Construction seeds
+  // it at (opts.startOffset, now) for a fresh stream; the FIRST
+  // latestOffset(start, _) call re-anchors at (start.id, now) so a
+  // checkpoint RESTART resumes the rate from the COMMITTED offset at a
+  // fresh clock — without the re-anchor, available() would start at
+  // startOffset + elapsed*eps and the restarted stream would admit zero
+  // rows until wall-clock availability caught back up to the committed
+  // offset. Availability is a floor on admission, never a correctness
+  // input.
+  @volatile private var rateAnchor: (Long, Long) =
+    (opts.startOffset, System.currentTimeMillis())
+  @volatile private var anchored = false
+  // Trigger.AvailableNow contract: freeze the target so the run drains a
+  // FIXED range even in live-rate mode. In live-rate mode the freeze is
+  // DEFERRED to the first latestOffset call (after the restart
+  // re-anchor), so a restarted AvailableNow run targets what the rate
+  // has made available past the committed offset (zero at resume
+  // instant) instead of a stale construction-clock extrapolation.
   @volatile private var availableNowTarget: Option[Long] = None
+  @volatile private var freezeTargetOnAnchor = false
+  // ReadMinRows bookkeeping: wall-clock of the last non-empty admission,
+  // against which maxTriggerDelayMs is measured (the Kafka behavior).
+  @volatile private var lastAdmitMs = System.currentTimeMillis()
 
   private def available(): Long = {
     val byRate = opts.eventsPerSecond match {
       case Some(eps) =>
-        val elapsedMs = System.currentTimeMillis() - startWallMs
-        math.min(opts.totalEvents, opts.startOffset + elapsedMs * eps / 1000L)
+        val (baseId, baseMs) = rateAnchor
+        val elapsedMs = System.currentTimeMillis() - baseMs
+        math.min(opts.totalEvents, baseId + elapsedMs * eps / 1000L)
       case None => opts.totalEvents
     }
     availableNowTarget.fold(byRate)(math.min(byRate, _))
   }
 
   override def prepareForTriggerAvailableNow(): Unit =
-    availableNowTarget = Some(
-      opts.eventsPerSecond.fold(opts.totalEvents)(_ => available()))
+    opts.eventsPerSecond match {
+      case None => availableNowTarget = Some(opts.totalEvents)
+      case Some(_) => freezeTargetOnAnchor = true
+    }
 
   override def initialOffset(): Offset = NexmarkOffset(opts.startOffset)
 
-  override def getDefaultReadLimit: ReadLimit =
-    opts.rowsPerTrigger.map(ReadLimit.maxRows).getOrElse(
-      ReadLimit.allAvailable())
+  override def getDefaultReadLimit: ReadLimit = {
+    val limits = Seq(
+      opts.minRowsPerTrigger.map(n =>
+        ReadLimit.minRows(n, opts.maxTriggerDelayMs)),
+      opts.rowsPerTrigger.map(ReadLimit.maxRows)).flatten
+    limits match {
+      case Seq() => ReadLimit.allAvailable()
+      case Seq(one) => one
+      case many => ReadLimit.compositeLimit(many.toArray)
+    }
+  }
 
   // The engine calls the admission-control overload exclusively once
   // SupportsAdmissionControl is implemented (Kafka does the same).
   override def latestOffset(): Offset = throw new UnsupportedOperationException(
     "latestOffset(Offset, ReadLimit) should be called instead of this method")
 
-  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
-    val from = start.asInstanceOf[NexmarkOffset].id
-    val avail = available()
-    val end = limit match {
+  /** One admission decision for `[from, avail)` under `limit`.
+    * ReadMinRows defers the trigger (returns `from`) while fewer than
+    * minRows are available AND the last admission is younger than
+    * maxTriggerDelayMs; CompositeReadLimit applies the min-rows veto
+    * first, then every max-rows cap — the Kafka composition. Every other
+    * (unknown future) limit falls back to all-available, which is the
+    * loosest CORRECT reading: admission bounds are an efficiency
+    * contract, never a correctness input.
+    */
+  private def applyLimit(from: Long, avail: Long, limit: ReadLimit): Long = {
+    def minSatisfied(m: ReadMinRows): Boolean =
+      avail - from >= m.minRows() ||
+        System.currentTimeMillis() - lastAdmitMs >= m.maxTriggerDelayMs()
+    limit match {
       case r: ReadMaxRows => math.min(avail, from + r.maxRows())
+      case r: ReadMinRows => if (minSatisfied(r)) avail else from
+      case c: CompositeReadLimit =>
+        val ls = c.getReadLimits.toSeq
+        val vetoed = ls.exists {
+          case m: ReadMinRows => !minSatisfied(m)
+          case _ => false
+        }
+        if (vetoed) from
+        else ls.foldLeft(avail) {
+          case (acc, m: ReadMaxRows) => math.min(acc, from + m.maxRows())
+          case (acc, _) => acc
+        }
       case _ => avail
     }
-    NexmarkOffset(math.max(from, end))
+  }
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val from = start.asInstanceOf[NexmarkOffset].id
+    if (!anchored) {
+      anchored = true
+      if (from > rateAnchor._1)
+        rateAnchor = (from, System.currentTimeMillis())
+      if (freezeTargetOnAnchor) availableNowTarget = Some(available())
+    }
+    val end = math.max(from, applyLimit(from, available(), limit))
+    if (end > from) lastAdmitMs = System.currentTimeMillis()
+    NexmarkOffset(end)
   }
 
   override def reportLatestOffset(): Offset = NexmarkOffset(available())
+
+  // Becomes SourceProgress.description — the stable prefix is what
+  // ProgressLog keys on to know latestOffset/endOffset are ROW counts
+  // (id offsets) rather than e.g. the rate source's seconds.
+  override def toString: String =
+    s"${NexmarkV2.Format}[totalEvents=${opts.totalEvents}]"
 
   override def planInputPartitions(start: Offset,
       end: Offset): Array[InputPartition] = {

@@ -341,8 +341,11 @@ object SoakRun {
       secs: Int): String = {
     case class S(atMs: Long, batchMs: Long, inRows: Long, stateRows: Long)
     val bufs = specs.map(_ => scala.collection.mutable.ArrayBuffer.empty[S])
-    val idToBuf = new java.util.concurrent.ConcurrentHashMap[java.util.UUID,
-      scala.collection.mutable.ArrayBuffer[S]]()
+    // Route listener events by the DETERMINISTIC query name, mapped
+    // before any query starts — registering by q.id after start() races
+    // the first micro-batch's progress event (short runs could lose it
+    // and trip the samples.nonEmpty check).
+    val nameToBuf = specs.indices.map(i => s"soak_multi_$i" -> bufs(i)).toMap
     val t0 = System.currentTimeMillis()
     val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
       override def onQueryStarted(e: org.apache.spark.sql.streaming
@@ -352,7 +355,7 @@ object SoakRun {
       override def onQueryProgress(e: org.apache.spark.sql.streaming
           .StreamingQueryListener.QueryProgressEvent): Unit = {
         val p = e.progress
-        val buf = idToBuf.get(p.id)
+        val buf = nameToBuf.get(p.name).orNull
         if (buf != null) {
           val ms = Option(p.durationMs.get("triggerExecution"))
             .map(_.longValue()).getOrElse(0L)
@@ -369,13 +372,12 @@ object SoakRun {
     val base = s"/tmp/soak_multi_${System.currentTimeMillis()}"
     try {
       val queries = specs.zipWithIndex.map { case ((shape, eps), i) =>
-        val q = buildQuery(spark, shape, eps).writeStream.format("noop")
+        buildQuery(spark, shape, eps).writeStream.format("noop")
+          .queryName(s"soak_multi_$i")
           .outputMode(modeOf(shape))
           .option("checkpointLocation", s"$base/ckpt_$i")
           .trigger(Trigger.ProcessingTime(s"$TriggerPeriodMs milliseconds"))
           .start()
-        idToBuf.put(q.id, bufs(i))
-        q
       }
       Thread.sleep(secs * 1000L)
       queries.foreach(_.stop())

@@ -320,8 +320,14 @@ object StatefulProcessors {
       extends StatefulProcessor[Int, SessBidIn, SessionRow] {
     @transient private var st: ValueState[Array[Byte]] = _
 
+    // State name "sess_v2": the v1 state was a ValueState[SessList]
+    // product encoding with one timer PER SESSION; v2 is hand-packed
+    // binary with a single in-state timer slot. The formats are
+    // incompatible (and v1 checkpoints carry extra registered timers the
+    // one-slot logic doesn't expect), so the bumped name makes a restore
+    // of a v1 checkpoint fail loudly instead of mis-decoding.
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
-      st = getHandle.getValueState[Array[Byte]]("sess",
+      st = getHandle.getValueState[Array[Byte]]("sess_v2",
         Encoders.BINARY, TTLConfig.NONE)
 
     // Hand-packed state layout (the SpaceSavingProcessor pattern): the

@@ -2318,6 +2318,21 @@ class SemanticsSpec extends AnyFunSuite {
       docs.map(_._2.split(" ", -1).length.toLong).sum, "token conservation")
   }
 
+  test("every catalog entry has a PLANS.md plan-audit line") {
+    // The plan-hygiene appendix (graft.Explain sweep) must cover the
+    // whole catalog — this drifted once when an entry was added after
+    // the appendix was last regenerated. Appendix lines are
+    // "<name>: scans=… pushedFilters=…".
+    val plans = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("PLANS.md")), "UTF-8")
+    val covered = "(?m)^(?:## )?([A-Za-z0-9_]+): scans=".r
+      .findAllMatchIn(plans).map(_.group(1)).toSet
+    val missing = Catalog.byName.keySet.diff(covered).toSeq.sorted
+    assert(missing.isEmpty,
+      s"catalog entries missing a PLANS.md line (re-run graft.Explain " +
+        s"and refresh the appendix): ${missing.mkString(", ")}")
+  }
+
   test("class separation matches a BigInt centroid replay") {
     val sf = "/root/testdata/sf0.01"
     val vecs = Tables.load(spark, sf, "embeddings")

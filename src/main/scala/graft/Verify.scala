@@ -106,8 +106,14 @@ object Verify {
     // absolute-path read_parquet without polluting the result set. It must
     // OUTLIVE this JVM: the driver's DuckDB compare reads it after Verify
     // exits, so no deleteOnExit.
-    val nxDir = Paths.get(sys.props("java.io.tmpdir"), "graft_nx_input")
-      .toAbsolutePath.toString
+    // SPARK_GRAFT_NX_DIR overrides the fixed path for dev runs at other
+    // scales happening CONCURRENTLY with a gate run — two Verifys sharing
+    // the default path silently cross-wire their generator dumps (the
+    // oracle then replays the wrong N).
+    val nxDir = sys.env.get("SPARK_GRAFT_NX_DIR")
+      .map(Paths.get(_).toAbsolutePath.toString)
+      .getOrElse(Paths.get(sys.props("java.io.tmpdir"), "graft_nx_input")
+        .toAbsolutePath.toString)
     try dumpNexmarkInputs(spark, nxDir)
     catch { case e: Throwable =>
       System.err.println(s"[verify] nx_input dump failed: ${e.getMessage}")

@@ -115,4 +115,23 @@ object Connectors {
 
   /** SQS message body: payload arrives in `body`. */
   def decodeBidSqs(raw: DataFrame): DataFrame = decodeBidPayload(raw, "body")
+
+  /** TCP socket bid-event source — the one wire transport Spark ships
+    * with zero extra jars, used to prove the decode chain against
+    * GENUINELY external bytes (SocketTransportSpec feeds it from a real
+    * ServerSocket). Payload column: `value` (string), one JSON bid per
+    * line — decode with [[decodeBidJson]] exactly like Kafka.
+    *
+    * AT-LEAST-ONCE ONLY: the socket source has no offsets, so a
+    * checkpoint restart cannot replay — rows in flight at a failure are
+    * lost or duplicated. It is a decode-chain/integration transport, not
+    * a production source; the exactly-once offset contract lives in the
+    * V2 generator source (graft.sources.NexmarkV2) and, on a deploying
+    * cluster, Kafka/Kinesis via the readers above.
+    */
+  def socketReader(spark: SparkSession, host: String,
+      port: Int): DataStreamReader =
+    spark.readStream.format("socket")
+      .option("host", host)
+      .option("port", port)
 }

@@ -83,7 +83,7 @@ object SoakRun {
       eps: Int): DataFrame =
     buildShape(spark, shape, Nexmark.bidStream(spark, rowsPerSecond = eps))
 
-  private def buildShape(spark: SparkSession, shape: String,
+  private[streaming] def buildShape(spark: SparkSession, shape: String,
       bids: DataFrame): DataFrame = {
     shape match {
       // Watermark at 5 s: sessions close (and state evicts) once event

@@ -391,20 +391,40 @@ object StatefulProcessors {
         }
         sessions = cur :: miss
       }
-      val needMs = sessions.iterator.map(expiryMs).min
-      // Lazy-timer rule: touch the timer index ONLY when the earliest
-      // expiry moved EARLIER than the registered slot (a new/merged
-      // earlier session) or no slot exists; later-moving expiries keep
-      // the old slot and resolve as an early fire.
+      // INLINE closure by the batch watermark — the throughput fix the
+      // store profile demanded (expired timers ran at ~2× state
+      // removals: every back-to-back session pair cost a full timer-fire
+      // cycle). A session whose last+gap the watermark has passed is
+      // final by the same admission argument the timer path uses, and
+      // the wm value is the same one handleExpiredTimer would see THIS
+      // batch — so emitting it here is bit-identical output, minus that
+      // session's entire fire cycle (framework fire + state get +
+      // re-register + put), the dominant per-session store cost.
+      val wmMs = timerValues.getCurrentWatermarkInMs()
+      val (done, open) = sessions.partition(s => expiryMs(s) <= wmMs)
+      // `open` is never empty: every input row's ts is at/above the
+      // admission watermark, so its session expires at ts+gap > wm.
+      val needMs = open.iterator.map(expiryMs).min
+      // Timer rule: (a) no slot → register; (b) an EARLIER needed slot →
+      // move; (c) a slot the watermark has already passed → move (left
+      // in place it would fire right after this batch's input and waste
+      // a full cycle on sessions we just proved open); (d) otherwise
+      // keep the slot lazily — extensions cost zero timer writes and
+      // resolve as one early fire.
       val timer =
         if (prevTimer == 0L) { getHandle.registerTimer(needMs); needMs }
-        else if (needMs < prevTimer) {
-          getHandle.deleteTimer(prevTimer)
-          getHandle.registerTimer(needMs)
+        else if (needMs < prevTimer || prevTimer <= wmMs) {
+          if (prevTimer != needMs) {
+            getHandle.deleteTimer(prevTimer)
+            getHandle.registerTimer(needMs)
+          }
           needMs
         } else prevTimer
-      st.update(pack(SessList(sessions.sortBy(_.startUs), timer)))
-      Iterator.empty
+      // Open-session packing order is arbitrary (emit paths sort); the
+      // old per-batch sortBy was pure overhead.
+      st.update(pack(SessList(open, timer)))
+      if (done.isEmpty) Iterator.empty
+      else done.sortBy(_.startUs).iterator.map(emit(bidder, _))
     }
 
     override def handleExpiredTimer(bidder: Int, timerValues: TimerValues,

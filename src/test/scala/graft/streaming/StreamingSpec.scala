@@ -524,6 +524,71 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("tws session windows close watermark-passed sessions inline, not by timer") {
+    withRocksDb {
+      implicit val sqlCtx = spark.sqlContext
+      // 200 keys × two back-to-back sessions (gap 10 s). The second bid
+      // arrives in a batch whose watermark has ALREADY passed the first
+      // session's expiry, so the input path must emit session 1 INLINE
+      // and move the timer — the store profile showed the alternative (a
+      // timer-fire cycle per non-final session) running expired timers at
+      // ~2× state removals, the q11tws throughput ceiling. A manual
+      // trigger clock makes the batch boundaries deterministic (the
+      // default trigger sneaks a watermark-propagation no-data batch in
+      // which the timers would fire first).
+      val t0 = 1700000000000L
+      val keys = 0 until 200
+      val first = keys.map(k =>
+        BidCC(1, k, 100 + k, new java.sql.Timestamp(t0 + k)))
+      // Watermark driver batch: pushes wm to t0+35s (delay 5 s), past
+      // every first session's ~t0+10s expiry, WITHOUT touching those keys.
+      val wmDriver = BidCC(1, 998, 1, new java.sql.Timestamp(t0 + 40000L))
+      // Second sessions sit above that watermark (not late) and land in
+      // the batch where session 1 is already closable → inline emission.
+      val second = keys.map(k =>
+        BidCC(1, k, 200 + k, new java.sql.Timestamp(t0 + 60000L + k)))
+      val sentinel = BidCC(-1, -1, 0,
+        new java.sql.Timestamp(t0 + 10L * 3600 * 1000))
+      val clock = new org.apache.spark.sql.graft.shims.GraftManualClock(1000L)
+      val ms = MemoryStream[BidCC]
+      ms.addData(first) // batch 0
+      val (q, rows) = org.apache.spark.sql.graft.shims.startWithManualClock(
+        StatefulProcessors.sessionWindowsTws(ms.toDF()).toDF(),
+        tmpDir("tws_inline_ckpt"), clock, 1000,
+        org.apache.spark.sql.streaming.OutputMode.Append())
+      try {
+        awaitBatch(q, 0) // wm −∞; timers at ~t0+10s
+        ms.addData(Seq(wmDriver))
+        clock.advance(1000); awaitBatch(q, 1) // wm t0−5s: no fires
+        ms.addData(second)
+        clock.advance(1000); awaitBatch(q, 2) // wm t0+35s: inline close 200
+        awaitRows(rows, 200)
+        ms.addData(Seq(sentinel))
+        clock.advance(1000); awaitBatch(q, 3) // wm t0+55.2s: driver fires
+        clock.advance(1000); awaitBatch(q, 4) // wm huge: 200 finals fire
+        awaitRows(rows, 401)
+        val expired = q.recentProgress.toSeq
+          .flatMap(_.stateOperators.headOption)
+          .map(_.customMetrics.getOrDefault("numExpiredTimers", 0L).longValue())
+          .sum
+        // ~201 timer closures (finals + driver); the 200 first sessions
+        // must NOT each cost a fire. Generous slack for extra batches.
+        assert(expired <= 280,
+          s"inline closure regressed: $expired expired timers for 401 sessions")
+      } finally q.stop()
+      val got = rows().map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getInt(4), r.getInt(5))).sorted
+      val expect = StreamQueries.q11(
+          spark.createDataset((first :+ wmDriver) ++ second).toDF())
+        .select($"bidder", unix_micros($"session_start"),
+          unix_micros($"session_end"), $"n_bids", $"min_price", $"max_price")
+        .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getInt(4), r.getInt(5))).toSeq.sorted
+      assert(got == expect, s"inline-closure output diverges from batch " +
+        s"truth: ${got.size} vs ${expect.size} rows")
+    }
+  }
+
   test("tws session windows merge out-of-order rows across batches == batch session_window") {
     withRocksDb {
       implicit val sqlCtx = spark.sqlContext

@@ -39,7 +39,11 @@ import org.apache.spark.sql.streaming.Trigger
   * 600`): run SEVERAL shapes at once (own checkpoints, one shared
   * session) and report per-query minute trajectories plus per-query
   * sustained verdicts — the interference evidence single-query brackets
-  * cannot give.
+  * cannot give. A third spec field (`shape:offered:capacity`) bounds
+  * that stream's per-trigger admission through the V2 generator source
+  * while ids stay available at the offered rate — the concurrent
+  * graceful-overload proof: each query's backlog slope should match its
+  * own offered − admitted even under CPU sharing.
   *
   * `-changelog 1` (any mode): enable RocksDB changelog checkpointing
   * (spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing
@@ -337,9 +341,10 @@ object SoakRun {
     * interference measure is each shape's batch means here vs its solo
     * bracket at comparable calib.
     */
-  private def runMulti(spark: SparkSession, specs: Seq[(String, Int)],
+  private def runMulti(spark: SparkSession, specs: Seq[(String, Int, Int)],
       secs: Int): String = {
-    case class S(atMs: Long, batchMs: Long, inRows: Long, stateRows: Long)
+    case class S(atMs: Long, batchMs: Long, inRows: Long, stateRows: Long,
+        backlogRows: Long)
     val bufs = specs.map(_ => scala.collection.mutable.ArrayBuffer.empty[S])
     // Route listener events by the DETERMINISTIC query name, mapped
     // before any query starts — registering by q.id after start() races
@@ -360,9 +365,21 @@ object SoakRun {
           val ms = Option(p.durationMs.get("triggerExecution"))
             .map(_.longValue()).getOrElse(0L)
           val st = p.stateOperators.headOption
+          // Row-count backlog exists only for the V2 generator source
+          // (offset = id); the rate source's offsets are seconds.
+          val backlog = p.sources.headOption
+            .filter(s => Option(s.description).exists(
+              _.startsWith("nexmark-gen")))
+            .flatMap { s =>
+              (Option(s.latestOffset).flatMap(_.toLongOption),
+                Option(s.endOffset).flatMap(_.toLongOption)) match {
+                case (Some(l), Some(end)) => Some(math.max(0L, l - end))
+                case _ => None
+              }
+            }.getOrElse(-1L)
           if (p.numInputRows > 0 || ms > 0) buf.synchronized {
             buf += S(System.currentTimeMillis() - t0, ms, p.numInputRows,
-              st.map(_.numRowsTotal).getOrElse(0L))
+              st.map(_.numRowsTotal).getOrElse(0L), backlog)
           }
         }
       }
@@ -371,8 +388,22 @@ object SoakRun {
     spark.streams.addListener(listener)
     val base = s"/tmp/soak_multi_${System.currentTimeMillis()}"
     try {
-      val queries = specs.zipWithIndex.map { case ((shape, eps), i) =>
-        buildQuery(spark, shape, eps).writeStream.format("noop")
+      val queries = specs.zipWithIndex.map { case ((shape, eps, cap), i) =>
+        // cap > 0: the stream runs through the V2 generator source with
+        // per-trigger admission bounded at the capacity while ids stay
+        // AVAILABLE at the offered rate — each stream then carries its
+        // own graceful-overload contract under CPU sharing (backlog
+        // slope ≈ offered − admitted). cap == 0: the historical
+        // unbounded rate source.
+        val bids =
+          if (cap > 0)
+            graft.sources.NexmarkV2.bidStream(spark,
+              totalEvents = eps.toLong * secs * 2,
+              rowsPerTrigger =
+                Some(Admission.rowsPerTrigger(cap.toLong, TriggerPeriodMs)),
+              eventsPerSecond = Some(eps.toLong))
+          else Nexmark.bidStream(spark, rowsPerSecond = eps)
+        buildShape(spark, shape, bids).writeStream.format("noop")
           .queryName(s"soak_multi_$i")
           .outputMode(modeOf(shape))
           .option("checkpointLocation", s"$base/ckpt_$i")
@@ -387,25 +418,44 @@ object SoakRun {
     }
     def mean(xs: Seq[Long]): Double =
       if (xs.isEmpty) 0 else xs.sum.toDouble / xs.size
-    val perQuery = specs.zip(bufs).map { case ((shape, eps), b) =>
+    val perQuery = specs.zip(bufs).map { case ((shape, eps, cap), b) =>
       val samples = b.synchronized(b.toSeq)
       require(samples.nonEmpty, s"no progress samples for $shape")
       val minutes = samples.groupBy(_.atMs / 60000).toSeq.sortBy(_._1)
         .map { case (m, ss) =>
+          val backlog = ss.reverseIterator.map(_.backlogRows)
+            .find(_ >= 0).map(b => s""","backlog_rows":$b""").getOrElse("")
           String.format(java.util.Locale.ROOT,
             """{"m":%d,"batches":%d,"mean_batch_ms":%.0f,""" +
-            """"max_batch_ms":%d,"state_rows":%d}""",
+            """"max_batch_ms":%d,"state_rows":%d%s}""",
             Long.box(m), Int.box(ss.size),
             Double.box(mean(ss.map(_.batchMs))),
-            Long.box(ss.map(_.batchMs).max), Long.box(ss.last.stateRows))
+            Long.box(ss.map(_.batchMs).max), Long.box(ss.last.stateRows),
+            backlog)
         }
       val lastFive = samples.filter(_.atMs >= (secs - 300) * 1000L)
       val sustained =
         mean(lastFive.map(_.batchMs)) < TriggerPeriodMs.toDouble
+      // Admission ledger (cap > 0): measured backlog slope over the run
+      // vs the contract's offered − admitted. Slope is taken between the
+      // first and last backlog-bearing samples.
+      val admission = if (cap <= 0) "" else {
+        val withB = samples.filter(_.backlogRows >= 0)
+        val slope =
+          if (withB.size < 2) Double.NaN
+          else (withB.last.backlogRows - withB.head.backlogRows) * 1000.0 /
+            math.max(1L, withB.last.atMs - withB.head.atMs)
+        String.format(java.util.Locale.ROOT,
+          """"cap_eps":%d,"backlog_slope_rows_per_s":%.0f,""" +
+          """"expected_slope_rows_per_s":%d,""",
+          Int.box(cap), Double.box(slope),
+          Int.box(math.max(0, eps - cap)))
+      }
       String.format(java.util.Locale.ROOT,
-        """{"shape":"%s","eps":%d,"input_rows":%d,"sustained_last5min":%b,""" +
-        """"minutes":[%s]}""",
-        shape, Int.box(eps), Long.box(samples.map(_.inRows).sum),
+        """{"shape":"%s","eps":%d,%s"input_rows":%d,""" +
+        """"sustained_last5min":%b,"minutes":[%s]}""",
+        shape, Int.box(eps), admission,
+        Long.box(samples.map(_.inRows).sum),
         Boolean.box(sustained), minutes.mkString(","))
     }
     String.format(java.util.Locale.ROOT,
@@ -631,9 +681,15 @@ object SoakRun {
       return
     }
     if (opts.contains("-multi")) {
+      // shape:offeredEps[:capacityEps] — a third field bounds that
+      // stream's per-trigger admission through the V2 source (ids stay
+      // available at the offered rate; overload becomes source backlog).
       val specs = opts("-multi").split(",").toSeq.map { s =>
-        val Array(sh, e) = s.split(":")
-        (sh.trim, e.trim.toInt)
+        s.split(":") match {
+          case Array(sh, e) => (sh.trim, e.trim.toInt, 0)
+          case Array(sh, e, c) => (sh.trim, e.trim.toInt, c.trim.toInt)
+          case other => sys.error(s"bad -multi spec '${other.mkString(":")}'")
+        }
       }
       println(runMulti(spark, specs, secs))
       spark.stop()

@@ -65,20 +65,34 @@ object EventWindows {
 
   /** w03 — session window per key (Flock `Window::Session(timeout)`,
     * reference window/session.rs:64-321, NEXMark q11 count/min/max per
-    * bidder per session). Spark `session_window` semantics: an event at
-    * exactly prev_ts + gap starts a NEW session, window end = last + gap —
-    * the oracle's island assignment uses `>= gap` to match.
+    * bidder per session). Session semantics: an event at exactly
+    * prev_ts + gap starts a NEW session, window end = last + gap — the
+    * oracle's island assignment uses `>= gap`. The Spark side computes
+    * the islands explicitly rather than through the built-in
+    * `session_window`, whose BATCH path merges touching sessions while
+    * its streaming path splits them (the boundary inconsistency
+    * StreamQueries.q11Batch documents; surfaced by the sf1 gate).
     */
   private val w03 = Q(
     "w03_session_agg",
     (s, d) => {
       import s.implicits._
+      val gapUs = 6L * 3600 * 1000000
+      val w = Window.partitionBy($"user_id").orderBy($"us")
       T(s, d, "events")
-        .groupBy(session_window($"ts", "6 hours").as("win"), $"user_id")
-        .agg(count(lit(1)).as("n"),
-          min($"value").as("min_v"), max($"value").as("max_v"))
-        .select($"user_id", unix_micros($"win.start").as("session_start_us"),
-          unix_micros($"win.end").as("session_end_us"), $"n", $"min_v", $"max_v")
+        .select($"user_id", $"value", unix_micros($"ts").as("us"))
+        .withColumn("newS",
+          when(lag($"us", 1).over(w).isNull ||
+            $"us" - lag($"us", 1).over(w) >= gapUs, 1).otherwise(0))
+        .withColumn("sid", sum($"newS").over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy($"user_id", $"sid")
+        .agg(min($"us").as("session_start_us"),
+          (max($"us") + gapUs).as("session_end_us"),
+          count(lit(1)).as("n"), min($"value").as("min_v"),
+          max($"value").as("max_v"))
+        .select($"user_id", $"session_start_us", $"session_end_us",
+          $"n", $"min_v", $"max_v")
         .orderBy($"user_id", $"session_start_us")
     },
     Some("""

@@ -231,7 +231,9 @@ object NexmarkBatch {
       FROM $B"""))(q10FileSink),
 
     // q11 — bids per bidder per Session(10 s) (query/q11.sql). Session
-    // islands use >= gap (Spark session_window semantics; see w03).
+    // islands use >= gap — the STREAMING session_window / explicit-timer
+    // semantics; the Spark side is q11Batch's gaps-and-islands because
+    // the built-in's BATCH path merges touching sessions (see q11Batch).
     entry("nx_q11_bid_sessions", Some(s"""
       WITH e AS (SELECT bidder, epoch_us(b_date_time) AS us, price FROM $B),
       m AS (
@@ -247,7 +249,7 @@ object NexmarkBatch {
       SELECT bidder, MIN(us) AS session_start, MAX(us) + 10000000 AS session_end,
         COUNT(*) AS n_bids, MIN(price) AS min_price, MAX(price) AS max_price
       FROM g GROUP BY bidder, sid"""))(
-      s => StreamQueries.q11(bids(s))),
+      s => StreamQueries.q11Batch(bids(s))),
 
     // q12 — processing-time windows (query/q12.sql). The window BOUNDARIES
     // depend on wall-clock by construction, but every bid lands in exactly

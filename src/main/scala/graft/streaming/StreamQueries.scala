@@ -155,7 +155,11 @@ object StreamQueries {
 
   /** q11 — bids per bidder per session (query/q11.sql, Session(10 s)):
     * built-in session_window replaces the reference's 321-line HashDiff
-    * session driver (window/session.rs).
+    * session driver (window/session.rs). STREAMING frames only — for a
+    * batch frame use [[q11Batch]]: Spark's built-in is inconsistent
+    * across its two execution paths at the exact-gap boundary (see
+    * q11Batch's scaladoc), and the engine's contract is the streaming
+    * path's strict split.
     */
   def q11(bids: DataFrame, gap: String = "10 seconds"): DataFrame =
     bids.groupBy(session_window(col("b_date_time"), gap).as("win"), col("bidder"))
@@ -164,6 +168,38 @@ object StreamQueries {
       .select(col("bidder"), col("win.start").as("session_start"),
         col("win.end").as("session_end"), col("n_bids"), col("min_price"),
         col("max_price"))
+
+  /** Batch twin of [[q11]] with the STREAMING operator's strict gap
+    * semantics: an event exactly `gap` after the previous one starts a
+    * NEW session (extend iff diff < gap). Spark 4.1.2's built-in
+    * session_window is inconsistent across its two execution paths at
+    * this boundary — the batch path MERGES touching sessions while the
+    * streaming state-store path, the explicit-timer processor, and the
+    * DuckDB oracles all SPLIT them. Surfaced by the sf1 full-catalog
+    * gate: 920k generated bids contain 11 exact-gap consecutive pairs,
+    * so the batch entry ran 11 rows short of its oracle while both
+    * streaming replays matched it. The batch form is therefore computed
+    * as explicit gaps-and-islands (two window functions + one
+    * aggregation, one shuffle on bidder) instead of the built-in.
+    */
+  def q11Batch(bids: DataFrame, gapUs: Long = 10000000L): DataFrame = {
+    val w = Window.partitionBy(col("bidder")).orderBy(col("tsUs"))
+    bids.select(col("bidder"), col("price"),
+        unix_micros(col("b_date_time")).as("tsUs"))
+      .withColumn("newS",
+        when(lag(col("tsUs"), 1).over(w).isNull ||
+          col("tsUs") - lag(col("tsUs"), 1).over(w) >= gapUs, 1).otherwise(0))
+      .withColumn("sid", sum(col("newS")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("bidder"), col("sid"))
+      .agg(min(col("tsUs")).as("startUs"), max(col("tsUs")).as("lastUs"),
+        count(lit(1)).as("n_bids"), min(col("price")).as("min_price"),
+        max(col("price")).as("max_price"))
+      .select(col("bidder"),
+        timestamp_micros(col("startUs")).as("session_start"),
+        timestamp_micros(col("lastUs") + gapUs).as("session_end"),
+        col("n_bids"), col("min_price"), col("max_price"))
+  }
 
   /** q13 — bounded side-input join (query/q13.sql): stream ⋈ broadcast
     * static table.

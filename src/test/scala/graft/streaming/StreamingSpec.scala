@@ -190,7 +190,7 @@ class StreamingSpec extends AnyFunSuite {
     val s = streamed(bidRows :+ sentinel, "append", "q11_sink")(df =>
       StreamQueries.q11(df.withWatermark("b_date_time", "5 seconds")))
       .filter($"bidder" =!= -1)
-    assertSameRows(s, StreamQueries.q11(batchBids))
+    assertSameRows(s, StreamQueries.q11Batch(batchBids))
   }
 
   test("stream-stream join (q3): stream == batch") {
@@ -515,12 +515,82 @@ class StreamingSpec extends AnyFunSuite {
       val got = spark.table("tws_sess").filter($"bidder" =!= -1)
         .select($"bidder", $"sessionStartUs", $"sessionEndUs", $"nBids",
           $"minPrice", $"maxPrice")
-      val expect = StreamQueries.q11(batchBids)
+      val expect = StreamQueries.q11Batch(batchBids)
         .select($"bidder", unix_micros($"session_start").as("sessionStartUs"),
           unix_micros($"session_end").as("sessionEndUs"), $"n_bids".as("nBids"),
           $"min_price".as("minPrice"), $"max_price".as("maxPrice"))
       assert(got.count() > 100, "degenerate: almost no sessions emitted")
       assertSameRows(got, expect)
+    }
+  }
+
+  test("exact-gap boundary splits sessions in batch, streaming, and tws alike") {
+    withRocksDb {
+    implicit val sqlCtx = spark.sqlContext
+    // Two bids exactly gap (10 s) apart: the engine's contract (streaming
+    // session_window, the explicit-timer processor, every DuckDB oracle)
+    // SPLITS them — extend iff diff < gap. Spark 4.1.2's built-in batch
+    // session_window MERGES them instead, which the sf1 full-catalog gate
+    // surfaced as an 11-row deficit (11 exact-gap pairs in 920k bids);
+    // q11Batch's explicit islands exist precisely for this boundary.
+    val t0 = 1700000000000L
+    val pair = Seq(
+      BidCC(1, 7, 100, new java.sql.Timestamp(t0)),
+      BidCC(1, 7, 200, new java.sql.Timestamp(t0 + 10000L)))
+    val batch = StreamQueries.q11Batch(pair.toDF())
+    assert(batch.count() == 2, "q11Batch must split an exact-gap pair")
+    assert(batch.select(unix_micros($"session_start")).as[Long].collect()
+      .sorted.toSeq == Seq(t0 * 1000, (t0 + 10000L) * 1000))
+    // Built-in STREAMING session_window: the exact-gap outcome depends on
+    // the replay schedule. (a) If the first session was already EVICTED
+    // (watermark past its end) when the second row arrives, the pair
+    // SPLITS — this is what every stw gate entry's replay does at sf1
+    // (all 11 exact-gap pairs) and what matches the oracle. (b) If the
+    // first session is still in state — same micro-batch OR a watermark
+    // that hasn't passed its end — the inclusive merge wins and the pair
+    // MERGES. Both outcomes are pinned AS UPSTREAM BEHAVIOR: the
+    // built-in's exact-gap output is schedule-dependent, which is why
+    // the engine's own implementations (q11Batch, the TWS processor)
+    // are strict-split regardless of batching and watermark timing.
+    val sentinel = BidCC(-1, -1, 0, new java.sql.Timestamp(t0 + 3600000L))
+    // Pushes the watermark past session 1's end without touching bidder 7.
+    val evictDriver = BidCC(1, 999, 1, new java.sql.Timestamp(t0 + 20000L))
+    def runBuiltIn(name: String, feeds: Seq[Seq[BidCC]]): Long = {
+      val ms = MemoryStream[BidCC]
+      val q = StreamQueries.q11(
+          ms.toDF().withWatermark("b_date_time", "1 second"))
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      feeds.foreach { f => ms.addData(f); q.processAllAvailable() }
+      ms.addData(Seq(sentinel)); q.processAllAvailable(); q.stop()
+      spark.table(name).filter($"bidder" === 7).count()
+    }
+    assert(runBuiltIn("sess_edge_split",
+        Seq(Seq(pair.head, evictDriver), Seq(pair.last))) == 2,
+      "built-in streaming must split once session 1 is evicted")
+    assert(runBuiltIn("sess_edge_merge_inbatch", Seq(pair)) == 1,
+      "upstream in-batch merge quirk changed — re-audit the stw session " +
+        "entries' exact-gap behavior if this fails")
+    assert(runBuiltIn("sess_edge_merge_instate",
+        Seq(Seq(pair.head), Seq(pair.last))) == 1,
+      "upstream in-state merge quirk changed — re-audit the stw session " +
+        "entries' exact-gap behavior if this fails")
+    // Explicit-timer processor: strict split INDEPENDENT of batching.
+    for ((feeds, tag) <- Seq(
+        (Seq(pair), "same-batch"),
+        (Seq(Seq(pair.head), Seq(pair.last)), "cross-batch"))) {
+      val ms2 = MemoryStream[BidCC]
+      val q2 = StatefulProcessors.sessionWindowsTws(ms2.toDF(),
+          delay = "1 second")
+        .toDF().writeStream.format("memory")
+        .queryName(s"sess_edge_tws_${feeds.size}")
+        .outputMode("append").start()
+      feeds.foreach { f => ms2.addData(f); q2.processAllAvailable() }
+      ms2.addData(Seq(sentinel)); q2.processAllAvailable(); q2.stop()
+      assert(spark.table(s"sess_edge_tws_${feeds.size}")
+        .filter($"bidder" === 7).count() == 2,
+        s"tws processor must split an exact-gap pair ($tag)")
+    }
     }
   }
 
@@ -578,7 +648,7 @@ class StreamingSpec extends AnyFunSuite {
       } finally q.stop()
       val got = rows().map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
         r.getLong(3), r.getInt(4), r.getInt(5))).sorted
-      val expect = StreamQueries.q11(
+      val expect = StreamQueries.q11Batch(
           spark.createDataset((first :+ wmDriver) ++ second).toDF())
         .select($"bidder", unix_micros($"session_start"),
           unix_micros($"session_end"), $"n_bids", $"min_price", $"max_price")
@@ -631,7 +701,7 @@ class StreamingSpec extends AnyFunSuite {
         .select($"bidder", $"sessionStartUs", $"sessionEndUs", $"nBids",
           $"minPrice", $"maxPrice")
       val all = (random ++ b999).toDF()
-      val expect = StreamQueries.q11(all)
+      val expect = StreamQueries.q11Batch(all)
         .select($"bidder", unix_micros($"session_start").as("sessionStartUs"),
           unix_micros($"session_end").as("sessionEndUs"), $"n_bids".as("nBids"),
           $"min_price".as("minPrice"), $"max_price".as("maxPrice"))
@@ -666,7 +736,7 @@ class StreamingSpec extends AnyFunSuite {
       val gotAll = (run1 ++ run2).filter(_.bidder != -1)
         .map(r => (r.bidder, r.sessionStartUs, r.sessionEndUs, r.nBids,
           r.minPrice, r.maxPrice)).sorted
-      val expect = StreamQueries.q11(batchBids)
+      val expect = StreamQueries.q11Batch(batchBids)
         .select($"bidder", unix_micros($"session_start"),
           unix_micros($"session_end"), $"n_bids", $"min_price", $"max_price")
         .as[(Int, Long, Long, Long, Int, Int)].collect().toSeq.sorted

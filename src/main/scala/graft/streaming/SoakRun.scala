@@ -77,6 +77,18 @@ object SoakRun {
     */
   val TriggerPeriodMs: Long = 1000L
 
+
+  /** Stop a query tolerating the stop-vs-commit race: interrupting an
+    * in-flight RocksDB commit surfaces CANNOT_COMMIT through stop(),
+    * which must not discard minutes of collected soak samples.
+    */
+  private def stopQuietly(q: org.apache.spark.sql.streaming.StreamingQuery): Unit =
+    try q.stop() catch {
+      case e: Exception =>
+        System.err.println(s"[soak] stop raced an in-flight commit " +
+          s"(samples retained): ${e.getMessage}")
+    }
+
   private def deleteRecursively(f: java.io.File): Unit = {
     val kids = f.listFiles()
     if (kids != null) kids.foreach(deleteRecursively)
@@ -224,7 +236,7 @@ object SoakRun {
     // at a 1 s trigger a <=100 s soak loses nothing).
     Thread.sleep(secs * 1000L)
     val progress = q.recentProgress.toSeq
-    q.stop()
+    stopQuietly(q)
     deleteRecursively(new java.io.File(ckpt))
     case class Sample(batchMs: Long, inRows: Long, stateRows: Long,
         stateMemBytes: Long)
@@ -301,7 +313,7 @@ object SoakRun {
         .trigger(Trigger.ProcessingTime(s"$TriggerPeriodMs milliseconds"))
         .start()
       Thread.sleep(secs * 1000L)
-      q.stop()
+      stopQuietly(q)
     } finally {
       spark.streams.removeListener(listener)
       // 10-min RocksDB soaks leave multi-GB checkpoints behind.
@@ -411,7 +423,7 @@ object SoakRun {
           .start()
       }
       Thread.sleep(secs * 1000L)
-      queries.foreach(_.stop())
+      queries.foreach(stopQuietly)
     } finally {
       spark.streams.removeListener(listener)
       deleteRecursively(new java.io.File(base))
@@ -597,7 +609,7 @@ object SoakRun {
         landed.addAndGet(rowsPerTick): Unit
         i += 1
       }
-      q.stop()
+      stopQuietly(q)
     } finally {
       spark.streams.removeListener(listener)
       deleteRecursively(new java.io.File(base))

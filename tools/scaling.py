@@ -29,19 +29,25 @@ def main():
     small_p, big_p = sys.argv[1], sys.argv[2]
     decades = float(sys.argv[3]) if len(sys.argv) > 3 and not sys.argv[3].startswith("-") else 1.0
     md = "--md" in sys.argv
-    small = json.load(open(small_p))
-    big = json.load(open(big_p))
+    def load(p):
+        # Drop Bench's in-run retry records (_rN_<entry>) and calib meta
+        # keys; the plain entry key already holds the median of retries.
+        return {k: v for k, v in json.load(open(p)).items()
+                if not k.startswith("_")}
+    small = load(small_p)
+    big = load(big_p)
     shared = sorted(set(small) & set(big))
     missing = sorted(set(small) ^ set(big))
     rows = []
     for name in shared:
         ts, tb = small[name], big[name]
         exp = math.log10(tb / ts) / decades if ts > 0 else float("nan")
+        # `fixed`: small at BOTH scales — per-query fixed overhead, the
+        # exponent is meaningless. A small entry that grows LARGE is the
+        # opposite (a data-dependent blow-up) and must flag as SUPRA.
         tag = ""
-        if ts < MIN_SECONDS:
-            tag = "fixed" if exp > FLAG_AT else ""
-        elif exp > FLAG_AT:
-            tag = "SUPRA"
+        if exp > FLAG_AT:
+            tag = "fixed" if tb < 3 * MIN_SECONDS else "SUPRA"
         rows.append((name, ts, tb, exp, tag))
     rows.sort(key=lambda r: -r[3])
     if md:

@@ -449,8 +449,8 @@ object Pipeline {
     * identical planes inline from md5, so the ANN path stays
     * oracle-checked bit for bit.
     */
-  private def lshBucketDuck(vecCol: String): String =
-    s"""list_sum(list_transform(range(0, 4), j ->
+  private def lshBucketDuck(vecCol: String, nPlanes: Int = 4): String =
+    s"""list_sum(list_transform(range(0, $nPlanes), j ->
           CASE WHEN
             list_sum(list_transform(range(1, 65), i ->
               CAST($vecCol[i] AS DOUBLE) *
@@ -507,12 +507,12 @@ object Pipeline {
     * matrix generalizes) and caps blocks like p15/p77; the capped SimHash
     * route (p77) is the gated-at-every-decade near-dup path.
     */
-  private val p13 = Q(
-    "p13_embedding_neardup",
+  private def embeddingNeardupQ(name: String, nPlanes: Int): Q = Q(
+    name,
     (s, d) => {
       import s.implicits._
       val emb = T(s, d, "embeddings")
-        .withColumn("bucket", VectorFunctions.lsh_bucket($"embedding"))
+        .withColumn("bucket", VectorFunctions.lsh_bucket($"embedding", nPlanes))
         .select($"vec_id", $"bucket", $"embedding")
       emb.as("a").join(emb.as("b"),
           col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
@@ -523,7 +523,7 @@ object Pipeline {
         .orderBy($"id_a", $"id_b")
     },
     Some(s"""
-      WITH b AS (SELECT vec_id, embedding, ${lshBucketDuck("embedding")} AS bucket
+      WITH b AS (SELECT vec_id, embedding, ${lshBucketDuck("embedding", nPlanes)} AS bucket
                  FROM embeddings),
       pairs AS (
         SELECT x.vec_id AS id_a, y.vec_id AS id_b,
@@ -532,6 +532,23 @@ object Pipeline {
         FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id)
       SELECT id_a, id_b, cos_sim FROM pairs WHERE cos_sim >= 0.40
       ORDER BY id_a, id_b"""))
+
+  private val p13 = embeddingNeardupQ("p13_embedding_neardup", 4)
+
+  /** p120 — p13's PRODUCTION form, measured: same operator at 8
+    * hyperplanes (256 buckets), the knob p13's scale contract names.
+    * The r14 sf1 exponent sweep flagged the 4-plane config at 1.63x per
+    * decade (by contract: 16 buckets keep bucket size
+    * corpus-proportional, so the within-bucket verify is quadratic);
+    * doubling the planes divides expected bucket size by 16 and the
+    * expected pair work by ~16 — this entry pins the claim with an
+    * oracle-checked gate at every SF and a measured sf1 time next to
+    * p13's in BENCH_NOTES. Recall trade: near-dup pairs whose planes
+    * disagree are lost (banding across plane subsets is the p06-style
+    * recovery); at 100 TB the plane count is sized so buckets stay O(1)
+    * while banding keeps recall.
+    */
+  private val p120 = embeddingNeardupQ("p120_embedding_neardup_prod", 8)
 
   /** p14 — sketch aggregates: approx_count_distinct (HLL++) and
     * approx_percentile next to their exact counterparts. At 100 TB the
@@ -5833,12 +5850,12 @@ object Pipeline {
     * production form raises the plane count so buckets stay O(1); the
     * capped-cell route (p95/p96) is the decade-gated neighbor path.
     */
-  private val p89 = Q(
-    "p89_mutual_knn",
+  private def mutualKnnQ(name: String, nPlanes: Int): Q = Q(
+    name,
     (s, d) => {
       import s.implicits._
       val b = T(s, d, "embeddings")
-        .withColumn("bucket", VectorFunctions.lsh_bucket($"embedding"))
+        .withColumn("bucket", VectorFunctions.lsh_bucket($"embedding", nPlanes))
       val sim = b.as("a").join(b.as("n"),
           col("a.bucket") === col("n.bucket") &&
             col("a.vec_id") =!= col("n.vec_id"))
@@ -5858,7 +5875,7 @@ object Pipeline {
     },
     Some(s"""
       WITH b AS (SELECT vec_id, embedding,
-                   ${lshBucketDuck("embedding")} AS bucket
+                   ${lshBucketDuck("embedding", nPlanes)} AS bucket
                  FROM embeddings),
       sim AS (
         SELECT a.vec_id AS src, n.vec_id AS dst,
@@ -5878,6 +5895,17 @@ object Pipeline {
       FROM knn x JOIN knn y ON x.src = y.dst AND x.dst = y.src
       WHERE x.src < x.dst
       ORDER BY id_a, id_b"""))
+
+  private val p89 = mutualKnnQ("p89_mutual_knn", 4)
+
+  /** p121 — p89's PRODUCTION form, measured: mutual-kNN at 8 hyperplanes
+    * (256 buckets), same contract demonstration as p120 — the bucket
+    * count is the scale knob, and this entry gates it with an oracle at
+    * every SF (the kNN itself becomes bucket-LOCAL 3-NN; neighbors lost
+    * to plane disagreement are the recall trade the entry's scaladoc
+    * twin p120 documents).
+    */
+  private val p121 = mutualKnnQ("p121_mutual_knn_prod", 8)
 
   /** p90 — span-corruption masking audit (T5/UL2-style pretraining prep):
     * a token position opens a 3-token mask span when
@@ -7887,5 +7915,5 @@ object Pipeline {
     p81, p82, p82c, p83, p84, p85, p86, p87, p88, p89, p90, p91, p92, p93,
     p94, p95, p96, p97, p98, p99, p100, p101, p102, p103, p104, p105, p106,
     p107, p108, p109, p110, p111, p112, p113, p114, p115, p116, p117,
-    p118, p119)
+    p118, p119, p120, p121)
 }

@@ -35,6 +35,9 @@ class CatalogSpec extends AnyFunSuite {
   private val mayBeEmpty = Set("q21_string_funcs", "q08_not_exists_anti",
     "q04_shipping_priority", "q07_exists_semi", "q11_having", "q12_in_subquery",
     "p08_minhash_lsh_pairs", "p12_ann_lsh", "nx_q2_selection",
+    // 256-bucket production forms: ~50 vectors at sf0.001 rarely share
+    // a bucket at all, and mutual 3-NN pairs need >=2 per bucket.
+    "p120_embedding_neardup_prod", "p121_mutual_knn_prod",
     "p16_ngram_jaccard", "p17_dedup_clusters", "p18_ann_ivf",
     // one benchmark doc at sf0.001 — contamination needs a near-copy of it
     "p24_decontaminate",

@@ -26,6 +26,37 @@ object StreamGate {
   private val Rocks = "org.apache.spark.sql.execution.streaming.state." +
     "RocksDBStateStoreProvider"
 
+  /** Right-size the stateful shuffle for a replay (guide §2.2/§2.4:
+    * derive partitioning from input volume, not core count). One shuffle
+    * partition = one state-store instance per stateful operator, and
+    * EVERY micro-batch — data or no-data — pays a RocksDB load + commit
+    * per instance, so at gate replay volumes (single-digit MB of input)
+    * a core-count partitioning spends the entry on store lifecycle
+    * syscalls instead of compute. Sizing: ~32 MB of replay input per
+    * state partition, floor 4 (the generators' own parallelism), capped
+    * at the session's core count so a large replay still spreads. The
+    * first micro-batch pins the choice in the checkpoint's offset
+    * metadata, so every restart run agrees by construction, and the
+    * processors are per-key (groupByKey) — the partition count cannot
+    * change any emitted row. SPARK_GRAFT_STW_PARTS overrides for
+    * capacity experiments; production sizing rationale in
+    * OPTIMIZATION_r14.md.
+    */
+  private[operators] def statePartitions(s: org.apache.spark.sql.SparkSession,
+      inputBytes: Long): Int =
+    sys.env.get("SPARK_GRAFT_STW_PARTS").map(_.toInt).getOrElse {
+      val cap = math.max(4, s.sparkContext.defaultParallelism)
+      val per = 32L << 20
+      math.max(4L, math.min(cap.toLong, (inputBytes + per - 1) / per)).toInt
+    }
+
+  private[operators] def dirBytes(path: String): Long = {
+    def walk(f: java.io.File): Long =
+      if (f.isDirectory) Option(f.listFiles()).map(_.map(walk).sum).getOrElse(0L)
+      else f.length()
+    walk(new java.io.File(path))
+  }
+
   private val liveDirs =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
   private val hookArmed = new java.util.concurrent.atomic.AtomicBoolean(false)
@@ -54,6 +85,7 @@ object StreamGate {
         liveDirs.forEach(d => rmrf(new java.io.File(d)))): Unit
     val (in, out, ckpt) = (s"$base/in", s"$base/out", s"$base/ckpt")
     val saved = s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    val savedParts = s.conf.getOption("spark.sql.shuffle.partitions")
     s.conf.set("spark.sql.streaming.stateStore.providerClass", Rocks)
     // SPARK_GRAFT_INJECT_STW=1 runs the WHOLE gate under mid-batch
     // task-failure injection (graft.streaming.FailureInjection): partition
@@ -72,8 +104,14 @@ object StreamGate {
     }
     try {
       val schema = chunks.head.schema
-      chunks.foreach { c =>
+      chunks.zipWithIndex.foreach { case (c, i) =>
         c.coalesce(1).write.mode("append").parquet(in)
+        // Size the stateful shuffle from measured input volume (first
+        // chunk's bytes × chunk count — the chunks are near-equal
+        // splits); must happen before the FIRST run, which pins the
+        // partitioning in the checkpoint.
+        if (i == 0) s.conf.set("spark.sql.shuffle.partitions",
+          statePartitions(s, dirBytes(in) * chunks.size))
         val q = tf(s.readStream.schema(schema).parquet(in))
           .writeStream.format("parquet")
           .option("path", out).option("checkpointLocation", ckpt)
@@ -90,6 +128,10 @@ object StreamGate {
           s.conf.set("spark.sql.streaming.stateStore.providerClass", v)
         case None =>
           s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+      savedParts match {
+        case Some(v) => s.conf.set("spark.sql.shuffle.partitions", v)
+        case None => s.conf.unset("spark.sql.shuffle.partitions")
       }
     }
   }
@@ -492,10 +534,15 @@ object StreamGate {
       val (in, ckpt) = (s"$base/in", s"$base/ckpt")
       val saved =
         s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+      val savedParts = s.conf.getOption("spark.sql.shuffle.partitions")
       s.conf.set("spark.sql.streaming.stateStore.providerClass", Rocks)
       val out = try {
         val schema = chunks.head.schema
         chunks.head.coalesce(1).write.mode("append").parquet(in)
+        // Same input-volume state-partition sizing as replay (see
+        // statePartitions): set before the manual-clock query starts.
+        s.conf.set("spark.sql.shuffle.partitions",
+          statePartitions(s, dirBytes(in) * chunks.size))
         val clock = new org.apache.spark.sql.graft.shims.GraftManualClock(t0)
         // SPARK_GRAFT_INJECT_STW=1 injects here too (same contract as
         // replay): the manual-clock path otherwise escapes the gate-wide
@@ -534,6 +581,10 @@ object StreamGate {
             s.conf.set("spark.sql.streaming.stateStore.providerClass", v)
           case None =>
             s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        }
+        savedParts match {
+          case Some(v) => s.conf.set("spark.sql.shuffle.partitions", v)
+          case None => s.conf.unset("spark.sql.shuffle.partitions")
         }
       }
       out.toDF("bidder", "win_batch", "win_len_ms", "n_bids")

@@ -61,6 +61,13 @@ object V2SourceGate {
         liveDirs.forEach(d => rmrf(new java.io.File(d)))): Unit
     val (out, ckpt) = (s"$base/out", s"$base/ckpt")
     val saved = s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    val savedParts = s.conf.getOption("spark.sql.shuffle.partitions")
+    // Input-volume state-partition sizing, same rationale as
+    // StreamGate.statePartitions: the V2 id range is known exactly up
+    // front (segments.last.totalEvents ids × ~32 B of projected event
+    // row), and the first micro-batch pins the choice in the checkpoint.
+    s.conf.set("spark.sql.shuffle.partitions",
+      StreamGate.statePartitions(s, segments.last.totalEvents * 32L))
     s.conf.set("spark.sql.streaming.stateStore.providerClass", Rocks)
     val injectAcc =
       if (sys.env.get("SPARK_GRAFT_INJECT_STW").contains("1"))
@@ -90,6 +97,10 @@ object V2SourceGate {
           s.conf.set("spark.sql.streaming.stateStore.providerClass", v)
         case None =>
           s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+      savedParts match {
+        case Some(v) => s.conf.set("spark.sql.shuffle.partitions", v)
+        case None => s.conf.unset("spark.sql.shuffle.partitions")
       }
     }
   }

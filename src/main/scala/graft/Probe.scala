@@ -39,6 +39,27 @@ object Probe {
       operators.Pipeline.graphAuthorityProbe(spark, dir, time)
     if (which == "p61")
       operators.Pipeline.labelPropProbe(spark, dir, time)
+    // Global-sort placement probe (guide §2.4): for scan→project→orderBy
+    // entries the range exchange's sampling pass re-executes the child,
+    // so an expensive projection pays twice; sorting the narrow input
+    // first and projecting after the sort computes it once.
+    if (which == "sortshape") {
+      import org.apache.spark.sql.functions._
+      def noop(df: org.apache.spark.sql.DataFrame): Long = {
+        df.write.format("noop").mode("overwrite").save(); 0L
+      }
+      val proj = Seq(col("doc_id"),
+        md5(regexp_replace(lower(col("text")), "\\s+", " ")).as("fp"),
+        sha2(col("text"), 256).as("sha"))
+      for (i <- 1 to 3) {
+        time(s"proj_then_orderBy_$i")(noop(
+          docs.select(proj: _*).orderBy(col("doc_id"))))
+        time(s"orderBy_then_proj_$i")(noop(
+          docs.select(col("doc_id"), col("text"))
+            .orderBy(col("doc_id")).select(proj: _*)))
+        time(s"no_orderBy_$i")(noop(docs.select(proj: _*)))
+      }
+    }
     spark.stop()
   }
 }

@@ -5478,9 +5478,18 @@ object Pipeline {
                        i -> md5(array_join(slice(ts, i, 8), ' ')))"""))
           .as(Seq("off", "g")))
         .select($"doc_id", ($"off" + 1).as("pos"), $"g")
-      val dup = grams.groupBy($"g").agg(count(lit(1)).as("n_occ"))
-        .filter($"n_occ" >= 2).select($"g")
-      val covered = grams.join(dup, Seq("g"))
+      // Corpus-wide occurrence count as a window over the gram digest:
+      // the obvious groupBy(g)+join-back computes the md5 gram expansion
+      // TWICE (the partial aggregate runs below the groupBy's exchange,
+      // so the two exchanges differ and ReuseExchange cannot dedupe
+      // them). count() OVER (PARTITION BY g) shuffles the gram rows the
+      // same once the join side already paid, computes the expansion
+      // once, and deletes the join (guide §2.3/§2.4). Identical rows by
+      // construction: every gram row annotated with its g-count.
+      val covered = grams
+        .withColumn("n_occ",
+          count(lit(1)).over(Window.partitionBy($"g")))
+        .filter($"n_occ" >= 2)
         .select($"doc_id", explode(sequence($"pos", $"pos" + 7)).as("p"))
         .distinct()
         .groupBy($"doc_id").agg(count(lit(1)).as("cov"))
@@ -5614,8 +5623,12 @@ object Pipeline {
                'ln', CAST(element_at(cuts, k + 1) - element_at(cuts, k)
                           AS BIGINT)))""")).as("c"))
         .select($"doc_id", $"source", $"c.g".as("g"), $"c.ln".as("ln"))
-      val occ = cf.groupBy($"g").agg(count(lit(1)).as("n_occ"))
-      cf.join(occ, Seq("g"))
+      // Same one-pass window-count rewrite as p84: groupBy(g)+join-back
+      // ran the rolling-hash chunking twice (partial agg below the
+      // groupBy exchange defeats ReuseExchange); the window shuffles the
+      // chunk rows the join side already shuffled, once, and drops the
+      // join (guide §2.3/§2.4).
+      cf.withColumn("n_occ", count(lit(1)).over(Window.partitionBy($"g")))
         .groupBy($"source")
         .agg(countDistinct($"doc_id").as("n_docs"),
           count(lit(1)).as("n_chunks"),

@@ -87,6 +87,9 @@ object StreamGate {
     val saved = s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
     val savedParts = s.conf.getOption("spark.sql.shuffle.partitions")
     s.conf.set("spark.sql.streaming.stateStore.providerClass", Rocks)
+    if (sys.env.get("SPARK_GRAFT_STW_CHANGELOG").contains("1"))
+      s.conf.set("spark.sql.streaming.stateStore.rocksdb." +
+        "changelogCheckpointing.enabled", "true")
     // SPARK_GRAFT_INJECT_STW=1 runs the WHOLE gate under mid-batch
     // task-failure injection (graft.streaming.FailureInjection): partition
     // 0 of every stateful stage dies on its first attempt after partial
@@ -104,7 +107,9 @@ object StreamGate {
     }
     try {
       val schema = chunks.head.schema
+      val trace = sys.env.get("SPARK_GRAFT_STW_TRACE").contains("1")
       chunks.zipWithIndex.foreach { case (c, i) =>
+        val t0 = System.nanoTime()
         c.coalesce(1).write.mode("append").parquet(in)
         // Size the stateful shuffle from measured input volume (first
         // chunk's bytes × chunk count — the chunks are near-equal
@@ -112,12 +117,22 @@ object StreamGate {
         // partitioning in the checkpoint.
         if (i == 0) s.conf.set("spark.sql.shuffle.partitions",
           statePartitions(s, dirBytes(in) * chunks.size))
+        val t1 = System.nanoTime()
         val q = tf(s.readStream.schema(schema).parquet(in))
           .writeStream.format("parquet")
           .option("path", out).option("checkpointLocation", ckpt)
           .outputMode("append").trigger(Trigger.AvailableNow()).start()
         require(q.awaitTermination(180000),
           s"stw replay '$tag' did not drain a chunk in 180s")
+        if (trace) {
+          System.err.println(
+            f"[stw-trace] $tag run$i write=${(t1 - t0) / 1e9}%.2f s " +
+            f"drain=${(System.nanoTime() - t1) / 1e9}%.2f s")
+          q.recentProgress.foreach { p =>
+            System.err.println(s"[stw-trace]   batch=${p.batchId} " +
+              s"rows=${p.numInputRows} durations=${p.durationMs}")
+          }
+        }
       }
       injectAcc.foreach(a => System.err.println(
         s"[stw] '$tag' injected-failure retries survived: ${a.value}"))

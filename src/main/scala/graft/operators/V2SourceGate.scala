@@ -79,7 +79,9 @@ object V2SourceGate {
       case None => transform(df)
     }
     try {
-      segments.foreach { seg =>
+      val trace = sys.env.get("SPARK_GRAFT_STW_TRACE").contains("1")
+      segments.zipWithIndex.foreach { case (seg, i) =>
+        val t0 = System.nanoTime()
         val ids = NexmarkV2.ids(s, seg.totalEvents,
           rowsPerTrigger = Some(seg.rowsPerTrigger), numPartitions = 4)
         val q = tf(ids).writeStream.format("parquet")
@@ -87,6 +89,8 @@ object V2SourceGate {
           .outputMode("append").trigger(Trigger.AvailableNow()).start()
         require(q.awaitTermination(180000),
           s"v2 replay '$tag' did not drain a segment in 180s")
+        if (trace) System.err.println(
+          f"[stw-trace] v2_$tag run$i drain=${(System.nanoTime() - t0) / 1e9}%.2f s")
       }
       injectAcc.foreach(a => System.err.println(
         s"[stw] 'v2_$tag' injected-failure retries survived: ${a.value}"))

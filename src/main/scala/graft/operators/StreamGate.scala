@@ -129,8 +129,11 @@ object StreamGate {
             f"[stw-trace] $tag run$i write=${(t1 - t0) / 1e9}%.2f s " +
             f"drain=${(System.nanoTime() - t1) / 1e9}%.2f s")
           q.recentProgress.foreach { p =>
+            val st = p.stateOperators.map(o =>
+              s"stateRows=${o.numRowsTotal} shufflePartitions=" +
+                o.numShufflePartitions).mkString("; ")
             System.err.println(s"[stw-trace]   batch=${p.batchId} " +
-              s"rows=${p.numInputRows} durations=${p.durationMs}")
+              s"rows=${p.numInputRows} durations=${p.durationMs} $st")
           }
         }
       }

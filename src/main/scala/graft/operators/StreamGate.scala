@@ -169,9 +169,17 @@ object StreamGate {
     * event-time arrival contract the order-sensitive processors document,
     * guaranteed by time-ordered chunk predicates).
     */
-  private def eventChunks(s: SparkSession, d: String): Seq[DataFrame] = {
-    val ev = graft.Tables.load(s, d, "events")
+  /** One scan, pinned: the three chunk writes (and session_paths' flush
+    * derivation) otherwise each re-scan the parquet (guide §2.4 — same
+    * within-query reuse discipline as the iterative entries' pins;
+    * Bench/Verify unpersist all blocks after every entry).
+    */
+  private def pinnedEvents(s: SparkSession, d: String): DataFrame =
+    graft.Tables.load(s, d, "events")
       .select(col("user_id"), col("event_id"), col("event_type"), col("ts"))
+      .localCheckpoint()
+
+  private def eventChunks(ev: DataFrame): Seq[DataFrame] = {
     def cut(iso: String) = lit(iso).cast("timestamp")
     Seq(
       ev.filter(col("ts") < cut("2024-01-11 00:00:00")),
@@ -179,6 +187,9 @@ object StreamGate {
         col("ts") < cut("2024-01-21 00:00:00")),
       ev.filter(col("ts") >= cut("2024-01-21 00:00:00")))
   }
+
+  private def eventChunks(s: SparkSession, d: String): Seq[DataFrame] =
+    eventChunks(pinnedEvents(s, d))
 
   /** SessionWindowProcessor (explicit event-time timers) over the NEXMark
     * bid replay: three time-ordered chunks + a far-future sentinel whose
@@ -190,7 +201,9 @@ object StreamGate {
   private val stwSessions = Q(
     "stw_q11_sessions",
     (s, _) => {
-      val bids = Nexmark.bids(s, NexmarkBatch.N)
+      // Pinned: the generator's per-row event construction would rerun
+      // for every chunk write (4 passes incl. the sentinel run).
+      val bids = Nexmark.bids(s, NexmarkBatch.N).localCheckpoint()
       val t = unix_millis(col("b_date_time"))
       val cut1 = Nexmark.BaseMs + 40000L
       val cut2 = Nexmark.BaseMs + 80000L
@@ -239,9 +252,11 @@ object StreamGate {
     (s, d) => {
       import s.implicits._
       val t0 = 1700000000000L
+      // Pinned: one scan feeds the maxId read and all three chunk writes.
       val docs = graft.Tables.load(s, d, "documents")
         .select($"doc_id", $"text",
           timestamp_millis(lit(t0) + $"doc_id" * 1000).as("event_time"))
+        .localCheckpoint()
       // One aggregate scalar to place the two chunk cuts (same pattern as
       // the iterative entries' per-round convergence reads).
       val maxId = docs.agg(max($"doc_id")).first().getLong(0)
@@ -362,12 +377,13 @@ object StreamGate {
   private val stwSessionPaths = Q(
     "stw_session_paths",
     (s, d) => {
-      val flush = graft.Tables.load(s, d, "events")
+      val ev = pinnedEvents(s, d)
+      val flush = ev
         .select(col("user_id")).distinct()
         .select(col("user_id"), col("user_id").as("event_id"),
           lit("_FLUSH_").as("event_type"),
           lit("2025-01-01 00:00:00").cast("timestamp").as("ts"))
-      replay(s, "sesspath", eventChunks(s, d) :+ flush,
+      replay(s, "sesspath", eventChunks(ev) :+ flush,
         df => StatefulProcessors.sessionPaths(df).toDF())
         .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("n"))
         .orderBy(col("src"), col("dst"))
@@ -389,8 +405,12 @@ object StreamGate {
         """transform(array_distinct(split(text, ' ')),
                      t -> CAST(conv(substr(md5(t), 1, 15), 16, 10) AS BIGINT))""")
       val docs = graft.Tables.load(s, d, "documents")
+      // Pinned: the 60-bit simhash over every token is the entry's
+      // heaviest per-row expression, and the three interleaved chunk
+      // writes would otherwise each recompute it (guide §2.4).
       val withSim = docs.select(col("doc_id"), col("source"), col("n_chars"),
         graft.functions.VectorFunctions.simhash60(tokenHashes).as("simhash"))
+        .localCheckpoint()
       val chunks = Seq(0, 1, 2).map(i =>
         withSim.filter(col("doc_id") % 3 === i))
       val winners = replay(s, "keepbest", chunks,
@@ -421,8 +441,11 @@ object StreamGate {
   private val stwHeavyHitters = Q(
     "stw_heavy_hitters",
     (s, d) => {
+      // Pinned for the same reason as pinnedEvents: three chunk writes
+      // over one scan.
       val ev = graft.Tables.load(s, d, "events")
         .select(col("event_type"), col("user_id"), col("event_id"))
+        .localCheckpoint()
       val chunks = Seq(0, 1, 2).map(i => ev.filter(col("event_id") % 3 === i))
       val out = replay(s, "hh", chunks,
         df => StatefulProcessors.heavyHittersTws(df, 3, 262144).toDF())
@@ -444,7 +467,8 @@ object StreamGate {
   private val stwAuctionTopK = Q(
     "stw_auction_topk",
     (s, _) => {
-      val bids = Nexmark.bids(s, NexmarkBatch.N)
+      // Pinned: three chunk writes over one generation pass.
+      val bids = Nexmark.bids(s, NexmarkBatch.N).localCheckpoint()
       val t = unix_millis(col("b_date_time"))
       val cut1 = Nexmark.BaseMs + 33000L
       val cut2 = Nexmark.BaseMs + 66000L
@@ -518,7 +542,9 @@ object StreamGate {
     (s, _) => {
       import s.implicits._
       val t0 = 1000000L; val stepMs = 1000L; val sizeMs = 1500L
-      val bids = Nexmark.bids(s, NexmarkBatch.N)
+      // Pinned: four chunk writes + the nExpected aggregate over one
+      // generation pass.
+      val bids = Nexmark.bids(s, NexmarkBatch.N).localCheckpoint()
       val t = unix_millis(col("b_date_time"))
       val cuts = Seq(25000L, 50000L, 75000L).map(Nexmark.BaseMs + _)
       val chunks = Seq(

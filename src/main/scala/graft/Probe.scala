@@ -43,6 +43,36 @@ object Probe {
     // entries the range exchange's sampling pass re-executes the child,
     // so an expensive projection pays twice; sorting the narrow input
     // first and projecting after the sort computes it once.
+    // p23 top-token expression probe: O(distinct × n) transform/filter
+    // count vs O(n log n) sort + max-run-length fold; prints timings and
+    // a mismatch count (must be 0 — same max frequency by definition).
+    if (which == "p23shape") {
+      import org.apache.spark.sql.functions._
+      val quad = expr(
+        """array_max(transform(array_distinct(split(text, ' ')),
+             d -> size(filter(split(text, ' '), t -> t = d))))""")
+      val runlen = expr(
+        """aggregate(array_sort(split(text, ' ')),
+             named_struct('prev', CAST(NULL AS STRING), 'run', 0, 'best', 0),
+             (a, t) -> named_struct(
+               'prev', t,
+               'run', IF(t <=> a.prev, a.run + 1, 1),
+               'best', greatest(a.best, IF(t <=> a.prev, a.run + 1, 1))),
+             a -> a.best)""")
+      def t2(name: String)(df: => org.apache.spark.sql.DataFrame): Unit = {
+        for (i <- 1 to 3) {
+          val t0 = System.nanoTime()
+          df.write.format("noop").mode("overwrite").save()
+          System.err.println(
+            f"[probe] $name run$i ${(System.nanoTime() - t0) / 1e9}%.3f s")
+        }
+      }
+      t2("p23_quad")(docs.select(col("doc_id"), quad.as("c")))
+      t2("p23_runlen")(docs.select(col("doc_id"), runlen.as("c")))
+      val mism = docs.select(quad.as("a"), runlen.as("b"))
+        .filter(col("a") =!= col("b")).count()
+      System.err.println(s"[probe] p23 mismatches: $mism")
+    }
     if (which == "sortshape") {
       import org.apache.spark.sql.functions._
       def noop(df: org.apache.spark.sql.DataFrame): Long = {

@@ -1297,9 +1297,20 @@ object Pipeline {
       val toks = split($"text", " ")
       val n = size(toks)
       val nDistinct = size(array_distinct(toks))
+      // Max token frequency as a max-run-length fold over the SORTED
+      // token array — O(n log n) per row vs the O(distinct × n)
+      // transform/filter count this replaces (guide §1.2 per-task work;
+      // probe `p23shape`: 0.81 → 0.37 s warm at sf0.1, 0 mismatches on
+      // the full corpus — the max frequency is the same number by
+      // definition, any tokenization).
       val topCount = expr(
-        """array_max(transform(array_distinct(split(text, ' ')),
-             d -> size(filter(split(text, ' '), t -> t = d))))""")
+        """aggregate(array_sort(split(text, ' ')),
+             named_struct('prev', CAST(NULL AS STRING), 'run', 0, 'best', 0),
+             (a, t) -> named_struct(
+               'prev', t,
+               'run', IF(t <=> a.prev, a.run + 1, 1),
+               'best', greatest(a.best, IF(t <=> a.prev, a.run + 1, 1))),
+             a -> a.best)""")
       T(s, d, "documents")
         .select($"doc_id", n.as("n_tokens"),
           ((n - nDistinct).cast(DoubleType) / n.cast(DoubleType)).as("dup_ratio"),

@@ -181,9 +181,15 @@ object Bench {
       "w02_hopping_agg", "w03_session_agg",
       "p01_dedup_exact", "p08_minhash_lsh_pairs", "p16_ngram_jaccard",
       "p17_dedup_clusters", "p20_pipeline_e2e")
-    // Retries ride along on the driver-visible line (they're rare — one
-    // per tripped entry — so the bounded-capture concern doesn't apply).
-    val qs = toJson(timed.filter { case (k, _) => headline(k) } ++ retries)
+    // r14 post-mortem: retries are NOT rare on a throttled host — dozens of
+    // entries tripped the 1.5x floor in the driver's r14 window, the _rN_
+    // ride-along keys bloated this line past the driver's bounded stdout
+    // capture, and the head ({"metric":"total"...) fell outside the tail —
+    // the exact r01/r02 failure the headline subset fixed for the main map.
+    // Keep the stdout line bounded unconditionally: headline subset only.
+    // The full retry triples remain auditable in bench_full.json (written
+    // above via `results`).
+    val qs = toJson(timed.filter { case (k, _) => headline(k) })
     val n = timed.size
     // Absolute path (r03 advice: a CWD-relative path lands wherever the
     // driver launched the JVM); overridable for dev loops.

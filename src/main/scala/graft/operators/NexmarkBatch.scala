@@ -91,7 +91,15 @@ object NexmarkBatch {
     if (q10HookArmed.compareAndSet(false, true))
       sys.addShutdownHook(rmrf(new java.io.File(base))): Unit
     val (inDir, outDir, ckpt) = (s"$base/in", s"$base/out", s"$base/ckpt")
+    val trace = sys.env.get("SPARK_GRAFT_STW_TRACE").contains("1")
+    var t0 = System.nanoTime()
+    def mark(phase: String): Unit = {
+      if (trace) System.err.println(
+        f"[stw-trace] q10 $phase ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      t0 = System.nanoTime()
+    }
     bids(s).write.mode("overwrite").parquet(inDir)
+    mark("input_write")
     val shaped = s.readStream.schema(s.read.parquet(inDir).schema)
       .parquet(inDir)
       .select(col("auction"), col("bidder"), col("price"), col("b_date_time"),
@@ -103,16 +111,22 @@ object NexmarkBatch {
       .option("checkpointLocation", ckpt)
       .trigger(Trigger.AvailableNow()).start()
     require(q.awaitTermination(120000), "q10 file sink did not drain in 120s")
+    mark("drain")
+    if (trace) q.recentProgress.foreach(p => System.err.println(
+      s"[stw-trace] q10   batch=${p.batchId} rows=${p.numInputRows} " +
+      s"durations=${p.durationMs}"))
     // Explicit casts pin the output schema against partition-type
     // inference; localCheckpoint pins the VALUES eagerly — the returned
     // frame must stay valid after a later call wipes and rewrites the
     // sink dir (DeterminismSpec holds two invocations side by side).
-    s.read.parquet(outDir).select(
+    val out = s.read.parquet(outDir).select(
       col("auction"), col("bidder"), col("price"),
       unix_micros(col("b_date_time")).as("b_date_time"),
       col("b_date").cast("string").as("b_date"),
       col("b_hour").cast("long").as("b_hour"))
       .localCheckpoint()
+    mark("reread_pin")
+    out
   }
 
   val all: Seq[Q] = Seq(

@@ -2391,15 +2391,14 @@ object Pipeline {
         .select(($"o_custkey" * 2).as("cnode"),
           ($"l_suppkey" * 2 + 1).as("snode"))
         .distinct()
-      // Intermediate pin: pairs derive once (lineitem⋈orders + distinct),
-      // the edges pin reads them twice (forward + reversed); the blocks
-      // are explicitly FREED right after edges materializes — at sf10
-      // they're ~1 GB of storage that would otherwise squat next to the
-      // broadcast rank for all three rounds.
-      val cpPairs = pairs.localCheckpoint(true,
-        org.apache.spark.storage.StorageLevel.DISK_ONLY)
-      val pinnedPairs =
-        cpPairs.sparkSession.createDataFrame(cpPairs.rdd, cpPairs.schema)
+      // r15: both edge directions are minted IN-ROW by a generator
+      // (explode over a 2-struct array), so `pairs` is consumed exactly
+      // once — the r14-era DISK_ONLY intermediate pin (needed when the
+      // forward/reversed unionAll read pairs twice and ReuseExchange
+      // could not dedupe the branches — measured 0 reused exchanges) is
+      // gone along with its full write+read of the pair set (~1 GB at
+      // sf10). Same multiset of edges; the repartition($"dst") below
+      // hashes each row to the same partition either way.
       // Pin the doubled edge list HASH-PARTITIONED BY dst (the round
       // aggregate's key). This is the per-round memory fix the sf10 gate
       // needed: with edges unclustered, every round's partial
@@ -2419,10 +2418,11 @@ object Pipeline {
       // resident; keeping it out of protected storage memory is what
       // lets the round aggregates breathe inside the default heap.
       val edges = pinDisk(
-        pinnedPairs.select($"cnode".as("src"), $"snode".as("dst"))
-          .unionAll(pinnedPairs.select($"snode".as("src"), $"cnode".as("dst")))
+        pairs.select(explode(array(
+            struct($"cnode".as("src"), $"snode".as("dst")),
+            struct($"snode".as("src"), $"cnode".as("dst")))).as("e"))
+          .select($"e.src".as("src"), $"e.dst".as("dst"))
           .repartition($"dst"))
-      cpPairs.rdd.unpersist(blocking = false)
       // Degree is counted on DST, not src: the doubled edge list is
       // symmetric (pair (c,s) contributes src occurrences {c,s} AND dst
       // occurrences {s,c}), so outdeg(x) == indeg(x) — and grouping on
@@ -4552,11 +4552,16 @@ object Pipeline {
     * generates candidates, the verify join touches candidate pairs only);
     * the calibration rollup partial-combines to ≤ k rows.
     */
-  private val p71 = Q(
-    "p71_minhash_calibration",
-    (s, d) => {
+  /** p71's body, with the sigs pin exposed for the Probe p71shape A/B
+    * (pinSigs = compute the shingle+minhash expression once and reuse it
+    * for candidate generation and both verify-join sides, instead of 3
+    * plan-level re-derivations).
+    */
+  private[graft] def p71Body(s: SparkSession, d: String,
+      pinSigs: Boolean): DataFrame = {
       import s.implicits._
-      val sigs = sigsDf(s, d, 4)
+      val raw = sigsDf(s, d, 4)
+      val sigs = if (pinSigs) raw.localCheckpoint() else raw
       val cand = lshCandidates(sigs, bands = 4, rowsPerBand = 1)
       val a = sigs.select($"doc_id".as("id_a"), $"sh".as("sh_a"),
         $"m0".as("a0"), $"m1".as("a1"), $"m2".as("a2"), $"m3".as("a3"))
@@ -4577,7 +4582,29 @@ object Pipeline {
         .select($"matches", ($"matches" * lit(250000L)).as("est_ppm"),
           $"n_pairs", $"avg_exact_ppm", $"min_exact_ppm", $"max_exact_ppm")
         .orderBy($"matches")
-    },
+  }
+
+  /** Probe surfaces for p71shape: the sigs scan alone and the candidate
+    * half alone (both through the noop sink). */
+  private[graft] def p71SigsProbe(s: SparkSession, d: String): DataFrame =
+    sigsDf(s, d, 4)
+  private[graft] def p71CandProbe(s: SparkSession, d: String): DataFrame =
+    lshCandidates(sigsDf(s, d, 4), bands = 4, rowsPerBand = 1)
+
+  private val p71 = Q(
+    "p71_minhash_calibration",
+    // pinSigs (r15): the shingle+minhash expression is the entry's
+    // heaviest per-row work and the un-pinned plan derived it FOUR times
+    // (both band self-join sides + the two verify-join broadcast builds,
+    // two of those feeding driver-side broadcast collection — the
+    // measured source of this entry's run-to-run swings and its worst-on-
+    // the-board core-scaling ratio). One localCheckpoint computes it once;
+    // Bench/Verify unpersist all blocks after every entry. At 100 TB the
+    // durable form of the same reuse is a parquet checkpoint of the
+    // signature table (the p08 comment's own rationale) — p71 is the
+    // calibration AUDIT of that table, so materializing it is the
+    // production shape, not a bench trick.
+    (s, d) => p71Body(s, d, pinSigs = true),
     Some(s"""
       WITH $candCtesDuck,
       j AS (
@@ -5470,11 +5497,15 @@ object Pipeline {
     * token positions go through a distinct on (doc_id, position).
     *
     * 100 TB shape: grams travel as md5 digests; the corpus-wide gram
-    * count is one digest-keyed shuffle with map-side partials (hot
-    * boilerplate grams arrive as partial counts, the p30 skew argument);
-    * the join-back is on the same key; the coverage expansion is a narrow
-    * 8× generator chain; the distinct is doc_id-clustered. Everything is
-    * linear in corpus tokens.
+    * count is ONE digest-keyed shuffle feeding a count() window (the
+    * expansion computes once — a groupBy+join-back would run it twice,
+    * see the inline note); the coverage expansion is a narrow 8×
+    * generator chain; the distinct is doc_id-clustered. Everything is
+    * linear in corpus tokens. Hot-key tradeoff: the window buffers a
+    * mega-hot boilerplate gram's occurrences in one task (no map-side
+    * partials), so the count-only payload is kept to (doc_id, pos, g) —
+    * 48-byte rows; the skew-probe numbers and the salted two-phase
+    * fallback threshold live in OPTIMIZATION_r15.md.
     */
   private val p84 = Q(
     "p84_dup_ngram_coverage",
@@ -5606,9 +5637,9 @@ object Pipeline {
     *
     * 100 TB shape: chunking is per-row narrow array work (linear in
     * tokens, expected chunk length 16); the only shuffle is the
-    * digest-keyed occurrence count, and the join-back is on the same key
-    * (one co-partitioned exchange, p84's topology). Boundary hashes are
-    * md5-derived, so both engines cut identically.
+    * digest-keyed count() window (p84's one-pass topology — the chunking
+    * computes once; hot-key buffering tradeoff documented at p84).
+    * Boundary hashes are md5-derived, so both engines cut identically.
     */
   private val p86 = Q(
     "p86_cdc_chunks",

@@ -44,17 +44,61 @@ object StreamGate {
     */
   private[operators] def statePartitions(s: org.apache.spark.sql.SparkSession,
       inputBytes: Long): Int =
-    sys.env.get("SPARK_GRAFT_STW_PARTS").map(_.toInt).getOrElse {
-      val cap = math.max(4, s.sparkContext.defaultParallelism)
-      val per = 32L << 20
-      math.max(4L, math.min(cap.toLong, (inputBytes + per - 1) / per)).toInt
-    }
+    // Malformed override (empty string, "8 ") falls back to the computed
+    // sizing instead of aborting the gate mid-entry (r14 advice item).
+    sys.env.get("SPARK_GRAFT_STW_PARTS")
+      .flatMap(v => scala.util.Try(v.trim.toInt).toOption).filter(_ > 0)
+      .getOrElse {
+        val cap = math.max(4, s.sparkContext.defaultParallelism)
+        val per = 32L << 20
+        math.max(4L, math.min(cap.toLong, (inputBytes + per - 1) / per)).toInt
+      }
 
   private[operators] def dirBytes(path: String): Long = {
     def walk(f: java.io.File): Long =
       if (f.isDirectory) Option(f.listFiles()).map(_.map(walk).sum).getOrElse(0L)
       else f.length()
     walk(new java.io.File(path))
+  }
+
+  /** Write every chunk in ONE job (r15, guide §2.4/§6): the chunks are
+    * unioned with a `_ck` tag and land as `stage/_ck=i/` partition dirs
+    * (coalesce(1) keeps the one-file-per-chunk replay contract), instead
+    * of 3–4 separate coalesce(1) write jobs per entry. Each replay run
+    * then PROMOTES its chunk into the source dir with a filesystem
+    * rename — the per-run cost drops from a Spark job to a syscall.
+    * Intra-chunk row order is free to differ from the per-chunk writes:
+    * every order-sensitive processor sorts its rows within the trigger
+    * (StatefulProcessors sortBy (tsUs, ...)), and the rest are
+    * commutative by design (the interleaved-chunk gates prove exactly
+    * that).
+    */
+  private def stageChunks(s: SparkSession, stage: String,
+      chunks: Seq[DataFrame]): Unit =
+    chunks.zipWithIndex
+      .map { case (c, i) => c.withColumn("_ck", lit(i)) }
+      .reduce(_.unionAll(_))
+      .coalesce(1)
+      .write.partitionBy("_ck").mode("overwrite").parquet(stage)
+
+  /** Move chunk `i`'s staged file(s) into the live source dir. A chunk
+    * that produced no rows (possible at tiny SFs) gets the same empty
+    * single parquet file the old per-chunk coalesce(1) write produced,
+    * so run-level semantics (one new file per run) are unchanged.
+    */
+  private def promoteChunk(s: SparkSession, stage: String, in: String,
+      i: Int, schema: org.apache.spark.sql.types.StructType): Unit = {
+    new java.io.File(in).mkdirs()
+    val dir = new java.io.File(s"$stage/_ck=$i")
+    val files = Option(dir.listFiles()).map(_.toSeq.filter(f =>
+      f.isFile && f.getName.endsWith(".parquet"))).getOrElse(Seq.empty)
+    if (files.isEmpty)
+      s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        schema).coalesce(1).write.mode("append").parquet(in)
+    else files.zipWithIndex.foreach { case (f, j) =>
+      java.nio.file.Files.move(f.toPath,
+        java.nio.file.Paths.get(in, f"chunk${i}%03d_$j.parquet")): Unit
+    }
   }
 
   private val liveDirs =
@@ -86,10 +130,9 @@ object StreamGate {
     val (in, out, ckpt) = (s"$base/in", s"$base/out", s"$base/ckpt")
     val saved = s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
     val savedParts = s.conf.getOption("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.streaming.stateStore.providerClass", Rocks)
-    if (sys.env.get("SPARK_GRAFT_STW_CHANGELOG").contains("1"))
-      s.conf.set("spark.sql.streaming.stateStore.rocksdb." +
-        "changelogCheckpointing.enabled", "true")
+    val ChangelogKey = "spark.sql.streaming.stateStore.rocksdb." +
+      "changelogCheckpointing.enabled"
+    val savedChangelog = s.conf.getOption(ChangelogKey)
     // SPARK_GRAFT_INJECT_STW=1 runs the WHOLE gate under mid-batch
     // task-failure injection (graft.streaming.FailureInjection): partition
     // 0 of every stateful stage dies on its first attempt after partial
@@ -106,19 +149,38 @@ object StreamGate {
       case None => transform(df)
     }
     try {
+      // Conf sets live INSIDE the try (r14 advice): anything throwing
+      // between a set and the try entry would leak the conf past the gate.
+      s.conf.set("spark.sql.streaming.stateStore.providerClass", Rocks)
+      if (sys.env.get("SPARK_GRAFT_STW_CHANGELOG").contains("1"))
+        s.conf.set(ChangelogKey, "true")
       val schema = chunks.head.schema
       val trace = sys.env.get("SPARK_GRAFT_STW_TRACE").contains("1")
-      chunks.zipWithIndex.foreach { case (c, i) =>
+      val stage = s"$base/stage"
+      val tS = System.nanoTime()
+      stageChunks(s, stage, chunks)
+      // Size the stateful shuffle from measured input volume — now the
+      // EXACT staged byte count (the pre-r15 estimate was first chunk ×
+      // chunk count); must happen before the FIRST run, which pins the
+      // partitioning in the checkpoint.
+      s.conf.set("spark.sql.shuffle.partitions",
+        statePartitions(s, dirBytes(stage)))
+      if (trace) System.err.println(
+        f"[stw-trace] $tag stage=${(System.nanoTime() - tS) / 1e9}%.2f s")
+      chunks.zipWithIndex.foreach { case (_, i) =>
         val t0 = System.nanoTime()
-        c.coalesce(1).write.mode("append").parquet(in)
-        // Size the stateful shuffle from measured input volume (first
-        // chunk's bytes × chunk count — the chunks are near-equal
-        // splits); must happen before the FIRST run, which pins the
-        // partitioning in the checkpoint.
-        if (i == 0) s.conf.set("spark.sql.shuffle.partitions",
-          statePartitions(s, dirBytes(in) * chunks.size))
+        promoteChunk(s, stage, in, i, schema)
         val t1 = System.nanoTime()
-        val q = tf(s.readStream.schema(schema).parquet(in))
+        // SPARK_GRAFT_STW_SINK1=1: narrow the sink to one file per batch
+        // (coalesce(1) AFTER the stateful operator — its partitioning is
+        // checkpoint-pinned and unaffected). A/B knob for the per-batch
+        // sink-commit cost; measurement in OPTIMIZATION_r15.md.
+        val body = tf(s.readStream.schema(schema).parquet(in))
+        val sunk =
+          if (sys.env.get("SPARK_GRAFT_STW_SINK1").contains("1"))
+            body.coalesce(1)
+          else body
+        val q = sunk
           .writeStream.format("parquet")
           .option("path", out).option("checkpointLocation", ckpt)
           .outputMode("append").trigger(Trigger.AvailableNow()).start()
@@ -129,9 +191,17 @@ object StreamGate {
             f"[stw-trace] $tag run$i write=${(t1 - t0) / 1e9}%.2f s " +
             f"drain=${(System.nanoTime() - t1) / 1e9}%.2f s")
           q.recentProgress.foreach { p =>
-            val st = p.stateOperators.map(o =>
+            val st = p.stateOperators.map { o =>
+              val cm = o.customMetrics
+              def c(k: String) =
+                Option(cm.get(k)).map(_.longValue()).getOrElse(-1L)
               s"stateRows=${o.numRowsTotal} shufflePartitions=" +
-                o.numShufflePartitions).mkString("; ")
+                s"${o.numShufflePartitions} updMs=${o.allUpdatesTimeMs} " +
+                s"commitMs=${o.commitTimeMs} " +
+                s"ckptLat=${c("rocksdbCommitCheckpointLatency")} " +
+                s"fileSync=${c("rocksdbCommitFileSyncLatencyMs")} " +
+                s"flushLat=${c("rocksdbCommitFlushLatency")}"
+            }.mkString("; ")
             System.err.println(s"[stw-trace]   batch=${p.batchId} " +
               s"rows=${p.numInputRows} durations=${p.durationMs} $st")
           }
@@ -150,6 +220,10 @@ object StreamGate {
       savedParts match {
         case Some(v) => s.conf.set("spark.sql.shuffle.partitions", v)
         case None => s.conf.unset("spark.sql.shuffle.partitions")
+      }
+      savedChangelog match {
+        case Some(v) => s.conf.set(ChangelogKey, v)
+        case None => s.conf.unset(ChangelogKey)
       }
     }
   }
@@ -582,11 +656,14 @@ object StreamGate {
       s.conf.set("spark.sql.streaming.stateStore.providerClass", Rocks)
       val out = try {
         val schema = chunks.head.schema
-        chunks.head.coalesce(1).write.mode("append").parquet(in)
+        // Single-pass chunk staging + per-step promote, same as replay.
+        val stageDir = s"$base/stage"
+        stageChunks(s, stageDir, chunks)
+        promoteChunk(s, stageDir, in, 0, schema)
         // Same input-volume state-partition sizing as replay (see
         // statePartitions): set before the manual-clock query starts.
         s.conf.set("spark.sql.shuffle.partitions",
-          statePartitions(s, dirBytes(in) * chunks.size))
+          statePartitions(s, dirBytes(stageDir) + dirBytes(in)))
         val clock = new org.apache.spark.sql.graft.shims.GraftManualClock(t0)
         // SPARK_GRAFT_INJECT_STW=1 injects here too (same contract as
         // replay): the manual-clock path otherwise escapes the gate-wide
@@ -607,8 +684,8 @@ object StreamGate {
           org.apache.spark.sql.streaming.OutputMode.Append())
         try {
           awaitBatch(q, 0)
-          chunks.tail.zipWithIndex.foreach { case (c, i) =>
-            c.coalesce(1).write.mode("append").parquet(in)
+          chunks.tail.zipWithIndex.foreach { case (_, i) =>
+            promoteChunk(s, stageDir, in, i + 1, schema)
             clock.advance(stepMs)
             awaitBatch(q, i + 1)
           }

@@ -62,13 +62,6 @@ object V2SourceGate {
     val (out, ckpt) = (s"$base/out", s"$base/ckpt")
     val saved = s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
     val savedParts = s.conf.getOption("spark.sql.shuffle.partitions")
-    // Input-volume state-partition sizing, same rationale as
-    // StreamGate.statePartitions: the V2 id range is known exactly up
-    // front (segments.last.totalEvents ids × ~32 B of projected event
-    // row), and the first micro-batch pins the choice in the checkpoint.
-    s.conf.set("spark.sql.shuffle.partitions",
-      StreamGate.statePartitions(s, segments.last.totalEvents * 32L))
-    s.conf.set("spark.sql.streaming.stateStore.providerClass", Rocks)
     val injectAcc =
       if (sys.env.get("SPARK_GRAFT_INJECT_STW").contains("1"))
         Some(s.sparkContext.longAccumulator(s"graft_inject_v2_$tag"))
@@ -79,6 +72,15 @@ object V2SourceGate {
       case None => transform(df)
     }
     try {
+      // Conf sets live INSIDE the try (r14 advice): anything throwing
+      // between a set and the try entry would leak the conf past the gate.
+      // Input-volume state-partition sizing, same rationale as
+      // StreamGate.statePartitions: the V2 id range is known exactly up
+      // front (segments.last.totalEvents ids × ~32 B of projected event
+      // row), and the first micro-batch pins the choice in the checkpoint.
+      s.conf.set("spark.sql.shuffle.partitions",
+        StreamGate.statePartitions(s, segments.last.totalEvents * 32L))
+      s.conf.set("spark.sql.streaming.stateStore.providerClass", Rocks)
       val trace = sys.env.get("SPARK_GRAFT_STW_TRACE").contains("1")
       segments.zipWithIndex.foreach { case (seg, i) =>
         val t0 = System.nanoTime()

@@ -261,12 +261,19 @@ object Probe {
         .orderBy(col("count").desc).limit(3).collect()
       System.err.println(s"[probe] p84skew rep=$rep hottest grams: " +
         hot.map(r => r.getLong(1)).mkString(", "))
-      t2("p84skew_window")(covered(windowCnt))
-      t2("p84skew_salted")(covered(saltedCnt))
-      val mism = covered(windowCnt).as("a").join(covered(saltedCnt).as("b"),
-          col("a.doc_id") === col("b.doc_id"), "full_outer")
-        .filter(not(col("a.cov") <=> col("b.cov"))).count()
-      System.err.println(s"[probe] p84skew coverage mismatches: $mism")
+      t2("p84skew_window_cnt_only")(windowCnt(grams(skewed)))
+      // GRAFT_P84_ONLY=cnt: just the count-stage arm (doubles as the
+      // shuffle-codec probe body — ~10M 48-byte rows through one
+      // g-keyed exchange + window).
+      if (!sys.env.get("GRAFT_P84_ONLY").contains("cnt")) {
+        t2("p84skew_salted_cnt_only")(saltedCnt(grams(skewed)))
+        t2("p84skew_window")(covered(windowCnt))
+        t2("p84skew_salted")(covered(saltedCnt))
+        val mism = covered(windowCnt).as("a").join(covered(saltedCnt).as("b"),
+            col("a.doc_id") === col("b.doc_id"), "full_outer")
+          .filter(not(col("a.cov") <=> col("b.cov"))).count()
+        System.err.println(s"[probe] p84skew coverage mismatches: $mism")
+      }
     }
     // p71 phase decomposition (r15): where do the seconds go — the
     // sigs scan (shingle+minhash expression), candidate generation, or

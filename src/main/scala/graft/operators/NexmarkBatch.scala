@@ -98,6 +98,12 @@ object NexmarkBatch {
         f"[stw-trace] q10 $phase ${(System.nanoTime() - t0) / 1e9}%.2f s")
       t0 = System.nanoTime()
     }
+    // Landing stays at the generator's 8 range partitions: an r15 probe
+    // of guide-§6 file sizing (coalesce to ~128 MB targets — one file at
+    // this N) read WORSE warm (2.9–3.2 s vs 1.7–2.0 s): the single task
+    // serializes both the 92k-row generator expressions and the batch's
+    // scan+sink work, and at this volume that parallelism loss exceeds
+    // the per-file overhead saved. Numbers in OPTIMIZATION_r15.md.
     bids(s).write.mode("overwrite").parquet(inDir)
     mark("input_write")
     val shaped = s.readStream.schema(s.read.parquet(inDir).schema)

@@ -285,10 +285,10 @@ object Probe {
         df.write.format("noop").mode("overwrite").save(); 0L
       }
       for (i <- 1 to 2) {
-        time(s"p71_sigs_only_$i")(noopW(operators.Pipeline.p71SigsProbe(spark, dir)))
-        time(s"p71_cand_only_$i")(noopW(operators.Pipeline.p71CandProbe(spark, dir)))
         time(s"p71_full_$i")(noopW(operators.Pipeline.p71Body(spark, dir, pinSigs = false)))
         time(s"p71_full_pinned_$i")(noopW(operators.Pipeline.p71Body(spark, dir, pinSigs = true)))
+        time(s"p71_full_parquet_$i")(noopW(operators.Pipeline.p71Body(spark, dir,
+          pinSigs = false, parquetPin = true)))
         spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
       }
     }
